@@ -1,0 +1,273 @@
+"""Aggregation operators (SURVEY.md §2.5 A1–A6, §2.6 G1–G2).
+
+The reference's entire query surface is one global conditional-count
+aggregation executed by PostgreSQL (/root/reference/main.py:278-289).
+Here it becomes a single ``df.agg(...)`` — Catalyst plans it as a
+partial (map-side) + final HashAggregate pair, so at 100 TB each
+executor pre-aggregates its partitions and only 7 numbers per task
+cross the wire. The grouped/rollup variants generalize it.
+
+Numeric-parity policy (vs the DuckDB oracle): counts are exact;
+money/quantity columns are exact 2-decimal values stored as doubles,
+so casting them to DECIMAL(18,2) *per row* is lossless and makes the
+sums order-independent and bit-equal across engines; final ratios are
+computed in double from already-equal inputs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from grader_etl_spark.constants import CHECK_TYPE, REPORT_DATE, RUN_TYPE, SUCCESS_TYPE
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# q_daily_report — the reference's one query (main.py:278-289), Spark-first.
+# ---------------------------------------------------------------------------
+
+_DAILY_REPORT_ORACLE = f"""
+SELECT
+  CAST(DATE '{REPORT_DATE}' AS VARCHAR)                        AS report_date,
+  COUNT(*)                                                     AS total_attempts,
+  COUNT(CASE WHEN event_type = '{SUCCESS_TYPE}' THEN 1 END)    AS successful_attempts,
+  CASE WHEN COUNT(*) = 0 THEN 0.0
+       ELSE ROUND(CAST(COUNT(CASE WHEN event_type = '{SUCCESS_TYPE}' THEN 1 END) AS DOUBLE)
+                  * 100 / CAST(COUNT(*) AS DOUBLE), 2)
+  END                                                          AS success_percentage,
+  COUNT(DISTINCT user_id)                                      AS unique_users,
+  COUNT(CASE WHEN event_type = '{RUN_TYPE}' THEN 1 END)        AS run_attempts,
+  COUNT(CASE WHEN event_type = '{CHECK_TYPE}' THEN 1 END)      AS check_attempts
+FROM events
+WHERE CAST(ts AS DATE) = DATE '{REPORT_DATE}'
+"""
+
+
+def daily_report(events: DataFrame, report_date: str = REPORT_DATE) -> DataFrame:
+    """The 7-metric daily report (A1–A6 + F3 + P5/P6) over any events df.
+
+    Spark rendition of /root/reference/main.py:278-289 with the
+    zero-row guard of main.py:293-315 folded into the plan (the
+    reference guards caller-side; we return the all-zero row from the
+    engine so an empty day can never produce null/NaN).
+    """
+    success = F.count(F.when(F.col("event_type") == SUCCESS_TYPE, 1))
+    total = F.count(F.lit(1))
+    return (
+        events.filter(F.to_date("ts") == F.lit(report_date).cast("date"))
+        .agg(
+            total.alias("total_attempts"),
+            success.alias("successful_attempts"),
+            F.when(total == 0, F.lit(0.0))
+            .otherwise(F.round(success.cast("double") * 100 / total.cast("double"), 2))
+            .alias("success_percentage"),
+            F.countDistinct("user_id").alias("unique_users"),
+            F.count(F.when(F.col("event_type") == RUN_TYPE, 1)).alias("run_attempts"),
+            F.count(F.when(F.col("event_type") == CHECK_TYPE, 1)).alias("check_attempts"),
+        )
+        .select(F.lit(report_date).alias("report_date"), "*")
+    )
+
+
+@query("q_daily_report", oracle=_DAILY_REPORT_ORACLE)
+def q_daily_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A6: global conditional-count aggregate with date filter."""
+    return daily_report(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# q_distinct_users — A4 generalized to a grouped exact distinct count.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_distinct_users",
+    oracle="""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+       COUNT(DISTINCT user_id)                AS unique_users
+FROM events
+GROUP BY 1
+""",
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: exact COUNT(DISTINCT) per day (main.py:284, generalized).
+
+    Exact distinct needs a shuffle on (day, user_id); at 100 TB the
+    documented scale variant is approx_count_distinct (HLL, no second
+    shuffle) — kept exact here because the reference is exact.
+    """
+    return (
+        load(spark, sf_dir, "events", columns=["ts", "user_id"])
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date"))
+        .agg(F.countDistinct("user_id").alias("unique_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_conditional_counts — A2/A5: CASE-WHEN counts as a manual pivot.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_conditional_counts",
+    oracle=f"""
+SELECT
+  COUNT(CASE WHEN event_type = '{RUN_TYPE}' THEN 1 END)   AS run_attempts,
+  COUNT(CASE WHEN event_type = '{CHECK_TYPE}' THEN 1 END) AS check_attempts,
+  COUNT(CASE WHEN event_type = '{SUCCESS_TYPE}' THEN 1 END) AS successful_attempts
+FROM events
+""",
+)
+def q_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A5: conditional counts over enum predicates (main.py:283,285-286)."""
+    ev = load(spark, sf_dir, "events", columns=["event_type"])
+    return ev.agg(
+        F.count(F.when(F.col("event_type") == RUN_TYPE, 1)).alias("run_attempts"),
+        F.count(F.when(F.col("event_type") == CHECK_TYPE, 1)).alias("check_attempts"),
+        F.count(F.when(F.col("event_type") == SUCCESS_TYPE, 1)).alias("successful_attempts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_pivot_attempt_type — A5 done idiomatically with pivot().
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pivot_attempt_type",
+    oracle=f"""
+SELECT
+  COUNT(CASE WHEN event_type = '{RUN_TYPE}' THEN 1 END)   AS "{RUN_TYPE}",
+  COUNT(CASE WHEN event_type = '{CHECK_TYPE}' THEN 1 END) AS "{CHECK_TYPE}"
+FROM events
+""",
+)
+def q_pivot_attempt_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 as a pivot: the reference hand-writes a 2-value pivot with two
+    CASE columns (main.py:285-286); ``pivot`` with explicit values keeps
+    the plan a single pass (no distinct-values pre-query)."""
+    ev = load(spark, sf_dir, "events", columns=["event_type"])
+    return (
+        ev.groupBy()
+        .pivot("event_type", [RUN_TYPE, CHECK_TYPE])
+        .count()
+        .na.fill(0)  # empty-input parity with the oracle's COUNT()=0
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_group_agg — G1: the grouped generalization of A1-A5.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_group_agg",
+    oracle="""
+SELECT event_type,
+       COUNT(*)                                                AS n_events,
+       COUNT(DISTINCT user_id)                                 AS unique_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)       AS total_value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            / COUNT(*) AS DOUBLE)                              AS avg_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: groupBy().agg() — partial+final hash aggregation.
+
+    The decimal cast makes SUM order-independent (exact), so the value
+    hash matches the oracle no matter how partitions combine.
+    """
+    ev = load(spark, sf_dir, "events", columns=["event_type", "user_id", "value"])
+    dec_sum = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("unique_users"),
+        dec_sum.alias("total_value"),
+        (dec_sum / F.count(F.lit(1))).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_rollup — G2: rollup / grouping sets.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rollup",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       COUNT(*)                                              AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: hierarchical subtotal aggregation via rollup().
+
+    Catalyst expands the rollup into grouping sets inside one Expand +
+    aggregate — a single shuffle, not one job per level.
+    """
+    li = load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_pricing_summary — the bench headline: TPC-H Q1-shaped scan+agg.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)        AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)   AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+           * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)      AS sum_charge,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+       / COUNT(*) AS DOUBLE)                                     AS avg_qty,
+  COUNT(*)                                                       AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2024-11-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary scan+agg (TPC-H Q1 shape) — the throughput
+    headline for bench.py: one wide scan, pushed-down date filter,
+    map-side partial aggregation into a handful of groups.
+
+    Per-row products are computed in exact decimal so the sums are
+    order-independent — and the whole expression stays inside
+    whole-stage codegen (no UDFs).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("2024-11-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

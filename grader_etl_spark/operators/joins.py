@@ -1,0 +1,179 @@
+"""Join operators (SURVEY.md §2.6 J1–J5).
+
+The reference has no joins (evidence: SURVEY.md §2.6); these are the
+standard relational layer, all built-in Spark. Scale notes per shape:
+
+- equi-joins shuffle both sides on the key — at 100 TB the win is
+  broadcasting every dimension that fits (region/nation/customer dims
+  here) so the fact table never shuffles; AQE demotes a broadcast that
+  turns out too big and splits skewed partitions.
+- semi/anti joins ship only the key column of the probe side.
+- the range join uses a tiny literal band table → broadcast
+  nested-loop, the right plan when one side is O(10) rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import broadcast
+
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# J1 — inner equi-join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_orderstatus
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: inner equi-join orders⋈customer; planner picks
+    broadcast-hash here (customer is small) or sort-merge at scale."""
+    orders = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+    cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "c_mktsegment", "o_orderstatus"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — outer join (left), preserving customers with no orders
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_outer",
+    oracle="""
+SELECT c.c_custkey,
+       COUNT(o.o_orderkey) AS n_orders
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""",
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left outer join + grouped count; COUNT(col) skips the
+    null-extended rows, so zero-order customers show n_orders = 0."""
+    cust = load(spark, sf_dir, "customer", columns=["c_custkey"])
+    orders = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — broadcast dimension joins (star-schema revenue rollup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+SELECT r.r_name,
+       COUNT(*)                                                  AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+FROM orders o
+JOIN customer c ON o.o_custkey   = c.c_custkey
+JOIN nation   n ON c.c_nationkey = n.n_nationkey
+JOIN region   r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: star join with every dimension broadcast — the fact table
+    (orders) streams through three map-side hash joins with zero
+    shuffles before the final 5-group aggregate."""
+    orders = load(spark, sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = load(spark, sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = load(spark, sf_dir, "region", columns=["r_regionkey", "r_name"])
+    return (
+        orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4a: left-semi join — customers having ≥1 order; only the key
+    column of orders crosses the wire, no row multiplication."""
+    cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = load(spark, sf_dir, "orders", columns=["o_custkey"])
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4b: left-anti join — customers with no orders; the same shape
+    powers the cross-batch idempotent insert (operators/dedup.py)."""
+    cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = load(spark, sf_dir, "orders", columns=["o_custkey"])
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# J5 — range (theta) join against a literal band table
+# ---------------------------------------------------------------------------
+
+_BANDS = [
+    (0.0, 500.0, "budget"),
+    (500.0, 1000.0, "mid"),
+    (1000.0, 1500.0, "premium"),
+    (1500.0, 1e9, "luxury"),
+]
+
+_BANDS_SQL = ", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in _BANDS)
+
+
+@query(
+    "q_join_range",
+    oracle=f"""
+SELECT p.p_partkey, b.band
+FROM part p
+JOIN (VALUES {_BANDS_SQL}) AS b(lo, hi, band)
+  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+""",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: non-equi join on half-open price bands. The band side is
+    O(1) rows → broadcast nested-loop join, the correct physical plan
+    (each fact row tests 4 predicates map-side; nothing shuffles)."""
+    part = load(spark, sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+    bands = spark.createDataFrame(_BANDS, "lo double, hi double, band string")
+    cond = (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi)
+    return part.join(broadcast(bands), cond, "inner").select("p_partkey", "band")

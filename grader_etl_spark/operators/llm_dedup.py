@@ -1,0 +1,333 @@
+"""Corpus deduplication operators (north star, BASELINE.json): exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding near-dup.
+
+Scale design: the exact/fingerprint paths are hash-groupBys (one
+shuffle, map-side partial). The pairwise paths NEVER do an unblocked
+cross join at scale — MinHash/LSH banding and SimHash prefix-bucketing
+generate candidates via an equi-join on bucket keys, then verify only
+the candidates. The all-pairs Jaccard query here is the *verification
+semantics* stated exactly (and kept oracle-checkable on the bounded
+500-doc fixture); the LSH variants are the 100 TB path and are
+pytest-verified to agree with it (tests/test_llm_dedup.py).
+
+No Python UDFs anywhere: shingles, MinHash permutations, SimHash bit
+votes and Hamming distances are all higher-order array expressions
+(crc32/transform/aggregate), so signature computation stays inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+SHINGLE_K = 3  # words per shingle
+
+# MinHash parameters: 64 permutations → 16 bands × 4 rows.
+MINHASH_PERMS = 64
+LSH_BANDS = 16
+_MERSENNE_P = (1 << 31) - 1
+# Deterministic permutation coefficients (a must be non-zero mod p).
+_PERM_A = [(2 * i + 1) * 2654435761 % _MERSENNE_P for i in range(MINHASH_PERMS)]
+_PERM_B = [(i + 1) * 40503 * 65537 % _MERSENNE_P for i in range(MINHASH_PERMS)]
+
+
+def shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-word shingles as an array column (empty-safe —
+    note Spark's sequence(0, -1) DESCENDS, so short docs need the
+    explicit guard rather than a negative upper bound)."""
+    toks = F.split(F.trim(text), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+    )
+    return F.when(F.size(toks) >= k, F.array_distinct(F.transform(idx, shingle_at))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return inter.cast("double") / union
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact_docs",
+    oracle="""
+SELECT md5(text) AS fp,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*)    AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content fingerprint, keep min id.
+    At 100 TB this is the cheapest dedup pass (shuffle carries the
+    16-byte hash, not the document)."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        docs.select("doc_id", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (the exact verification semantics)
+# ---------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.25
+
+
+@query(
+    "q_neardup_jaccard",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {SHINGLE_K - 2}, 0)),
+           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+2]
+         )) AS sset
+  FROM documents
+)
+SELECT a.doc_id AS doc_id_1,
+       b.doc_id AS doc_id_2,
+       CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)
+         / (length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)))
+         AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)
+        / (length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)))
+      >= {_JACCARD_THRESHOLD}
+""",
+)
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.25.
+
+    This states the ground-truth semantics (all-pairs, exact) on the
+    bounded documents fixture; q_neardup_minhash below is the
+    candidate-generating scale path whose recall is tested against
+    this output."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sset"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    jac = _jaccard(F.col("a.sset"), F.col("b.sset"))
+    return (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (the scale path; rows-only + pytest recall)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", shingle_col: str = "sset") -> DataFrame:
+    """64-permutation MinHash signatures: h_j(S) = min over s∈S of
+    (a_j * crc32(s) + b_j) mod p. Returns (id_col, sig array<long>).
+
+    Shape matters here: explode shingles to rows, hash each ONCE, then
+    64 ``min`` aggregates over the hash column. A nested
+    array-expression version is semantically identical but Catalyst's
+    projection collapse re-inlines the shingle+crc32 computation into
+    every permutation (64× recompute — measured ~40× slower); the
+    explode+groupBy form hashes once, partial-aggregates map-side, and
+    shuffles only 64 longs per document."""
+    hashed = sh.select(id_col, F.explode(shingle_col).alias("s")).select(
+        id_col, F.crc32(F.col("s").cast("binary")).alias("h")
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P).alias(f"mh{j}")
+        for j, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    ]
+    sig_df = hashed.groupBy(id_col).agg(*mins)
+    return sig_df.select(
+        id_col, F.array(*[F.col(f"mh{j}") for j in range(MINHASH_PERMS)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature into LSH buckets and equi-join for candidate
+    pairs. This is the anti-cross-join: the only join key is the
+    band-bucket string, so at 100 TB the shuffle is (bands × docs)
+    rows of ~50 bytes, and AQE's skew split handles hot buckets."""
+    rows = MINHASH_PERMS // LSH_BANDS
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                F.lit(i),
+                *[F.element_at("sig", i * rows + r + 1) for r in range(rows)],
+            )
+            for i in range(LSH_BANDS)
+        ]
+    )
+    buckets = sig_df.select(id_col, F.explode(bands).alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_id_1"), F.col(f"b.{id_col}").alias("doc_id_2"))
+        .distinct()
+    )
+
+
+@query("q_neardup_minhash", oracle=None)  # approximate candidates: rows-only + pytest recall
+def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → 64-perm signature → 16-band
+    buckets → candidate equi-join → exact-Jaccard verification of
+    candidates only. Output shape matches q_neardup_jaccard; recall
+    against it is asserted in tests/test_llm_dedup.py."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sset"))
+    sig = minhash_signatures(sh)
+    cands = lsh_candidate_pairs(sig)
+    a = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sset").alias("sset_1"))
+    b = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sset").alias("sset_2"))
+    return (
+        cands.join(a, "doc_id_1")
+        .join(b, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            _jaccard(F.col("sset_1"), F.col("sset_2")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (rows-only + pytest)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(text: Column) -> Column:
+    """32-bit SimHash over word crc32s: per bit, the sign of the ±1
+    vote sum across tokens; bits packed into a long.
+
+    The bit loop is a Python-side loop over 32 fixed masks (shift
+    amounts must be Python ints in Spark), emitting one aggregate
+    lambda per bit — still a single codegen'd projection."""
+    hashes = F.transform(F.split(F.trim(text), r"\s+"), lambda t: F.crc32(t.cast("binary")))
+
+    def vote(mask: int) -> Column:
+        # closure (not a default arg — pyspark counts lambda params)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
+        )
+
+    sig = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        mask = 1 << i
+        sig = sig + F.when(vote(mask) > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+@query("q_dedup_simhash", oracle=None)  # approximate: rows-only + pytest
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: bucket on the top 16 bits (candidate
+    blocking), then keep pairs with Hamming distance ≤ 6 on the full
+    32-bit signature. bit_count is built-in, so the verify stays in
+    codegen."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    sig = docs.select(
+        "doc_id",
+        simhash(F.col("text")).alias("sig"),
+    ).withColumn("bucket", F.shiftright("sig", SIMHASH_BITS - 16))
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (oracle-checked)
+# ---------------------------------------------------------------------------
+
+# The fixture's same-label cosine tops out near 0.47 (no planted
+# duplicates); 0.40 keeps the operator's output non-trivial.
+_COSINE_THRESHOLD = 0.40
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double-array columns — sequential
+    left-to-right fold, bit-compatible with DuckDB's list_dot_product."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+@query(
+    "q_neardup_embedding",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_id_1,
+       b.vec_id AS vec_id_2,
+       list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= {_COSINE_THRESHOLD}
+""",
+)
+def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: candidate blocking on the coarse cluster
+    column (label — the IVF idea: compare only within a cell), exact
+    cosine ≥ threshold on candidates. At 100 TB the label comes from a
+    cheap coarse quantizer; the pairwise work is per-cell, not global."""
+    emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+    e = emb.select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _COSINE_THRESHOLD)
+    )

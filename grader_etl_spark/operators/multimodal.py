@@ -1,0 +1,148 @@
+"""Multimodal column plumbing (north star, BASELINE.json).
+
+Images/audio/video ride through the engine as opaque ``binary``
+columns plus a typed metadata struct; decode / feature-extract /
+resize / frame-sample run as Arrow-batched pandas functions over
+``mapInPandas`` so each Python worker touches one batch of blobs at a
+time (never the whole partition as rows, never the driver).
+
+The real codec libraries (PIL/librosa/av) are NOT in this container,
+so the decode kernel is stubbed exactly as the project brief directs:
+``decode_image`` raises NotImplementedError unless PIL is importable,
+and the tested path uses a deterministic fake decoder whose outputs
+are pure functions of the blob bytes — which is what makes the
+Spark-side plumbing (schema, batch iteration, UDF signature)
+oracle-checkable end-to-end: the oracle recomputes the same
+arithmetic from n_chars in SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+try:  # real decoder, absent in this container — the stub gate
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def decode_image(blob: bytes) -> object:
+    """Real image decode — requires PIL, which is deliberately not
+    bundled here; the engine's tested path is fake_decode_meta."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL; this environment ships without codecs — "
+            "use fake_decode_meta (deterministic stub) in tests/benches"
+        )
+    import io as _io
+
+    return Image.open(_io.BytesIO(blob))
+
+
+def fake_decode_meta(blob: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a decoder: (byte_len, width, height)
+    as pure functions of the payload size."""
+    n = len(blob)
+    return n, (n % 640) + 16, ((n * 7) % 480) + 16
+
+
+def assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Wrap documents as multimodal assets: binary payload + typed
+    metadata struct — the schema every multimodal operator rides on."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake-png").alias("mime"),
+            F.lit("synthetic").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+_DECODE_SCHEMA = "doc_id bigint, byte_len int, width int, height int"
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """mapInPandas decode/feature-extract: Arrow batches in, one
+    metadata row per asset out. Partitioning is preserved — no
+    shuffle; Python cost scales with bytes per partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf["payload"].map(fake_decode_meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": metas.map(lambda m: m[0]),
+                    "width": metas.map(lambda m: m[1]),
+                    "height": metas.map(lambda m: m[2]),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=_DECODE_SCHEMA)
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER)                    AS byte_len,
+       CAST((length(text) % 640) + 16 AS INTEGER)       AS width,
+       CAST(((length(text) * 7) % 480) + 16 AS INTEGER) AS height
+FROM documents
+""",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing, end-to-end: text → binary payload →
+    mapInPandas fake-decode → typed metadata. The oracle recomputes
+    the deterministic decode arithmetic from n_chars, proving the
+    binary round-trip and the Arrow batch path bit-exact. (Text is
+    ASCII-safe in the fixture, so byte_len == length(text).)"""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return decode_assets(assets_from_documents(docs))
+
+
+# Frame sampling: pick n deterministic byte offsets from a payload —
+# the shape of video frame-sampling with the codec stubbed out.
+_FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_offset int"
+
+
+def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Evenly-spaced deterministic frame offsets per asset (UDTF-shaped:
+    one asset → n rows) via mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for i in range(n_frames):
+                    rows.append((doc_id, i, (i * n) // n_frames))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_offset"])
+
+    return assets.mapInPandas(run, schema=_FRAMES_SCHEMA)
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+SELECT doc_id,
+       CAST(i AS INTEGER)                        AS frame_idx,
+       CAST((i * length(text)) // 4 AS INTEGER)  AS frame_offset
+FROM documents, (SELECT unnest(range(0, 4)) AS i)
+""",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one asset fans out to 4 frame rows with
+    deterministic offsets; oracle mirrors the arithmetic."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return sample_frames(assets_from_documents(docs))

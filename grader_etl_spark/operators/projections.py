@@ -1,0 +1,215 @@
+"""Projection / extraction / scalar-expression operators
+(SURVEY.md §2.2 P1–P10, §2.1 S2).
+
+Everything here is pure column algebra — no UDFs, no shuffles. Each
+query compiles to a single whole-stage-codegen'd scan+project, and the
+``select`` lists drive Catalyst's column pruning down into the parquet
+reader (ReadSchema shows only the referenced columns).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# P1 — project + rename (main.py:134-141,164-172)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_project_rename",
+    oracle="""
+SELECT event_id,
+       user_id,
+       ts                                         AS event_timestamp,
+       event_type                                 AS attempt_type,
+       props                                      AS passback_params,
+       event_type = 'purchase'                    AS is_correct
+FROM events
+""",
+)
+def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: select-and-rename onto the reference's statistics schema
+    (lti_user_id→user_id, created_at→event_timestamp; main.py:164-172)."""
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("event_timestamp"),
+        F.col("event_type").alias("attempt_type"),
+        F.col("props").alias("passback_params"),
+        (F.col("event_type") == "purchase").alias("is_correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2/P3 — semi-structured extraction (main.py:94-101,137-139)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k')                  AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_val
+FROM events
+""",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: nested-key extraction from the serialized-dict column.
+
+    The reference parses the whole dict in Python and projects 3 keys
+    (main.py:137-139); ``get_json_object`` does the same JVM-side with
+    no UDF. The Python-literal fallback half of safe_parse_passback
+    lives in functions/passback.py (rows-only checked — DuckDB has no
+    literal_eval)."""
+    return load(spark, sf_dir, "events", columns=["event_id", "props"]).select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 — dual-syntax parse, exercised end-to-end (main.py:94-101)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_passback_parse",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k
+FROM events
+""",
+)
+def q_passback_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: the hybrid JSON-or-Python-literal parser, proven against a
+    pure-JSON oracle: odd event_ids have their props rewritten to
+    Python-literal-only syntax (`{"k": 87,}` — the trailing comma is
+    legal Python, illegal JSON) before parsing, so those values only
+    round-trip if the literal_eval fallback recovers exactly what JSON
+    parsing yields on the original string."""
+    from grader_etl_spark.functions.passback import parse_passback
+
+    ev = load(spark, sf_dir, "events", columns=["event_id", "props"])
+    dual = ev.withColumn(
+        "raw",
+        F.when(
+            F.col("event_id") % 2 == 1, F.regexp_replace("props", r"\}$", ",}")
+        ).otherwise(F.col("props")),
+    )
+    return dual.select(
+        "event_id", parse_passback(F.col("raw")).getItem("k").alias("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 — boolean coercion with null passthrough (main.py:142-145)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cast_bool",
+    oracle="""
+SELECT event_id,
+       CASE WHEN event_type IS NULL THEN NULL
+            ELSE event_type = 'purchase' END AS is_correct
+FROM events
+""",
+)
+def q_cast_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: the reference's `None if raw is None else bool(raw)`
+    (main.py:142-145) as a null-preserving boolean expression."""
+    return load(spark, sf_dir, "events", columns=["event_id", "event_type"]).select(
+        "event_id",
+        F.when(F.col("event_type").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.col("event_type") == "purchase")
+        .alias("is_correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5/P7 — date cast + formatting (main.py:288, 62/79/296/317)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_date_format",
+    oracle="""
+SELECT event_id,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d')     AS event_date,
+       strftime(ts, '%Y-%m-%d %H:%M:%S')          AS event_ts_text
+FROM events
+""",
+)
+def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5+P7: timestamp→date cast and strftime-style formatting."""
+    return load(spark, sf_dir, "events", columns=["event_id", "ts"]).select(
+        "event_id",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("event_date"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9 — string slice (main.py:78)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_substring",
+    oracle="""
+SELECT doc_id,
+       substring(text, 5, 10) AS text_slice,
+       length(text)           AS text_len
+FROM documents
+""",
+)
+def q_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: `filename[4:14]` → 1-indexed substring(col, 5, 10)."""
+    return load(spark, sf_dir, "documents", columns=["doc_id", "text"]).select(
+        "doc_id",
+        F.substring("text", 5, 10).alias("text_slice"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2/P8 — time-range predicate with date arithmetic (main.py:104-111)
+# ---------------------------------------------------------------------------
+
+_WINDOW_END = "2024-01-20 00:00:00"
+
+
+@query(
+    "q_time_range_filter",
+    oracle=f"""
+SELECT event_id,
+       user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts_text
+FROM events
+WHERE ts >= TIMESTAMP '{_WINDOW_END}' - INTERVAL 7 DAY
+  AND ts <  TIMESTAMP '{_WINDOW_END}'
+""",
+)
+def q_time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+P8: the 7-day sliding fetch window (`now - timedelta(days=7)`,
+    main.py:104-111) as a pushed-down range predicate — `.explain`
+    shows it in PushedFilters, so a date-partitioned 100 TB store
+    would prune to 7 days of files before any task launches."""
+    end = F.lit(_WINDOW_END).cast("timestamp")
+    start = end - F.expr("INTERVAL 7 DAYS")
+    return (
+        load(spark, sf_dir, "events", columns=["event_id", "user_id", "ts"])
+        .filter((F.col("ts") >= start) & (F.col("ts") < end))
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts_text"),
+        )
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over the ``embeddings`` table (north star,
+BASELINE.json): brute-force cosine top-k as the exact baseline, and a
+random-hyperplane-LSH bucketed variant as the scale path.
+
+Scale shape: brute force is query-count × corpus — fine when the
+query set is small and broadcast (as here: queries broadcast, corpus
+streams, TakeOrderedAndProject keeps k per partition). The LSH
+variant turns the corpus scan into an equi-join on signature buckets,
+so a 100 TB corpus only compares within matching buckets; recall vs
+the exact baseline is asserted in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from grader_etl_spark.io import load
+from grader_etl_spark.operators.llm_dedup import cosine
+from grader_etl_spark.registry import query
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+
+# Deterministic pseudo-random hyperplanes for the LSH variant:
+# plane p, dim d weight = a simple LCG stream mapped to [-1, 1).
+# 4 planes → 16 buckets over the 500-vector fixture (~31 candidates
+# per bucket); at corpus scale you'd raise planes with corpus size.
+LSH_PLANES = 4
+_DIM = 64
+
+
+def _lcg_stream(n: int, seed: int) -> list[float]:
+    out, x = [], seed & 0x7FFFFFFF
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append(x / float(1 << 30) - 1.0)
+    return out
+
+_PLANES: list[list[float]] = [
+    _lcg_stream(_DIM, seed=7919 * (p + 1)) for p in range(LSH_PLANES)
+]
+
+
+def _as_double_array(emb: Column) -> Column:
+    return F.transform(emb, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, rank per query. Columns: query_id, neighbor_id, rank, cosine."""
+    cos = cosine(F.col("q.v"), F.col("c.v"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        corpus.alias("c")
+        .join(F.broadcast(queries.alias("q")), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@query(
+    "q_ann_cosine",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id,
+         c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_dot_product(q.v, c.v)
+                    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                    c.vec_id
+         ) AS rank
+  FROM q JOIN e c ON q.vec_id != c.vec_id
+)
+SELECT query_id, neighbor_id, rank, cosine
+FROM scored WHERE rank <= {TOP_K}
+""",
+)
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{TOP_K} for the first {N_QUERIES} vectors —
+    the exact ANN baseline, oracle-checked value-for-value."""
+    e = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).select(
+        "vec_id", _as_double_array(F.col("embedding")).alias("v")
+    )
+    qs = e.filter(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(e, qs).select("query_id", "neighbor_id", "rank", "cosine")
+
+
+def lsh_signature(v: Column) -> Column:
+    """8-bit random-hyperplane signature: bit p = sign(v · plane_p)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(w) for w in _PLANES[p]]),
+                    lambda x, wcol: x * wcol,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1 << p),
+        ).otherwise(F.lit(0))
+        for p in range(LSH_PLANES)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+@query("q_ann_lsh", oracle=None)  # approximate: rows-only + pytest recall
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: both sides signed with 8 random hyperplanes,
+    candidates = same-bucket pairs (equi-join — this is what replaces
+    the corpus cross join at scale), exact cosine re-rank within
+    bucket, top-{TOP_K} per query. Recall vs q_ann_cosine is asserted
+    in tests/test_similarity.py."""
+    e = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).select(
+        "vec_id", _as_double_array(F.col("embedding")).alias("v")
+    )
+    signed = e.withColumn("bucket", lsh_signature(F.col("v")))
+    qs = signed.filter(F.col("vec_id") < N_QUERIES)
+    cos = cosine(F.col("q.v"), F.col("c.v"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        signed.alias("c")
+        .join(
+            F.broadcast(qs.alias("q")),
+            (F.col("q.bucket") == F.col("c.bucket")) & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,205 @@
+"""Text-analysis operators over the ``documents`` table — the
+quality/feature layer of an LLM training-data pipeline (north star in
+BASELINE.json; no reference equivalent — the reference's only text
+handling is the passback parse, main.py:94-101).
+
+Everything is built-in column algebra (split / higher-order lambdas /
+regexp / md5) — zero Python UDFs, so the whole stage is codegen'd and
+scales linearly with document bytes. Token arrays are materialized
+once per document inside the stage, not re-split per metric.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+# Shared stopword list (kept tiny and explicit so the SQL oracle can
+# inline the identical set).
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# BPE-ish token pattern: letter runs, digit runs, or single symbols.
+_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (trim first so no empty edge tokens)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# q_text_stats — length / word / stopword quality features
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+SELECT doc_id,
+       length(text)                                   AS n_chars,
+       length(string_split_regex(trim(text), '\\s+')) AS n_words,
+       CAST(length(text) AS DOUBLE)
+         / length(string_split_regex(trim(text), '\\s+')) AS chars_per_word,
+       length(list_filter(string_split_regex(trim(text), '\\s+'),
+                          t -> t IN ({_STOP_SQL})))   AS n_stopwords,
+       CAST(length(list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+         / length(string_split_regex(trim(text), '\\s+')) AS stopword_ratio
+FROM documents
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: char/word counts, chars-per-word,
+    stopword ratio. One scan, one token array per row."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_words = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("long")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_words.alias("n_words"),
+        (F.length("text").cast("double") / n_words).alias("chars_per_word"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_token_count — whitespace + BPE-ish regex token counting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+SELECT doc_id,
+       length(string_split_regex(trim(text), '\\s+'))  AS n_ws_tokens,
+       length(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_re_tokens
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    (letter runs / digit runs / single symbols) — the cheap proxy for
+    LLM token budgeting at corpus scale."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        # F.lit pattern (not an F.expr SQL string) — SQL string literals
+        # would eat the \s escape before the regex engine sees it.
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0)).cast("long").alias("n_re_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_lang_id — n-gram/stopword-vote language heuristic
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "la", "los", "que"),
+    "fr": ("le", "la", "les", "et"),
+}
+
+
+def _marker_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         length(string_split_regex(trim(text), '\\s+')) AS n_words,
+         length(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t IN ({", ".join(repr(w) for w in _LANG_MARKERS["en"])}))) AS en_hits,
+         length(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t IN ({", ".join(repr(w) for w in _LANG_MARKERS["de"])}))) AS de_hits,
+         length(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t IN ({", ".join(repr(w) for w in _LANG_MARKERS["es"])}))) AS es_hits,
+         length(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> t IN ({", ".join(repr(w) for w in _LANG_MARKERS["fr"])}))) AS fr_hits
+  FROM documents
+)
+SELECT doc_id,
+       CASE
+         WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits
+              AND CAST(en_hits AS DOUBLE) / n_words >= 0.01 THEN 'en'
+         WHEN de_hits >= es_hits AND de_hits >= fr_hits
+              AND CAST(de_hits AS DOUBLE) / n_words >= 0.01 THEN 'de'
+         WHEN es_hits >= fr_hits
+              AND CAST(es_hits AS DOUBLE) / n_words >= 0.01 THEN 'es'
+         WHEN CAST(fr_hits AS DOUBLE) / n_words >= 0.01 THEN 'fr'
+         ELSE 'unknown'
+       END AS lang_guess
+FROM scored
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-stopword vote with a 1% floor,
+    ties broken by fixed language priority (en>de>es>fr). A real
+    deployment swaps the marker table for char-n-gram profiles; the
+    operator shape (pure column algebra, one pass) is the point."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        *[_marker_hits(toks, ws).alias(f"{lang}_hits") for lang, ws in _LANG_MARKERS.items()],
+    )
+    ratio = lambda lang: F.col(f"{lang}_hits").cast("double") / F.col("n_words")  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") >= F.col("es_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits"))
+            & (ratio("en") >= 0.01),
+            "en",
+        )
+        .when(
+            (F.col("de_hits") >= F.col("es_hits"))
+            & (F.col("de_hits") >= F.col("fr_hits"))
+            & (ratio("de") >= 0.01),
+            "de",
+        )
+        .when((F.col("es_hits") >= F.col("fr_hits")) & (ratio("es") >= 0.01), "es")
+        .when(ratio("fr") >= 0.01, "fr")
+        .otherwise("unknown")
+        .alias("lang_guess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_doc_fingerprint — exact + normalized content fingerprints
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(text)                                              AS fp_exact,
+       md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))     AS fp_normalized
+FROM documents
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact md5 plus a whitespace/case
+    normalized md5 — the keys exact and near-exact dedup group on."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fp_exact"),
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp_normalized"),
+    )

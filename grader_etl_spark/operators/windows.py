@@ -1,0 +1,130 @@
+"""Window-function operators and top-k (SURVEY.md §2.6 W1–W3, O1).
+
+All windows partition before they sort, so at scale the shuffle is on
+the partition key and each partition sorts locally — no global sort.
+Top-k is orderBy().limit(k): Catalyst plans TakeOrderedAndProject,
+which keeps k rows per partition and merges on the driver — never a
+full sort of the table.
+
+Determinism discipline: every ORDER BY ends with a unique tie-break
+column (event_id / c_custkey / o_orderkey) so row_number/lag/limit
+results are reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# W1 — ranking windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+SELECT c_custkey,
+       c_nationkey,
+       ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+       RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS drnk
+FROM customer
+""",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: row_number/rank/dense_rank per nation by balance — all three
+    share one window spec, so one shuffle + one sort serves all."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]).select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — analytic windows (lag / lead)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_lag",
+    oracle="""
+SELECT event_id,
+       user_id,
+       LAG(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+       LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+""",
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: per-user event sequence neighbors (session-analysis shape)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]).select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — framed aggregate window (rolling sum)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_rolling",
+    oracle="""
+SELECT event_id,
+       user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_value_7
+FROM events
+""",
+)
+def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: 7-row rolling sum per user (the reference's 7-day window
+    spirit, main.py:25, as a frame). Decimal accumulation keeps the
+    running sum exact and oracle-stable."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return load(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]).select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("rolling_value_7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 — sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_topk",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: top-10 orders by price — TakeOrderedAndProject, not a full
+    sort: each task keeps its local top-10, driver merges."""
+    return (
+        load(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )

@@ -1,0 +1,80 @@
+"""Query registry — the correctness contract in one place.
+
+Every operator declared done in SURVEY.md §2 registers here with:
+
+- ``fn(spark, sf_dir) -> DataFrame``  — the PySpark implementation
+- ``oracle``                          — the ANSI-SQL twin DuckDB runs on
+  the same parquet tables (or ``None`` for non-SQL-expressible ops,
+  which the driver downgrades to a rows-only check)
+
+``__spark_entry__.py`` exposes exactly this registry to the driver.
+
+Column-name discipline: the driver's comparator sorts columns by name
+before hashing values, so every computed column is aliased to the
+same name on both sides. Value discipline: oracle-checked queries
+prefer exactly-representable outputs (counts, decimals, strings,
+pinned dates); double sums are cast to DECIMAL first on both sides so
+the aggregate is order-independent and bit-equal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as the implementation of query ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_all_operators() -> None:
+    """Import every operator module so registrations run."""
+    # Imported lazily to avoid import cycles (operators import `query`).
+    from grader_etl_spark.operators import (  # noqa: F401
+        aggregates,
+        asof,
+        dedup,
+        joins,
+        llm_dedup,
+        multimodal,
+        projections,
+        setops,
+        similarity,
+        text_analysis,
+        unpivot,
+        validation,
+        windows,
+    )
+
+
+def all_queries() -> dict[str, QueryFn]:
+    load_all_operators()
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    load_all_operators()
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

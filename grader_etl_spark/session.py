@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+One place to pin the execution profile so every test / bench / driver
+entry point runs with the same, scale-minded defaults:
+
+- AQE on (runtime re-planning: skew joins, broadcast demotion,
+  partition coalescing) — the single most important knob for the
+  100 TB target where static planning guesses wrong.
+- UTC session timezone. The reference mixes three clocks (UTC fetch
+  window, Postgres-local CURRENT_DATE, OS-local strftime — see
+  /root/reference/main.py:104,281,62); we pin one and take report
+  dates as explicit parameters, which also makes DuckDB oracles
+  deterministic.
+- Arrow enabled for pandas interchange (vectorized UDF path).
+- Shuffle partitions sized from the env (local runs want ~cores, a
+  real cluster wants thousands; never hardcode for one profile).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    except ValueError:
+        return os.cpu_count() or 4
+
+
+def get_spark(app_name: str = "grader-etl-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) the session with the engine's standard config."""
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- planner / runtime -------------------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.default.parallelism", str(max(cpus, 8)))
+        # --- semantics ----------------------------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet TIMESTAMP(NANOS) (events.ts) is unreadable by Spark's
+        # vectorized reader; read as long and convert in io.load.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- python interchange ------------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- local-mode memory hygiene -----------------------------------
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
