@@ -220,6 +220,49 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_cube — G2 continued: cube over two independent dimensions.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cube",
+    oracle="""
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*)                                                  AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)  AS total_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: cube — all 4 grouping sets of (status, priority) in one
+    Expand + single-shuffle aggregate (vs 4 separate jobs)."""
+    od = load(spark, sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return od.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_approx_distinct — A4's documented 100 TB scale variant.
+# ---------------------------------------------------------------------------
+
+
+@query("q_approx_distinct", oracle=None)  # approximate: rows-only + pytest tolerance
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, 1.5% default rsd): the
+    scale path for A4 — one pass, no per-key shuffle state, mergeable
+    sketches. tests/test_approx.py bounds its error against the exact
+    count; engines' HLL implementations differ, so no value oracle."""
+    ev = load(spark, sf_dir, "events", columns=["event_type", "user_id"])
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_unique_users")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_pricing_summary — the bench headline: TPC-H Q1-shaped scan+agg.
 # ---------------------------------------------------------------------------
 

@@ -22,11 +22,15 @@ from grader_etl_spark.registry import query
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
 
-# Deterministic pseudo-random hyperplanes for the LSH variant:
-# plane p, dim d weight = a simple LCG stream mapped to [-1, 1).
-# 4 planes → 16 buckets over the 500-vector fixture (~31 candidates
-# per bucket); at corpus scale you'd raise planes with corpus size.
-LSH_PLANES = 4
+# Deterministic pseudo-random hyperplanes for the LSH variant,
+# multi-table (OR-amplified): each of LSH_TABLES independent tables
+# hashes with LSH_PLANES_PER_TABLE hyperplanes (AND within a table);
+# a pair is a candidate if it collides in ANY table. AND-bits control
+# precision (bucket size), OR-tables recover recall — the standard
+# (b, L) trade; recall vs the exact baseline is pinned by
+# tests/test_similarity.py.
+LSH_TABLES = 6
+LSH_PLANES_PER_TABLE = 4
 _DIM = 64
 
 
@@ -37,8 +41,10 @@ def _lcg_stream(n: int, seed: int) -> list[float]:
         out.append(x / float(1 << 30) - 1.0)
     return out
 
-_PLANES: list[list[float]] = [
-    _lcg_stream(_DIM, seed=7919 * (p + 1)) for p in range(LSH_PLANES)
+# _PLANES[t][p] = hyperplane p of table t.
+_PLANES: list[list[list[float]]] = [
+    [_lcg_stream(_DIM, seed=7919 * (t * LSH_PLANES_PER_TABLE + p + 1)) for p in range(LSH_PLANES_PER_TABLE)]
+    for t in range(LSH_TABLES)
 ]
 
 
@@ -100,14 +106,16 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, qs).select("query_id", "neighbor_id", "rank", "cosine")
 
 
-def lsh_signature(v: Column) -> Column:
-    """8-bit random-hyperplane signature: bit p = sign(v · plane_p)."""
+def _table_signature(v: Column, table: int) -> Column:
+    """Table ``table``'s bucket id: bit p = sign(v · plane_{table,p}),
+    offset so bucket ids never collide across tables (lets the
+    candidate join key be a single int column)."""
     bits = [
         F.when(
             F.aggregate(
                 F.zip_with(
                     v,
-                    F.array(*[F.lit(w) for w in _PLANES[p]]),
+                    F.array(*[F.lit(w) for w in _PLANES[table][p]]),
                     lambda x, wcol: x * wcol,
                 ),
                 F.lit(0.0),
@@ -116,39 +124,47 @@ def lsh_signature(v: Column) -> Column:
             > 0,
             F.lit(1 << p),
         ).otherwise(F.lit(0))
-        for p in range(LSH_PLANES)
+        for p in range(LSH_PLANES_PER_TABLE)
     ]
-    out = bits[0]
-    for b in bits[1:]:
+    out = F.lit(table << LSH_PLANES_PER_TABLE)
+    for b in bits:
         out = out + b
     return out
 
 
+def lsh_buckets(v: Column) -> Column:
+    """All LSH_TABLES bucket ids for a vector, as an array to explode."""
+    return F.array(*[_table_signature(v, t) for t in range(LSH_TABLES)])
+
+
 @query("q_ann_lsh", oracle=None)  # approximate: rows-only + pytest recall
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: both sides signed with 8 random hyperplanes,
-    candidates = same-bucket pairs (equi-join — this is what replaces
-    the corpus cross join at scale), exact cosine re-rank within
-    bucket, top-{TOP_K} per query. Recall vs q_ann_cosine is asserted
-    in tests/test_similarity.py."""
+    """Multi-table random-hyperplane LSH ANN: candidates = pairs
+    colliding in ANY of the {LSH_TABLES} tables (equi-join on bucket id
+    — this is what replaces the corpus cross join at scale), exact
+    cosine re-rank of the deduped candidates, top-{TOP_K} per query.
+    Recall vs q_ann_cosine is asserted in tests/test_similarity.py."""
     e = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).select(
         "vec_id", _as_double_array(F.col("embedding")).alias("v")
     )
-    signed = e.withColumn("bucket", lsh_signature(F.col("v")))
-    qs = signed.filter(F.col("vec_id") < N_QUERIES)
-    cos = cosine(F.col("q.v"), F.col("c.v"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        signed.alias("c")
+    buckets = e.select("vec_id", F.explode(lsh_buckets(F.col("v"))).alias("bucket"))
+    q_buckets = buckets.filter(F.col("vec_id") < N_QUERIES)
+    cands = (
+        buckets.alias("c")
         .join(
-            F.broadcast(qs.alias("q")),
+            F.broadcast(q_buckets.alias("q")),
             (F.col("q.bucket") == F.col("c.bucket")) & (F.col("q.vec_id") != F.col("c.vec_id")),
         )
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            cos.alias("cosine"),
-        )
+        .select(F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "cosine")

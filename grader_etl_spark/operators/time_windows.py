@@ -1,0 +1,98 @@
+"""Event-time window operators in BATCH form (SURVEY.md §2.8 ext) —
+the batch twins of streaming/jobs.py's sliding/session windows, so the
+same semantics are oracle-checkable (the streaming renditions are
+pytest-covered; DuckDB can't run a stream).
+
+Scale notes: ``window()`` / ``session_window()`` are built-in
+generators + hash aggregates — the sliding window fans each row out to
+length/slide windows *map-side* (an Expand, not a join), and the
+session window is a per-key sort + merge inside one shuffle. Both keep
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+SESSION_GAP = "30 minutes"
+
+
+@query(
+    "q_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts)                       AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE  AS session_end,
+       COUNT(*)                      AS n_events
+FROM sessions
+GROUP BY user_id, sid
+""",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: events < 30 min apart per user merge
+    into one session; window end = last event + gap (Spark's
+    session_window semantics, which the oracle reproduces with the
+    lag/cumsum island trick)."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "ts"])
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_sliding_window",
+    oracle="""
+WITH expanded AS (
+  SELECT unnest(generate_series(
+           CAST(CAST(ts AS DATE) - 6 AS TIMESTAMP),
+           CAST(CAST(ts AS DATE) AS TIMESTAMP),
+           INTERVAL 1 DAY)) AS window_start
+  FROM events
+)
+SELECT window_start,
+       window_start + INTERVAL 7 DAY AS window_end,
+       COUNT(*)                      AS n_events
+FROM expanded
+GROUP BY window_start
+""",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day window sliding by 1 day — the reference's re-fetch window
+    (main.py:25,104-105) as an analytical operator: each event counts
+    toward the 7 windows covering it (epoch-aligned day boundaries on
+    both engines)."""
+    ev = load(spark, sf_dir, "events", columns=["ts"])
+    return (
+        ev.groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )

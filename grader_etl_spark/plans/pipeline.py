@@ -1,0 +1,251 @@
+"""The reference pipeline (/root/reference/main.py:421-453) as a
+composable batch job:
+
+    raw records -> transform -> (valid, quarantine) -> in-batch dedup
+      -> idempotent append to a date-partitioned parquet store
+      -> daily report -> [sheet rows | email body] renderings
+
+Stage-for-stage parity with ``main()``:
+
+| reference stage                  | cite              | here                 |
+|----------------------------------|-------------------|----------------------|
+| fetch_data (REST JSON)           | main.py:103-125   | caller supplies the raw DataFrame (spark.read.json on landed files / createDataFrame; external I/O stays outside the engine) |
+| process_data                     | main.py:127-178   | ``transform``        |
+| validation drops + WARN logs     | main.py:146-163   | ``transform`` returns a quarantine side-output instead of dropping silently |
+| save_to_db ON CONFLICT           | main.py:180-228   | ``idempotent_append`` (first-writer-wins + anti-join vs sink keys) |
+| generate_daily_report            | main.py:270-372   | ``operators.aggregates.daily_report`` |
+| report sheet 8x2 layout          | main.py:324-333   | ``report_sheet_rows`` (unpivot) |
+| email body                       | main.py:388-404   | ``render_email_body`` (driver-side, 1 row) |
+| upload_raw_data_to_sheets, SMTP  | main.py:230-268, 374-419 | ``Sink`` protocol — tiny collected data, driver-side adapters |
+
+Scale notes: the store is partitioned by event_date so the daily
+report's date filter prunes partitions; the anti-join reads only the
+sink's key columns (column pruning); all stages are lazy until the
+single write action.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Protocol
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from grader_etl_spark.functions.passback import parse_passback
+from grader_etl_spark.operators.dedup import first_writer_wins, insert_new_keys_only
+from grader_etl_spark.operators.validation import split_valid
+
+DEDUP_KEYS = ["user_id", "event_timestamp"]  # main.py:202's composite key
+
+
+# ---------------------------------------------------------------------------
+# transform — process_data (main.py:127-178) as one codegen'd projection
+# ---------------------------------------------------------------------------
+
+
+def transform(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Project/rename/extract/coerce the raw attempt records onto the
+    statistics schema, returning (valid, quarantine).
+
+    Input columns (the REST payload, main.py:134-141): lti_user_id,
+    passback_params (serialized dict, either JSON or Python-literal
+    syntax), is_correct, attempt_type, created_at.
+    """
+    passback = parse_passback(F.col("passback_params"))
+    shaped = raw.select(
+        F.col("lti_user_id").alias("user_id"),
+        passback.getItem("oauth_consumer_key").alias("oauth_consumer_key"),
+        passback.getItem("lis_result_sourcedid").alias("lis_result_sourcedid"),
+        passback.getItem("lis_outcome_service_url").alias("lis_outcome_service_url"),
+        # None passes through, anything else Python-truthifies
+        # (main.py:142-145); on a typed boolean/int input domain
+        # cast("boolean") agrees with bool() — SURVEY.md §7.4(1).
+        F.when(F.col("is_correct").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.col("is_correct").cast("boolean"))
+        .alias("is_correct"),
+        F.col("attempt_type").alias("attempt_type"),
+        # try_to_timestamp: malformed created_at must quarantine the row
+        # (main.py:161-163), not abort the batch — ANSI-mode to_timestamp
+        # would throw on the first bad string.
+        F.try_to_timestamp("created_at").alias("event_timestamp"),
+    )
+    # The reference's gates (main.py:146-163): required user_id and
+    # parseable timestamp; optional fields are nullable by schema.
+    valid_pred = (
+        F.col("user_id").isNotNull()
+        & (F.col("user_id") != "")
+        & F.col("event_timestamp").isNotNull()
+    )
+    return shaped.filter(valid_pred), shaped.filter(~valid_pred | valid_pred.isNull())
+
+
+# ---------------------------------------------------------------------------
+# idempotent store — save_to_db's ON CONFLICT DO NOTHING (main.py:180-228)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ParquetStore:
+    """Date-partitioned parquet sink with first-writer-wins append —
+    the engine's canonical rendition of the statistics table."""
+
+    spark: SparkSession
+    path: str
+
+    def read(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:
+            return None  # first run: store does not exist yet
+
+    def idempotent_append(self, batch: DataFrame) -> None:
+        """In-batch dedup + anti-join against existing keys + append —
+        semantically `INSERT ... ON CONFLICT (user_id, event_timestamp)
+        DO NOTHING` for the whole batch in three shuffle-free-where-
+        possible steps (the anti-join prunes the sink scan to the two
+        key columns)."""
+        deduped = first_writer_wins(
+            batch, keys=DEDUP_KEYS, order=["attempt_type", "oauth_consumer_key"]
+        )
+        existing = self.read()
+        if existing is not None:
+            deduped = insert_new_keys_only(deduped, existing, keys=DEDUP_KEYS)
+        (
+            deduped.withColumn("event_date", F.to_date("event_timestamp"))
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(self.path)
+        )
+
+
+# ---------------------------------------------------------------------------
+# report — the reference's SQL (main.py:278-289) over the statistics schema
+# ---------------------------------------------------------------------------
+
+
+def statistics_report(stats: DataFrame, report_date: str) -> DataFrame:
+    """main.py:278-289 verbatim in DataFrame form, on the *statistics*
+    schema (is_correct boolean = success; attempt_type in {run,check}),
+    with the zero-row guard (main.py:293) folded in. (The fixture-shaped
+    rendition used by the oracle gate is operators.aggregates.daily_report.)"""
+    total = F.count(F.lit(1))
+    success = F.count(F.when(F.col("is_correct"), 1))
+    return (
+        stats.filter(F.to_date("event_timestamp") == F.lit(report_date).cast("date"))
+        .agg(
+            total.alias("total_attempts"),
+            success.alias("successful_attempts"),
+            F.when(total == 0, F.lit(0.0))
+            .otherwise(F.round(success.cast("double") * 100 / total.cast("double"), 2))
+            .alias("success_percentage"),
+            F.countDistinct("user_id").alias("unique_users"),
+            F.count(F.when(F.col("attempt_type") == "run", 1)).alias("run_attempts"),
+            F.count(F.when(F.col("attempt_type") == "check", 1)).alias("check_attempts"),
+        )
+        .select(F.lit(report_date).alias("report_date"), "*")
+    )
+
+
+# ---------------------------------------------------------------------------
+# report renderings — sheet layout (main.py:324-333) + email (main.py:388-404)
+# ---------------------------------------------------------------------------
+
+_SHEET_METRICS = [
+    ("Total Attempts", "total_attempts"),
+    ("Successful Attempts", "successful_attempts"),
+    ("Success Percentage", "success_percentage"),
+    ("Unique Users", "unique_users"),
+    ("Run Attempts", "run_attempts"),
+    ("Check Attempts", "check_attempts"),
+]
+
+
+def report_sheet_rows(report: DataFrame) -> DataFrame:
+    """The 1-row report unpivoted to (metric, value) rows — the 8x2
+    sheet layout of main.py:324-333, as a stack() expression."""
+    pairs = ", ".join(f"'{label}', CAST({col} AS STRING)" for label, col in _SHEET_METRICS)
+    return report.selectExpr(
+        "report_date",
+        f"stack({len(_SHEET_METRICS)}, {pairs}) AS (metric, value)",
+    )
+
+
+def render_email_body(report_row: Row) -> str:
+    """Driver-side plaintext rendering (main.py:388-404). The percent
+    string is formatted HERE, at the sink — the engine keeps the ratio
+    numeric (SURVEY.md §7.4 trap 5)."""
+    r = report_row.asDict()
+    return (
+        f"Daily Report — {r['report_date']}\n"
+        f"Total Attempts: {r['total_attempts']}\n"
+        f"Successful Attempts: {r['successful_attempts']}\n"
+        f"Success Percentage: {r['success_percentage']:.2f}%\n"
+        f"Unique Users: {r['unique_users']}\n"
+        f"Run Attempts: {r['run_attempts']}\n"
+        f"Check Attempts: {r['check_attempts']}\n"
+    )
+
+
+class Sink(Protocol):
+    """Driver-side mirror sinks (Sheets / SMTP in the reference —
+    main.py:230-268,374-419). They receive tiny collected data; real
+    adapters live outside the engine and are injected by the runner."""
+
+    def write_rows(self, header: list[str], rows: list[list[str]]) -> None: ...
+
+
+@dataclass
+class CollectingSink:
+    """Test/default sink: records what a Sheets/email adapter would
+    send (the reference degrades gracefully when creds are absent —
+    main.py:419; this is that no-op path, but observable)."""
+
+    header: list[str] | None = None
+    rows: list[list[str]] | None = None
+
+    def write_rows(self, header: list[str], rows: list[list[str]]) -> None:
+        self.header, self.rows = header, rows
+
+
+# ---------------------------------------------------------------------------
+# run — main() (main.py:421-453)
+# ---------------------------------------------------------------------------
+
+
+def run_pipeline(
+    raw: DataFrame,
+    store: ParquetStore,
+    report_date: str,
+    raw_mirror: Sink | None = None,
+    report_sink: Sink | None = None,
+    notify: Callable[[str], None] | None = None,
+) -> Row:
+    """The full job. Returns the report row (what the email carries).
+
+    Sequencing parity: like the reference, the report runs even if the
+    incoming batch is empty (main.py:441 sits outside `if data:`), and
+    the zero-row guard inside daily_report yields the all-zero row.
+    """
+    valid, _quarantine = transform(raw)
+    store.idempotent_append(valid)
+
+    stored = store.read()
+    if raw_mirror is not None and stored is not None:
+        # full-overwrite mirror of raw rows (main.py:230-268) — tiny in
+        # the reference's domain; a real adapter would cap/paginate.
+        pdf = stored.drop("event_date").toPandas().astype(str)
+        raw_mirror.write_rows(list(pdf.columns), pdf.values.tolist())
+
+    report_df = statistics_report(stored if stored is not None else valid, report_date)
+    row = report_df.collect()[0]
+
+    if report_sink is not None:
+        sheet = report_sheet_rows(report_df).collect()
+        report_sink.write_rows(
+            ["report_date", "metric", "value"],
+            [[r["report_date"], r["metric"], r["value"]] for r in sheet],
+        )
+    if notify is not None:
+        notify(render_email_body(row))
+    return row

@@ -64,6 +64,7 @@ def load_all_operators() -> None:
         setops,
         similarity,
         text_analysis,
+        time_windows,
         unpivot,
         validation,
         windows,

@@ -1,0 +1,149 @@
+"""Streaming jobs (SURVEY.md §2.8) — the reference's batch design
+re-expressed as Structured Streaming:
+
+| reference behavior                          | cite             | here |
+|---------------------------------------------|------------------|------|
+| re-ingest overlapping 7-day window each run | main.py:25,104-105 | file/Kafka source reads only new data — no re-fetch |
+| dedup overlap via keyed ON CONFLICT insert  | main.py:202      | ``deduplicated_stream`` (watermark + dropDuplicates) |
+| late data accepted up to 7 days             | consequence      | watermark delay = 7 days |
+| daily report, run daily                     | main.py:288      | ``daily_tumbling_report`` (1-day tumbling window) |
+| (ext) sliding / session windows             | north star       | ``sliding_counts`` / ``session_activity`` |
+
+Scale notes: watermarked dropDuplicates keeps only in-watermark keys
+in the state store (bounded by 7 days of distinct keys, RocksDB-ready);
+the windowed aggregates are partial-aggregated before the state
+shuffle. Every function takes/returns DataFrames so the same plan
+fragments compose with the batch operators — the Spark contract that
+batch and streaming share one logical-plan language.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+WATERMARK_DELAY = "7 days"  # main.py:25's DAYS_BACK as a late-data bound
+DEDUP_KEYS = ["user_id", "event_timestamp"]  # main.py:202
+
+
+def file_stream(
+    spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet"
+) -> DataFrame:
+    """File-source stream over a landing directory — the scale
+    replacement for the reference's re-polled REST fetch
+    (main.py:103-125): new files are discovered incrementally, each
+    read exactly once, no overlap re-fetch needed."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def _ensure_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Apply a watermark only if the (streaming) plan doesn't already
+    carry one — Spark disallows redefining it, and composed jobs
+    (dedup -> windowed agg) share the upstream watermark."""
+    if df.isStreaming and "EventTimeWatermark" not in df._jdf.queryExecution().analyzed().toString():
+        return df.withWatermark(ts_col, delay)
+    return df
+
+
+def deduplicated_stream(
+    events: DataFrame,
+    ts_col: str = "event_timestamp",
+    keys: list[str] | None = None,
+    delay: str = WATERMARK_DELAY,
+) -> DataFrame:
+    """Watermarked keyed dedup — the streaming ON CONFLICT DO NOTHING:
+    first arrival per (user_id, event_timestamp) within the 7-day
+    watermark wins; later duplicates are dropped from the stream, and
+    the state store evicts keys older than the watermark."""
+    return _ensure_watermark(events, ts_col, delay).dropDuplicates(keys or DEDUP_KEYS)
+
+
+def daily_tumbling_report(
+    events: DataFrame, ts_col: str = "event_timestamp", delay: str = WATERMARK_DELAY
+) -> DataFrame:
+    """The daily report (main.py:278-289) as a 1-day tumbling-window
+    aggregate: one output row per day instead of one query per day.
+    approx_count_distinct stands in for the exact COUNT(DISTINCT) —
+    exact distinct over streams would hold every user id in state.
+    """
+    return (
+        _ensure_watermark(events, ts_col, delay)
+        .groupBy(F.window(F.col(ts_col), "1 day").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("total_attempts"),
+            F.count(F.when(F.col("is_correct"), 1)).alias("successful_attempts"),
+            F.approx_count_distinct("user_id").alias("unique_users"),
+            F.count(F.when(F.col("attempt_type") == "run", 1)).alias("run_attempts"),
+            F.count(F.when(F.col("attempt_type") == "check", 1)).alias("check_attempts"),
+        )
+        .select(
+            F.col("day.start").cast("date").cast("string").alias("report_date"),
+            "total_attempts",
+            "successful_attempts",
+            F.round(
+                F.col("successful_attempts").cast("double")
+                * 100
+                / F.col("total_attempts").cast("double"),
+                2,
+            ).alias("success_percentage"),
+            "unique_users",
+            "run_attempts",
+            "check_attempts",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "event_timestamp",
+    length: str = "7 days",
+    slide: str = "1 day",
+) -> DataFrame:
+    """(ext) sliding-window event counts — the streaming shape of the
+    reference's 'last 7 days as of each day' re-fetch window."""
+    return (
+        _ensure_watermark(events, ts_col, WATERMARK_DELAY)
+        .groupBy(F.window(F.col(ts_col), length, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_activity(
+    events: DataFrame,
+    ts_col: str = "event_timestamp",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """(ext) per-user session windows (gap-based): contiguous activity
+    bursts with < gap between events collapse into one session row."""
+    return (
+        _ensure_watermark(events, ts_col, WATERMARK_DELAY)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Execute a streaming plan to completion over currently-available
+    data (availableNow trigger) into an in-memory table — the test
+    harness's sink; production uses foreachBatch/parquet instead."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,79 @@
+"""Approximate-dedup quality gates (SURVEY.md §5.2; the pytest half of
+the rows-only queries' correctness story).
+
+- MinHash+LSH candidates, after exact-Jaccard verification, must be a
+  SUBSET of the exact all-pairs result (precision = 1 by construction)
+  and recover nearly all high-similarity pairs (recall floor).
+- SimHash must give identical signatures for identical text and
+  near-identical signatures under a small edit.
+- shingles() edge cases: short docs, exact-k docs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from grader_etl_spark.operators.llm_dedup import (
+    q_dedup_simhash,
+    q_neardup_jaccard,
+    q_neardup_minhash,
+    shingles,
+    simhash,
+)
+
+
+def _pairs(df) -> set[tuple]:
+    return {(r["doc_id_1"], r["doc_id_2"]) for r in df.select("doc_id_1", "doc_id_2").collect()}
+
+
+def test_minhash_subset_and_recall(spark, sf_dir):
+    exact = q_neardup_jaccard(spark, sf_dir)
+    approx = q_neardup_minhash(spark, sf_dir)
+    exact_pairs = _pairs(exact)
+    approx_pairs = _pairs(approx)
+    # Verified candidates can never include a below-threshold pair.
+    assert approx_pairs <= exact_pairs
+    # High-similarity pairs (jaccard >= 0.5) collide in >=1 of 16 bands
+    # with overwhelming probability at 64 perms / 4 rows.
+    strong = _pairs(exact.filter(F.col("jaccard") >= 0.5))
+    if strong:
+        recall = len(approx_pairs & strong) / len(strong)
+        assert recall >= 0.9, f"strong-pair recall {recall:.2f} < 0.9"
+    # Overall recall at the 0.25 threshold is lower (banding theory),
+    # but must stay non-trivial on the fixture.
+    if exact_pairs:
+        assert len(approx_pairs) / len(exact_pairs) >= 0.5
+
+
+def test_simhash_identical_and_near_identical(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    edited = base.replace("lazy", "sleepy")
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited)], "doc_id int, text string"
+    ).select("doc_id", simhash(F.col("text")).alias("sig"))
+    sigs = {r["doc_id"]: r["sig"] for r in df.collect()}
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+    hamming = bin(sigs[1] ^ sigs[3]).count("1")
+    assert hamming <= 10, f"one-word edit moved {hamming}/32 bits"
+
+
+def test_simhash_query_pairs_are_symmetric_free(spark, sf_dir):
+    pairs = _pairs(q_dedup_simhash(spark, sf_dir))
+    assert all(a < b for a, b in pairs)  # no self/dup/reversed pairs
+
+
+def test_shingles_edge_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),  # 2 shingles of k=3
+            (2, "a b"),  # shorter than k -> empty
+            (3, "a b c"),  # exactly k -> 1 shingle
+            (4, "a a a a"),  # repeats collapse (distinct)
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: sorted(r["s"]) for r in df.select("doc_id", shingles(F.col("text")).alias("s")).collect()}
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == []
+    assert got[3] == ["a b c"]
+    assert got[4] == ["a a a"]

@@ -1,0 +1,74 @@
+"""Dual-syntax passback parser parity (SURVEY.md §7.4 trap 2).
+
+The column-level hybrid (from_json fast path + literal-eval pandas-UDF
+fallback) must agree with the scalar reference semantics
+(/root/reference/main.py:94-101: json.loads, then ast.literal_eval,
+else {}) on a corpus covering both syntaxes and every failure mode.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from grader_etl_spark.functions.passback import parse_passback, safe_parse_passback
+
+# (raw, expected-dict-after-string-coercion) — expectation computed from
+# the scalar reference semantics, values stringified to match the
+# map<string,string> column type.
+CORPUS: list[str | None] = [
+    '{"oauth_consumer_key": "k1", "lis_result_sourcedid": "s1"}',  # JSON
+    "{'oauth_consumer_key': 'k2'}",  # Python literal (single quotes)
+    '{"a": 1, "b": null}',  # JSON with non-string values
+    "{'a': 1, 'b': None}",  # literal with non-string values
+    "{}",  # empty JSON object
+    "{'nested': {'x': 1}}",  # literal with nested dict value
+    "not a dict at all",  # garbage -> {}
+    "[1, 2, 3]",  # JSON but not an object -> {}
+    "('a', 'b')",  # literal but not a dict -> {}
+    "null",  # JSON null -> {}
+    "",  # empty string -> {}
+    None,  # SQL NULL -> {}
+    '{"unterminated": ',  # broken JSON, broken literal -> {}
+    "{'mixed\": syntax}",  # broken both ways -> {}
+    '{"k": "v with \\"escape\\""}',  # JSON escapes
+]
+
+
+def _expected(raw: str | None) -> dict[str, str | None]:
+    d = safe_parse_passback(raw)
+    return {str(k): (None if v is None else str(v)) for k, v in d.items()}
+
+
+def test_scalar_parser_reference_semantics():
+    # Order must be JSON first, literal second, {} last (main.py:94-101).
+    assert safe_parse_passback('{"a": "1"}') == {"a": "1"}
+    assert safe_parse_passback("{'a': '1'}") == {"a": "1"}
+    assert safe_parse_passback("garbage") == {}
+    assert safe_parse_passback(None) == {}
+    assert safe_parse_passback("") == {}
+    # JSON that parses but is not a dict -> {}
+    assert safe_parse_passback("[1]") == {}
+    assert safe_parse_passback('"just a string"') == {}
+
+
+def test_column_parser_matches_scalar_on_corpus(spark):
+    df = spark.createDataFrame([(i, raw) for i, raw in enumerate(CORPUS)], "i int, raw string")
+    out = {
+        r["i"]: (dict(r["parsed"]) if r["parsed"] is not None else None)
+        for r in df.select("i", parse_passback(F.col("raw")).alias("parsed")).collect()
+    }
+    for i, raw in enumerate(CORPUS):
+        exp = _expected(raw)
+        got = out[i]
+        assert got is not None, f"row {i} ({raw!r}): column parser returned NULL, expected {exp}"
+        norm = {k: (None if v is None else str(v)) for k, v in got.items()}
+        assert set(norm) == set(exp), f"row {i} ({raw!r}): keys {set(norm)} != {set(exp)}"
+        for k, v in exp.items():
+            if v is not None and (v.startswith("{") or v.startswith("[")):
+                # Nested values: from_json re-serializes as JSON while the
+                # Python fallback uses str() — representation may differ,
+                # presence must not. (The reference reads only flat string
+                # keys — main.py:137-139 — so this is out of its domain.)
+                assert norm[k] is not None
+            else:
+                assert norm[k] == v, f"row {i} ({raw!r})[{k}]: {norm[k]!r} != {v!r}"

@@ -1,0 +1,30 @@
+"""Registry contract smoke: every registered query executes at
+sf0.001 with a stable non-empty schema, and the oracle coverage is
+exactly as declared (only the 3 approximate operators are rows-only).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from grader_etl_spark.registry import REGISTRY, all_oracles, all_queries
+
+ROWS_ONLY_BY_DESIGN = {
+    "q_ann_lsh",
+    "q_approx_distinct",
+    "q_dedup_simhash",
+    "q_neardup_minhash",
+}
+
+
+def test_oracle_coverage_is_total_except_approximate():
+    qs = all_queries()
+    oracles = all_oracles()
+    assert set(qs) - set(oracles) == ROWS_ONLY_BY_DESIGN
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_query_executes(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    assert df.columns, f"{name}: empty schema"
+    df.limit(5).collect()  # plan executes end-to-end

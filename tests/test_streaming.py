@@ -1,0 +1,92 @@
+"""Structured Streaming jobs (streaming/jobs.py): watermarked keyed
+dedup, tumbling daily report, and session windows, executed with an
+availableNow trigger over a parquet landing directory — the test-sized
+version of the production file-source topology.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql.types import (
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from grader_etl_spark.streaming.jobs import (
+    daily_tumbling_report,
+    deduplicated_stream,
+    file_stream,
+    run_to_memory_sink,
+    session_activity,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("event_timestamp", TimestampType()),
+        StructField("attempt_type", StringType()),
+        StructField("is_correct", BooleanType()),
+    ]
+)
+
+T0 = dt.datetime(2024, 1, 15, 10, 0, 0)
+
+
+def _land(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def landing(spark, tmp_path):
+    path = str(tmp_path / "landing")
+    rows = [
+        ("u1", T0, "run", True),
+        ("u1", T0, "check", False),  # duplicate key — must be dropped
+        ("u1", T0 + dt.timedelta(minutes=5), "check", False),
+        ("u2", T0 + dt.timedelta(hours=2), "run", True),
+        ("u2", T0 + dt.timedelta(days=1), "run", False),  # next day
+    ]
+    _land(spark, path, rows)
+    return path
+
+
+def test_streaming_dedup_drops_duplicate_keys(spark, landing):
+    stream = deduplicated_stream(file_stream(spark, landing, SCHEMA))
+    run_to_memory_sink(stream, "dedup_out")
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    keys = [(r["user_id"], r["event_timestamp"]) for r in rows]
+    assert len(keys) == len(set(keys)) == 4  # 5 rows, 1 dup key
+
+
+def test_streaming_daily_report(spark, landing):
+    stream = daily_tumbling_report(
+        deduplicated_stream(file_stream(spark, landing, SCHEMA))
+    )
+    # Append mode only emits closed windows; availableNow + watermark
+    # won't close the final day, so use update-capable complete mode on
+    # this tiny aggregate (production would let the watermark advance).
+    run_to_memory_sink(stream, "daily_out", output_mode="complete")
+    by_day = {r["report_date"]: r for r in spark.sql("SELECT * FROM daily_out").collect()}
+    d1 = by_day["2024-01-15"]
+    assert d1["total_attempts"] == 3
+    assert d1["successful_attempts"] == 2
+    assert d1["run_attempts"] == 2 and d1["check_attempts"] == 1
+    assert by_day["2024-01-16"]["total_attempts"] == 1
+
+
+def test_streaming_session_windows(spark, landing):
+    stream = session_activity(
+        deduplicated_stream(file_stream(spark, landing, SCHEMA)), gap="30 minutes"
+    )
+    run_to_memory_sink(stream, "sessions_out", output_mode="complete")
+    rows = spark.sql("SELECT * FROM sessions_out").collect()
+    u1 = [r for r in rows if r["user_id"] == "u1"]
+    # u1's two surviving events are 5 min apart -> one session of 2.
+    assert len(u1) == 1 and u1[0]["n_events"] == 2
+    # u2's events are 22h apart -> two sessions.
+    assert len([r for r in rows if r["user_id"] == "u2"]) == 2
