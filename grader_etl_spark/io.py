@@ -10,6 +10,8 @@ for readability, not necessity.
 
 from __future__ import annotations
 
+import datetime as dt
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -38,6 +40,38 @@ def load(spark: SparkSession, sf_dir: str, table: str, columns: list[str] | None
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def load_events_range(
+    spark: SparkSession, sf_dir: str, start: str, end: str, columns: list[str] | None = None
+) -> DataFrame:
+    """events scan with a time-range predicate that actually reaches
+    the parquet reader.
+
+    A filter on the converted TimestampType column cannot be pushed
+    through the timestamp_micros() expression, so the range is applied
+    to the raw epoch-nanos long FIRST — .explain then shows
+    GreaterThanOrEqual/LessThan on ts in PushedFilters, which is what
+    lets row-group statistics (and, on a date-partitioned store,
+    partition pruning) skip data at 100 TB. ``start`` inclusive,
+    ``end`` exclusive, both 'YYYY-MM-DD[ HH:MM:SS]' UTC."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def nanos(s: str) -> int:
+        t = dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc)
+        return int(t.timestamp()) * 1_000_000_000
+
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.filter((F.col("ts") >= nanos(start)) & (F.col("ts") < nanos(end)))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = df.filter(
+            (F.col("ts") >= F.lit(start).cast("timestamp"))
+            & (F.col("ts") < F.lit(end).cast("timestamp"))
+        )
     if columns:
         df = df.select(*columns)
     return df

@@ -1,0 +1,125 @@
+"""Multi-join analytical queries (TPC-H Q3/Q5 shapes) — the star-
+schema workloads that exercise join ORDERING, broadcast selection, and
+partial aggregation together; these are the bench's relational
+headliners alongside q_pricing_summary.
+
+Scale notes: dimension chains (region→nation) broadcast; the
+fact-to-fact joins (orders⋈lineitem) shuffle on the key both sides
+already share, and AQE re-plans build sides at runtime. Money math is
+exact DECIMAL per row so sums are order-independent (oracle-stable).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+_REVENUE = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+@query(
+    "q_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       CAST(SUM({_REVENUE}) AS DOUBLE)            AS revenue,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+  AND CAST(l_shipdate  AS DATE) > DATE '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join chain → grouped
+    revenue → top-10. customer (filtered) broadcasts into orders;
+    orders⋈lineitem shuffles once on the order key; top-k is
+    TakeOrderedAndProject, never a global sort."""
+    cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(
+        spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).filter(F.to_date("o_orderdate") < F.lit("1998-06-01").cast("date"))
+    li = load(
+        spark, sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).filter(F.to_date("l_shipdate") > F.lit("1998-06-01").cast("date"))
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_local_supplier_volume",
+    oracle=f"""
+SELECT n_name,
+       CAST(SUM({_REVENUE}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join — two broadcast dim chains
+    (region→nation→supplier side; customer keyed) around the
+    orders⋈lineitem fact spine, grouped by nation. The
+    same-nation predicate (c_nationkey = s_nationkey) rides the join,
+    not a post-filter."""
+    region = load(spark, sf_dir, "region", columns=["r_regionkey", "r_name"]).filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load(spark, sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    supplier = load(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = load(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    nations_in_region = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    asia_suppliers = supplier.join(
+        F.broadcast(nations_in_region), supplier.s_nationkey == nations_in_region.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(asia_suppliers),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )

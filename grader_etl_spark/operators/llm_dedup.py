@@ -3,12 +3,12 @@ n-gram Jaccard, MinHash+LSH, SimHash, embedding near-dup.
 
 Scale design: the exact/fingerprint paths are hash-groupBys (one
 shuffle, map-side partial). The pairwise paths NEVER do an unblocked
-cross join at scale — MinHash/LSH banding and SimHash prefix-bucketing
-generate candidates via an equi-join on bucket keys, then verify only
-the candidates. The all-pairs Jaccard query here is the *verification
-semantics* stated exactly (and kept oracle-checkable on the bounded
-500-doc fixture); the LSH variants are the 100 TB path and are
-pytest-verified to agree with it (tests/test_llm_dedup.py).
+cross join — even the EXACT Jaccard query generates candidates from a
+shared-shingle inverted index (lossless pruning) and computes
+intersection sizes as join-hit counts; MinHash/LSH banding and SimHash
+prefix-bucketing are the probabilistic variants for corpora where the
+shared-token candidate set itself is too large, pytest-verified
+against the exact output (tests/test_llm_dedup.py).
 
 No Python UDFs anywhere: shingles, MinHash permutations, SimHash bit
 votes and Hamming distances are all higher-order array expressions
@@ -295,6 +295,32 @@ def simhash(text: Column) -> Column:
     return sig
 
 
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash via explode+groupBy — each token is hashed ONCE, then
+    32 conditional-sum votes partial-aggregate map-side. The column
+    function ``simhash`` above is semantically identical but inlines
+    the tokenize+crc32 into each of its 32 per-bit aggregates under
+    projection collapse (32× recompute) — fine for unit-test rows,
+    wrong shape for a corpus scan."""
+    hashed = docs.select(
+        id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t")
+    ).select(id_col, F.crc32(F.col("t").cast("binary")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sig = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    # Docs whose text yields no tokens simply have no signature row —
+    # they can't near-dup anything, so no join-back is needed.
+    return hashed.groupBy(id_col).agg(*votes).select(id_col, sig.alias("sig"))
+
+
 @query("q_dedup_simhash", oracle=None)  # approximate: rows-only + pytest
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: bucket on the top 16 bits (candidate
@@ -302,10 +328,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-bit signature. bit_count is built-in, so the verify stays in
     codegen."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    sig = docs.select(
-        "doc_id",
-        simhash(F.col("text")).alias("sig"),
-    ).withColumn("bucket", F.shiftright("sig", SIMHASH_BITS - 16))
+    sig = simhash_signatures(docs).withColumn(
+        "bucket", F.shiftright("sig", SIMHASH_BITS - 16)
+    )
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -328,6 +353,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The fixture's same-label cosine tops out near 0.47 (no planted
 # duplicates); 0.40 keeps the operator's output non-trivial.
+def with_norm(e: DataFrame, v_col: str = "v") -> DataFrame:
+    """Attach the L2 norm once per vector — pairwise cosine then costs
+    one dot product, not a dot plus two re-derived norms (projection
+    collapse would otherwise inline the double-cast transform and both
+    norm folds into every pair)."""
+    v = F.col(v_col)
+    return e.withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)),
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right dot product (DuckDB list_dot_product
+    bit-compatible)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
 _COSINE_THRESHOLD = 0.40
 
 
@@ -362,14 +405,18 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: candidate blocking on the coarse cluster
     column (label — the IVF idea: compare only within a cell), exact
     cosine ≥ threshold on candidates. At 100 TB the label comes from a
-    cheap coarse quantizer; the pairwise work is per-cell, not global."""
+    cheap coarse quantizer; the pairwise work is per-cell, not global.
+    Norms are precomputed per vector; each candidate pair pays exactly
+    one 64-dim dot product."""
     emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
-    e = emb.select(
-        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    e = with_norm(
+        emb.select(
+            "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
     )
     a = e.alias("a")
     b = e.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"))
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(

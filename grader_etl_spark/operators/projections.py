@@ -199,17 +199,20 @@ WHERE ts >= TIMESTAMP '{_WINDOW_END}' - INTERVAL 7 DAY
 )
 def q_time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2+P8: the 7-day sliding fetch window (`now - timedelta(days=7)`,
-    main.py:104-111) as a pushed-down range predicate — `.explain`
-    shows it in PushedFilters, so a date-partitioned 100 TB store
+    main.py:104-111) as a pushed-down range predicate.
+
+    Uses load_events_range, which applies the bounds to the raw
+    epoch-nanos long BEFORE the timestamp conversion — `.explain`
+    shows GreaterThanOrEqual/LessThan on ts in PushedFilters (a filter
+    on the converted column would not push through the expression), so
+    row-group stats skip data and a date-partitioned 100 TB store
     would prune to 7 days of files before any task launches."""
-    end = F.lit(_WINDOW_END).cast("timestamp")
-    start = end - F.expr("INTERVAL 7 DAYS")
-    return (
-        load(spark, sf_dir, "events", columns=["event_id", "user_id", "ts"])
-        .filter((F.col("ts") >= start) & (F.col("ts") < end))
-        .select(
-            "event_id",
-            "user_id",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts_text"),
-        )
+    from grader_etl_spark.io import load_events_range
+
+    return load_events_range(
+        spark, sf_dir, start="2024-01-13", end="2024-01-20", columns=["event_id", "user_id", "ts"]
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts_text"),
     )

@@ -16,7 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import load
-from grader_etl_spark.operators.llm_dedup import cosine
+from grader_etl_spark.operators.llm_dedup import dot, with_norm
 from grader_etl_spark.registry import query
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -56,12 +56,14 @@ def brute_force_topk(
     corpus: DataFrame, queries: DataFrame, k: int = TOP_K
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the
-    corpus, rank per query. Columns: query_id, neighbor_id, rank, cosine."""
-    cos = cosine(F.col("q.v"), F.col("c.v"))
+    corpus, rank per query; norms precomputed per vector so each
+    (query, doc) pair pays one dot product.
+    Columns: query_id, neighbor_id, rank, cosine."""
+    cos = dot(F.col("q.v"), F.col("c.v")) / (F.col("q.norm") * F.col("c.norm"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        corpus.alias("c")
-        .join(F.broadcast(queries.alias("q")), F.col("q.vec_id") != F.col("c.vec_id"))
+        with_norm(corpus).alias("c")
+        .join(F.broadcast(with_norm(queries).alias("q")), F.col("q.vec_id") != F.col("c.vec_id"))
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
@@ -158,13 +160,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("neighbor_id"))
         .distinct()
     )
-    qv = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    en = with_norm(e)
+    qv = en.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn"))
+    cv = en.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("norm").alias("cn"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         cands.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "cosine")

@@ -55,6 +55,7 @@ def load_all_operators() -> None:
     # Imported lazily to avoid import cycles (operators import `query`).
     from grader_etl_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         asof,
         dedup,
         grouped_map,

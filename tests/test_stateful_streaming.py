@@ -29,17 +29,24 @@ T0 = dt.datetime(2024, 1, 15, 10, 0, 0)
 
 
 def _run_batch(spark, landing, name):
+    # foreachBatch (not the memory sink): it supports checkpoint
+    # recovery, which is what carries the state store across the two
+    # availableNow runs — the production sink shape.
+    rows: list = []
+
+    def sink(batch_df, _batch_id):
+        rows.extend(batch_df.collect())
+
     q = (
         user_profile_stream(file_stream(spark, landing, SCHEMA))
-        .writeStream.format("memory")
-        .queryName(name)
+        .writeStream.foreachBatch(sink)
         .outputMode("update")
         .option("checkpointLocation", landing + "/_chk")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return {r["user_id"]: r for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    return {r["user_id"]: r for r in rows}
 
 
 def test_state_accumulates_across_microbatches(spark, tmp_path):
