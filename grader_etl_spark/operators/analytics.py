@@ -72,6 +72,31 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`, both linear-interpolation; rounded to 4 dp
+    to absorb float-order noise). The documented scale variant is
+    `approx_percentile` (KLL-style sketch, mergeable, single pass) —
+    exact percentile must materialize each group's values."""
+    li = load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query(
     "q_local_supplier_volume",
     oracle=f"""
 SELECT n_name,

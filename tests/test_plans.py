@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the scale properties .explain
+promised are pinned here so a refactor can't silently trade them away
+— pushdown reaching the parquet reader, broadcast of dim tables,
+top-k without a global sort, and no nested-loop/cartesian fallbacks in
+the pairwise operators.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from grader_etl_spark.registry import REGISTRY, all_queries
+
+all_queries()  # populate REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan" in p
+    # Column pruning: the 16-column lineitem scan reads only 7.
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert read_schema.count(":") - 1 <= 8
+
+
+def test_time_range_reaches_scan(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_time_range_filter")
+    assert "GreaterThanOrEqual(ts," in p and "LessThan(ts," in p
+
+
+def test_broadcast_joins_broadcast(spark, sf_dir):
+    for name in ("q_join_broadcast", "q_shipping_priority", "q_local_supplier_volume"):
+        assert "BroadcastHashJoin" in plan_of(spark, sf_dir, name), name
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "q_topk")
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_neardup_jaccard", "q_neardup_minhash", "q_dedup_simhash", "q_neardup_embedding"],
+)
+def test_pairwise_ops_never_nested_loop(spark, sf_dir, name):
+    """The dedup operators must candidate-join on equi keys; a
+    CartesianProduct or BroadcastNestedLoopJoin in the plan means the
+    blocking strategy silently fell back to all-pairs."""
+    p = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in p, name
+    assert "BroadcastNestedLoopJoin" not in p, name
+
+
+# q_join_range's 4-row literal band table comes from createDataFrame —
+# an ExistingRDD scan of O(1) rows is fine; nothing else may have one.
+_LITERAL_TABLE_OK = {"q_join_range"}
+
+
+def test_no_rdd_fallback_anywhere(spark, sf_dir):
+    """Every registered query is DataFrame-planned from files (no RDD
+    scans) — the whole registry compiles through Catalyst."""
+    for name in all_queries():
+        if name in _LITERAL_TABLE_OK:
+            continue
+        p = plan_of(spark, sf_dir, name)
+        assert "Scan ExistingRDD" not in p, name
