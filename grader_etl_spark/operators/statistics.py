@@ -1,0 +1,132 @@
+"""Statistical aggregates and distribution window functions — §2
+breadth: the moments/correlation layer every analytics engine carries,
+plus the rank-distribution windows (ntile / percent_rank / cume_dist).
+
+All built-in JVM expressions (one hash-aggregate or one window sort);
+floating results are rounded to 6 dp on both engines because variance
+accumulation order differs legitimately across partitionings.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+
+@query(
+    "q_stats_agg",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_extendedprice), 6)                  AS price_stddev,
+       ROUND(var_samp(l_extendedprice), 6)                     AS price_var,
+       ROUND(corr(l_quantity, l_extendedprice), 6)             AS qty_price_corr,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 6)       AS qty_price_covar,
+       ROUND(AVG(l_extendedprice), 6)                          AS price_mean
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment/correlation aggregates per group — single-pass partial
+    aggregation (Welford-style merge states), one shuffle of tiny
+    states. Rounded to 6 dp: merge order differs between engines."""
+    li = load(
+        spark, sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("price_stddev"),
+        F.round(F.var_samp("l_extendedprice"), 6).alias("price_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("qty_price_covar"),
+        F.round(F.avg("l_extendedprice"), 6).alias("price_mean"),
+    )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+SELECT c_custkey,
+       c_nationkey,
+       NTILE(4)       OVER w                    AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6)          AS pct_rank,
+       ROUND(CUME_DIST()    OVER w, 6)          AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+""",
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (W1 extended): quartile bucket, percentile
+    rank, cumulative distribution per nation — one shuffle + one local
+    sort serves all three (shared window spec)."""
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q_scalar_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name)                                   AS name_upper,
+       lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_padded,
+       regexp_replace(p_type, '[aeiou]', '_', 'g')     AS type_devoweled,
+       length(p_brand)                                 AS brand_len,
+       CAST(round(p_retailprice / 100, 0) AS BIGINT)   AS price_bucket,
+       CAST(CAST(p_retailprice AS DECIMAL(12,2)) % 10 AS DOUBLE) AS price_mod
+FROM part
+""",
+)
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function breadth in one projection (string case/pad/
+    regex/length, numeric round/modulo) — all whole-stage-codegen'd;
+    the point is API surface, the plan is a bare scan+project."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("type_devoweled"),
+        F.length("p_brand").cast("long").alias("brand_len"),
+        F.round(F.col("p_retailprice") / 100, 0).cast("long").alias("price_bucket"),
+        (F.col("p_retailprice").cast("decimal(12,2)") % 10).cast("double").alias("price_mod"),
+    )
+
+
+@query(
+    "q_datetime_funcs",
+    oracle="""
+SELECT o_orderkey,
+       EXTRACT(year  FROM CAST(o_orderdate AS DATE))            AS order_year,
+       EXTRACT(month FROM CAST(o_orderdate AS DATE))            AS order_month,
+       EXTRACT(dow   FROM CAST(o_orderdate AS DATE))            AS order_dow,
+       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_start,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP)    AS due_date,
+       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start
+FROM orders
+""",
+)
+def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-function breadth (P5-P8 extended): extract, truncate,
+    interval arithmetic, day difference — pure column algebra.
+    DOW convention pinned to DuckDB's (Sunday=0): Spark's dayofweek is
+    1-based Sunday=1, so subtract 1."""
+    od = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    d = F.to_date("o_orderdate")
+    return od.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("order_year"),
+        F.month(d).cast("long").alias("order_month"),
+        (F.dayofweek(d) - 1).cast("long").alias("order_dow"),
+        F.trunc(d, "month").cast("timestamp").alias("month_start"),
+        F.date_add(d, 30).cast("timestamp").alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_epoch_start"),
+    )

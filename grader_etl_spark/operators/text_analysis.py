@@ -185,6 +185,69 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Winnowing (rolling-hash) fingerprints — the MOSS/plagiarism-detection
+# selection scheme: char k-gram hashes, min per sliding window.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8  # chars per gram
+WINNOW_W = 4  # window of consecutive gram hashes
+
+
+def winnow_fingerprints(text: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> Column:
+    """Distinct winnowed fingerprints of a document: crc32 over each
+    char k-gram, then the minimum per w-gram sliding window. Guarantees
+    any shared substring of length >= k+w-1 contributes a shared
+    fingerprint (the winnowing theorem), at ~1/w the density of the
+    full k-gram set.
+
+    The gram array is let-bound via a single-element-array transform:
+    referencing the raw `grams` expression tree inside the window
+    lambda would re-evaluate ALL O(L) crc32 calls once per window
+    position — O(L^2) per document (measured: 57 s for 500 docs at
+    sf0.01). Bound as a lambda variable it is evaluated exactly once
+    per row, and the window pass is O(L*w) attribute reads."""
+    empty_longs = F.array().cast("array<long>")
+    # sequence(1, 0) DESCENDS in Spark — short inputs need the explicit
+    # guard, not a clamped upper bound.
+    grams = F.when(
+        F.length(text) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - (k - 1)),
+            lambda i: F.crc32(text.substr(i, F.lit(k)).cast("binary")),
+        ),
+    ).otherwise(empty_longs)
+    wins = F.element_at(
+        F.transform(  # array(grams) -> lambda binds g ONCE per row
+            F.array(grams),
+            lambda g: F.when(
+                F.size(g) >= w,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(g) - (w - 1)),
+                    lambda j: F.array_min(F.slice(g, j, w)),
+                ),
+            ).otherwise(empty_longs),
+        ),
+        1,
+    )
+    return F.array_sort(F.array_distinct(wins))
+
+
+@query("q_winnow_fingerprint", oracle=None)  # crc32 unavailable in DuckDB: rows-only + pytest
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash fingerprints per document (count + head
+    shown; the full set is the dedup/similarity key). Exact values are
+    pinned by tests/test_winnow.py against a pure-Python zlib.crc32
+    reference — DuckDB ships no crc32, so no SQL oracle."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    fps = winnow_fingerprints(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        F.element_at(fps, 1).alias("first_fp"),
+    )
+
+
 @query(
     "q_doc_fingerprint",
     oracle="""

@@ -1,0 +1,141 @@
+"""Corpus curation — the composed LLM-training-data pipeline (north
+star): quality gating → exact dedup → near-dup pruning, end-to-end
+over the documents table, oracle-checked as ONE query so the stage
+composition itself is differentially tested.
+
+Stages (each is an operator that already exists; this plan is the
+composition):
+
+1. quality gate   — text_analysis-style features, threshold filter
+2. exact dedup    — normalized-fingerprint groupBy, keep min doc_id
+3. near-dup prune — exact shingle-Jaccard pairs among survivors
+                    (inverted-index candidates, llm_dedup), drop the
+                    HIGHER doc_id of every pair (greedy, deterministic;
+                    at 100 TB a union-find keeper pass over the pair
+                    edges picks one doc per duplicate component —
+                    greedy is the per-edge approximation both engines
+                    compute identically)
+
+Scale shape: stage 1 is a scan-side filter (pushes nothing — computed
+features — but prunes ~rows before any shuffle); stages 2-3 shuffle
+hashes and (shingle, id) pairs only, never document content pairwise.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from grader_etl_spark.io import load
+from grader_etl_spark.operators.llm_dedup import (
+    _JACCARD_THRESHOLD,
+    shingles,
+)
+from grader_etl_spark.operators.text_analysis import STOPWORDS, tokens
+from grader_etl_spark.registry import query
+
+MIN_WORDS = 10
+MAX_STOPWORD_RATIO = 0.60
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Stage 1: keep documents with enough words and a sane stopword
+    ratio (the cheap junk filter before any expensive stage)."""
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_words = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return (
+        docs.withColumn("n_words", n_words.cast("long"))
+        .withColumn("stop_ratio", n_stop.cast("double") / F.col("n_words"))
+        .filter(
+            (F.col("n_words") >= MIN_WORDS) & (F.col("stop_ratio") <= MAX_STOPWORD_RATIO)
+        )
+    )
+
+
+def curate(docs: DataFrame) -> DataFrame:
+    """The full pipeline; returns (doc_id, n_words) of curated docs."""
+    gated = quality_gate(docs)
+
+    # Stage 2: exact dedup on the normalized fingerprint.
+    fp = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    keepers = (
+        gated.select("doc_id", "n_words", "text", fp.alias("fp"))
+        .withColumn("rk", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(F.col("rk") == 1)
+        .drop("rk", "fp")
+    )
+
+    # Stage 3: exact near-dup pairs among keepers (inverted index),
+    # drop the higher id of every pair.
+    sh = keepers.select("doc_id", shingles(F.col("text")).alias("sset"))
+    ex = sh.select("doc_id", F.explode("sset").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sizes = sh.select("doc_id", F.size("sset").alias("sz"))
+    drop_ids = (
+        inter.join(F.broadcast(sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))), "id1")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))), "id2")
+        .filter(F.col("c").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("c")) >= _JACCARD_THRESHOLD)
+        .select(F.col("id2").alias("doc_id"))
+        .distinct()
+    )
+    return keepers.join(drop_ids, "doc_id", "left_anti").select("doc_id", "n_words")
+
+
+@query(
+    "q_curate_corpus",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS tk
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, text, length(tk) AS n_words
+  FROM toks
+  WHERE length(tk) >= {MIN_WORDS}
+    AND CAST(length(list_filter(tk, t -> t IN ({", ".join(repr(w) for w in STOPWORDS)}))) AS DOUBLE)
+        / length(tk) <= {MAX_STOPWORD_RATIO}
+),
+keepers AS (
+  SELECT doc_id, text, n_words
+  FROM (
+    SELECT doc_id, text, n_words,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rk
+    FROM gated
+  ) WHERE rk = 1
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - 1, 0)),
+           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+2]
+         )) AS sset
+  FROM keepers
+),
+dropped AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)
+          / (length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)))
+        >= {_JACCARD_THRESHOLD}
+)
+SELECT k.doc_id, k.n_words
+FROM keepers k
+WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
+""",
+)
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline as one differential query —
+    quality gate, exact dedup, near-dup prune, all stages in one plan
+    checked against the naive-SQL rendition."""
+    return curate(load(spark, sf_dir, "documents", columns=["doc_id", "text"]))

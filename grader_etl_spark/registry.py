@@ -65,12 +65,14 @@ def load_all_operators() -> None:
         projections,
         setops,
         similarity,
+        statistics,
         text_analysis,
         time_windows,
         unpivot,
         validation,
         windows,
     )
+    from grader_etl_spark.plans import curation  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -14,6 +14,7 @@ ROWS_ONLY_BY_DESIGN = {
     "q_approx_distinct",
     "q_dedup_simhash",
     "q_neardup_minhash",
+    "q_winnow_fingerprint",  # DuckDB has no crc32; pytest pins exact values
 }
 
 
