@@ -1,0 +1,85 @@
+"""Array / higher-order-function breadth — explode (table-generating),
+lambda transforms, and order-exact array aggregation.
+
+These are the column-type primitives every LLM-data operator in this
+repo builds on (shingles, MinHash, embeddings); here they are exposed
+as first-class oracle-checked queries so the surface itself is pinned,
+not just its compositions. All lambdas run inside codegen on the JVM —
+no Python. (The reference has no array types at all — SURVEY §1.1 —
+so these are *(ext)* north-star operators.)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+
+@query(
+    "q_explode_tokens",
+    oracle="""
+SELECT token, count(*) AS cnt
+FROM (
+  SELECT unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+""",
+)
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency: split → explode (one row per
+    token) → count → top-20. Explode is Spark's UNNEST/flat-map; the
+    count aggregates map-side partially before the single shuffle, so
+    the exploded blow-up (~n_words × n_docs rows) never crosses the
+    network unreduced — the property that keeps word-count shaped
+    jobs viable at 100 TB."""
+    docs = load(spark, sf_dir, "documents", columns=["text"])
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "q_array_algebra",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS sum_milli,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+       CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS norm2_milli
+FROM embeddings
+""",
+)
+def q_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row array algebra over embeddings: length, elementwise
+    transform, filter, and fold — the transform/filter/aggregate
+    higher-order trio. Sums are computed on round(x*1000) integers so
+    they are exactly representable and order-independent (float
+    accumulation order would differ between engines); the float32 →
+    float64 widening is exact on both sides, making the oracle
+    bit-stable."""
+    emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    as_d = lambda x: x.cast("double")  # noqa: E731
+    milli = F.transform("embedding", lambda x: F.round(as_d(x) * 1000).cast("long"))
+    sq_milli = F.transform("embedding", lambda x: F.round(as_d(x) * as_d(x) * 1000).cast("long"))
+    fold = lambda arr: F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        fold(milli).alias("sum_milli"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+        fold(sq_milli).alias("norm2_milli"),
+    )

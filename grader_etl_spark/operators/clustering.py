@@ -1,0 +1,102 @@
+"""K-means clustering over the embeddings table — the iterative-
+algorithm pattern (IVF coarse quantizer training for the ANN
+operators; corpus topic bucketing for curation).
+
+Iterative structure: the per-iteration work is two Spark jobs —
+(1) assignment: each vector to its nearest centroid, computed
+JVM-side against a broadcast k×dim centroid literal; (2) update:
+per-dimension mean via posexplode + groupBy — and only the k×dim
+centroid matrix ever reaches the driver. The 100 TB shape holds: the
+corpus is scanned once per iteration, shuffled only by (cluster,
+dim) for the update agg, and nothing vector-sized is collected.
+
+Rows-only correctness (iterative float argmin is not expressible in
+one DuckDB SQL statement); tests/test_clustering.py pins determinism,
+assignment optimality, and monotone non-increasing inertia.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+K = 8
+ITERATIONS = 5
+
+
+def _sq_dist(v: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a constant centroid, as a codegen'd
+    fold — zip_with against an array literal, then sum."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    diffs = F.zip_with(v, c, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def assign(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Add `cluster` (argmin centroid) and `sq_dist` to each vector row.
+
+    The k distances are k independent column expressions over the same
+    broadcast-literal centroids; least()/CASE picks the argmin without
+    exploding rows. Ties break to the lowest cluster id."""
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    dists = [_sq_dist(v, c).alias(f"_d{i}") for i, c in enumerate(centroids)]
+    with_d = vectors.select("*", *dists)
+    best = F.least(*[F.col(f"_d{i}") for i in range(len(centroids))])
+    cluster = F.lit(None).cast("int")
+    for i in reversed(range(len(centroids))):  # reversed => ties take lowest i
+        cluster = F.when(F.col(f"_d{i}") == best, i).otherwise(cluster)
+    return with_d.withColumn("cluster", cluster).withColumn("sq_dist", best).drop(
+        *[f"_d{i}" for i in range(len(centroids))]
+    )
+
+
+def _update(assigned: DataFrame, k: int, dim: int, old: list[list[float]]) -> list[list[float]]:
+    """New centroid matrix = per-(cluster, dimension) mean. Only k×dim
+    aggregated doubles come back to the driver; empty clusters keep
+    their previous centroid."""
+    rows = (
+        assigned.select("cluster", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("col").alias("mean"))
+        .collect()
+    )
+    out = [list(c) for c in old]
+    means: dict[int, list[float]] = {}
+    for r in rows:
+        means.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["mean"]
+    for c, vec in means.items():
+        out[c] = vec
+    return out
+
+
+def kmeans(vectors: DataFrame, k: int = K, iterations: int = ITERATIONS) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's algorithm with deterministic seeding: initial centroids
+    are the k lowest-vec_id vectors (stable across partitioning,
+    unlike random init). Returns (assignments, final centroids)."""
+    seed_rows = (
+        vectors.orderBy("vec_id").limit(k)
+        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in seed_rows]
+    dim = len(centroids[0])
+    for _ in range(iterations):
+        centroids = _update(assign(vectors, centroids), k, dim, centroids)
+    return assign(vectors, centroids), centroids
+
+
+@query("q_kmeans_embeddings", oracle=None)  # iterative; not one-statement SQL
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment + rounded distance after 5 deterministic
+    Lloyd iterations, k=8. Rows-only driver check; the algorithmic
+    invariants are pinned in tests/test_clustering.py."""
+    emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assigned, _ = kmeans(emb)
+    return assigned.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round("sq_dist", 6).alias("sq_dist"),
+    )

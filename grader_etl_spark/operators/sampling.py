@@ -1,0 +1,89 @@
+"""Deterministic sampling operators.
+
+A training-data pipeline at 100 TB cannot use seed-based random
+sampling for anything that must be reproducible across reruns, engine
+versions, or partition layouts — ``df.sample(seed=…)`` changes with
+partitioning. The scale-correct idiom is HASH sampling: a pure
+function of the row key decides membership, so the sample is stable
+under repartitioning, retries, and incremental recomputation, and the
+predicate evaluates map-side with zero shuffle (reference surface:
+the repo's only sampling is the 7-day fetch window, main.py:104-111 —
+these are *(ext)* operators mandated by the north star).
+
+md5 is used as the hash because both Spark and DuckDB ship it with
+identical semantics, making the sample itself oracle-checkable —
+crc32/xxhash64 exist only on one side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+
+def hash_bucket(cols: list[str], buckets: int = 16) -> F.Column:
+    """Stable [0, buckets) bucket from the md5 of '-'-joined key columns.
+
+    First 8 hex chars → int via conv(); one md5 per row, evaluated
+    map-side (no shuffle, survives repartitioning)."""
+    key = F.concat_ws("-", *[F.col(c).cast("string") for c in cols])
+    return (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % buckets).alias("bucket")
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE substring(md5(concat_ws('-', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))), 1, 1)
+      IN ('0', '1', '2')
+""",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~18.75% (3/16) sample of lineitem keyed on the
+    composite natural key. Map-side predicate, no shuffle; the same
+    rows are selected no matter how the table is partitioned — the
+    property seed-based sample() lacks at scale."""
+    li = load(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    key = F.concat_ws(
+        "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    return li.filter(F.substring(F.md5(key), 1, 1).isin("0", "1", "2"))
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+SELECT l_returnflag, l_orderkey, l_linenumber
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY md5(concat_ws('-', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))),
+                    l_orderkey, l_linenumber
+         ) AS rn
+  FROM lineitem
+)
+WHERE rn <= 50
+""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced stratified sample: exactly 50 rows per l_returnflag
+    stratum, chosen as the smallest md5 values within the stratum —
+    a deterministic per-group reservoir. One shuffle on the stratum
+    key; at scale, heavy strata are bounded by the windowed top-k
+    (rank over sort), never a full-group materialization. Class
+    rebalancing for training data is this exact shape."""
+    li = load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_orderkey", "l_linenumber"])
+    h = F.md5(
+        F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(h, "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("l_returnflag", "l_orderkey", "l_linenumber")
+    )

@@ -56,18 +56,23 @@ def load_all_operators() -> None:
     from grader_etl_spark.operators import (  # noqa: F401
         aggregates,
         analytics,
+        arrays,
         asof,
+        clustering,
         dedup,
+        fuzzy,
         grouped_map,
         joins,
         llm_dedup,
         multimodal,
         projections,
+        sampling,
         setops,
         similarity,
         statistics,
         text_analysis,
         time_windows,
+        tpch_extra,
         unpivot,
         validation,
         windows,
