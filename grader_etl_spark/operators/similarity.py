@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
-from grader_etl_spark.io import load
+from grader_etl_spark.io import fan_out, load
 from grader_etl_spark.operators.llm_dedup import dot, with_norm
 from grader_etl_spark.registry import query
 
@@ -101,7 +101,7 @@ FROM scored WHERE rank <= {TOP_K}
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-{TOP_K} for the first {N_QUERIES} vectors —
     the exact ANN baseline, oracle-checked value-for-value."""
-    e = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).select(
+    e = fan_out(load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])).select(
         "vec_id", _as_double_array(F.col("embedding")).alias("v")
     )
     qs = e.filter(F.col("vec_id") < N_QUERIES)

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from grader_etl_spark.io import load
+from grader_etl_spark.io import fan_out, load
 from grader_etl_spark.registry import query
 
 # Shared stopword list (kept tiny and explicit so the SQL oracle can
@@ -239,7 +239,7 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shown; the full set is the dedup/similarity key). Exact values are
     pinned by tests/test_winnow.py against a pure-Python zlib.crc32
     reference — DuckDB ships no crc32, so no SQL oracle."""
-    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    docs = fan_out(load(spark, sf_dir, "documents", columns=["doc_id", "text"]))
     fps = winnow_fingerprints(F.col("text"))
     return docs.select(
         "doc_id",

@@ -65,11 +65,15 @@ def curate(docs: DataFrame) -> DataFrame:
         .withColumn("rk", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
         .filter(F.col("rk") == 1)
         .drop("rk", "fp")
+        # keepers feeds the shingle stage AND the final anti-join; sh
+        # below feeds both self-join sides + two size lookups. Persist
+        # both shared stages (gate+dedup / shingling run once, not 3-4×).
+        .persist()
     )
 
     # Stage 3: exact near-dup pairs among keepers (inverted index),
     # drop the higher id of every pair.
-    sh = keepers.select("doc_id", shingles(F.col("text")).alias("sset"))
+    sh = keepers.select("doc_id", shingles(F.col("text")).alias("sset")).persist()
     ex = sh.select("doc_id", F.explode("sset").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
