@@ -181,6 +181,53 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_chunk_documents — fixed-size overlapping chunking (RAG/pretraining
+# document splitting as a table-generating operation)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 500  # chars per chunk
+CHUNK_STEP = 400  # stride => 100-char overlap between adjacent chunks
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STEP} AS BIGINT)            AS chunk_id,
+       substr(text, start, {CHUNK_SIZE})                      AS chunk_text,
+       CAST(length(substr(text, start, {CHUNK_SIZE})) AS BIGINT) AS chunk_len
+FROM (
+  SELECT doc_id, text, unnest(generate_series(1, length(text), {CHUNK_STEP})) AS start
+  FROM documents
+  WHERE length(text) > 0
+)
+""",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunks (500 chars, 400 stride) — one doc
+    → n chunk rows, the UNNEST/flat-map shape done with
+    explode(sequence) + substring instead of a UDTF: the row expansion
+    happens inside codegen and the per-chunk substring is O(chunk), so
+    a 100 TB corpus chunks in one scan with no Python in the loop.
+    Chunk boundaries are character offsets; token-aware splitting
+    composes by running tokens() on chunk_text downstream."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        F.length("text") > 0
+    )
+    starts = F.sequence(F.lit(1), F.length("text"), F.lit(CHUNK_STEP))
+    chunk = F.expr(f"substring(text, start, {CHUNK_SIZE})")
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STEP).cast("long").alias("chunk_id"),
+            chunk.alias("chunk_text"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_doc_fingerprint — exact + normalized content fingerprints
 # ---------------------------------------------------------------------------
 

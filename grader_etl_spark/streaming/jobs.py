@@ -134,6 +134,44 @@ def session_activity(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "event_timestamp",
+    right_ts: str = "event_timestamp",
+    within: str = "1 hour",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """(ext) stream-stream inner join with an event-time interval: each
+    left event pairs with right events for the same key that happen in
+    [left_ts, left_ts + within]. Both sides carry watermarks AND the
+    join condition bounds right_ts relative to left_ts — together they
+    let Spark evict buffered state older than (watermark - within), so
+    the join's state store is bounded by the interval, not the stream
+    history. This is the streaming form of the batch range join
+    (operators/joins.q_join_range); same plan fragments run in both
+    modes.
+
+    Output columns: key, l_ts, r_ts, plus non-key left/right columns
+    prefixed l_/r_."""
+    lw = _ensure_watermark(left, left_ts, delay).alias("l")
+    rw = _ensure_watermark(right, right_ts, delay).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
+    )
+    keep = [F.col(f"l.{key}").alias(key), F.col(f"l.{left_ts}").alias("l_ts"), F.col(f"r.{right_ts}").alias("r_ts")]
+    keep += [
+        F.col(f"l.{c}").alias(f"l_{c}") for c in left.columns if c not in (key, left_ts)
+    ]
+    keep += [
+        F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns if c not in (key, right_ts)
+    ]
+    return lw.join(rw, cond, "inner").select(*keep)
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Execute a streaming plan to completion over currently-available
     data (availableNow trigger) into an in-memory table — the test

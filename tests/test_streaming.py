@@ -21,6 +21,7 @@ from grader_etl_spark.streaming.jobs import (
     daily_tumbling_report,
     deduplicated_stream,
     file_stream,
+    interval_join,
     run_to_memory_sink,
     session_activity,
 )
@@ -90,3 +91,42 @@ def test_streaming_session_windows(spark, landing):
     assert len(u1) == 1 and u1[0]["n_events"] == 2
     # u2's events are 22h apart -> two sessions.
     assert len([r for r in rows if r["user_id"] == "u2"]) == 2
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked interval join (runs followed by checks within 1 h)
+    equals the batch join with the identical condition."""
+    run_path = str(tmp_path / "runs")
+    check_path = str(tmp_path / "checks")
+    runs = [
+        ("u1", T0, "run", True),
+        ("u2", T0 + dt.timedelta(hours=2), "run", True),
+        ("u3", T0, "run", False),
+    ]
+    checks = [
+        ("u1", T0 + dt.timedelta(minutes=10), "check", False),  # within 1 h of u1 run
+        ("u1", T0 + dt.timedelta(hours=3), "check", True),      # too late
+        ("u2", T0 + dt.timedelta(hours=2, minutes=30), "check", False),  # within
+        ("u4", T0, "check", True),                              # no matching run
+    ]
+    _land(spark, run_path, runs)
+    _land(spark, check_path, checks)
+
+    joined = interval_join(
+        file_stream(spark, run_path, SCHEMA), file_stream(spark, check_path, SCHEMA)
+    )
+    run_to_memory_sink(joined, "ij_out")
+    got = {
+        (r["user_id"], r["l_ts"], r["r_ts"])
+        for r in spark.sql("SELECT * FROM ij_out").collect()
+    }
+
+    batch = interval_join(
+        spark.read.schema(SCHEMA).parquet(run_path),
+        spark.read.schema(SCHEMA).parquet(check_path),
+    )
+    want = {(r["user_id"], r["l_ts"], r["r_ts"]) for r in batch.collect()}
+    assert got == want == {
+        ("u1", T0, T0 + dt.timedelta(minutes=10)),
+        ("u2", T0 + dt.timedelta(hours=2), T0 + dt.timedelta(hours=2, minutes=30)),
+    }
