@@ -102,6 +102,88 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_profile_columns",
+    oracle="""
+SELECT 'l_quantity' AS column_name,
+       count(*) AS n_rows, count(l_quantity) AS n_nonnull,
+       count(DISTINCT l_quantity) AS n_distinct,
+       CAST(min(l_quantity) AS DOUBLE) AS min_val,
+       CAST(max(l_quantity) AS DOUBLE) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+       count(DISTINCT l_extendedprice),
+       CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), count(l_discount),
+       count(DISTINCT l_discount),
+       CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+FROM lineitem
+""",
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary (row/null/distinct counts, min/max) for
+    three measure columns in ONE scan: a single aggregate computes
+    every per-column metric, then stack() unpivots to one row per
+    column — vs the oracle's three-scan UNION ALL. At 100 TB profiling
+    must not multiply scans by column count; this shape is linear in
+    columns within one pass (exact distincts shuffle per-column
+    states; the documented scale variant swaps in
+    approx_count_distinct)."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    li = load(spark, sf_dir, "lineitem", columns=cols)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__n_rows"),
+            F.count(c).alias(f"{c}__n_nonnull"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).cast("double").alias(f"{c}__min_val"),
+            F.max(c).cast("double").alias(f"{c}__max_val"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n_rows, {c}__n_nonnull, {c}__n_distinct, {c}__min_val, {c}__max_val"
+        for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_rows, n_nonnull, n_distinct, min_val, max_val)"
+        )
+    )
+
+
+@query(
+    "q_null_handling",
+    oracle="""
+SELECT event_id,
+       nullif(event_type, 'error')                         AS et_or_null,
+       coalesce(nullif(event_type, 'error'), 'unknown')    AS et_filled,
+       coalesce(value, -1.0)                               AS val_filled,
+       (value IS NOT NULL)                                 AS has_val,
+       CAST(CASE WHEN value IS NULL THEN 0 ELSE 1 END AS BIGINT) AS val_flag
+FROM events
+""",
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalar breadth: nullif / coalesce / IS NOT NULL /
+    CASE-on-null in one codegen'd projection (the SQL-semantics layer
+    under the reference's hand-rolled None checks, main.py:142-163)."""
+    ev = load(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
+    et_or_null = F.nullif(F.col("event_type"), F.lit("error"))
+    return ev.select(
+        "event_id",
+        et_or_null.alias("et_or_null"),
+        F.coalesce(et_or_null, F.lit("unknown")).alias("et_filled"),
+        F.coalesce(F.col("value"), F.lit(-1.0)).alias("val_filled"),
+        F.col("value").isNotNull().alias("has_val"),
+        F.when(F.col("value").isNull(), 0).otherwise(1).cast("long").alias("val_flag"),
+    )
+
+
+@query(
     "q_datetime_funcs",
     oracle="""
 SELECT o_orderkey,
