@@ -73,6 +73,7 @@ def load_all_operators() -> None:
         text_analysis,
         time_windows,
         tpch_extra,
+        tpch_more,
         unpivot,
         validation,
         windows,
