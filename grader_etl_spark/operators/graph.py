@@ -1,0 +1,119 @@
+"""Graph-shaped operators: connected components over the near-dup pair
+graph — the missing last step of corpus dedup. The pair producers
+(llm_dedup: Jaccard / MinHash-LSH / SimHash) emit EDGES; curation
+needs CLUSTERS, because near-dup similarity is not transitive-closed:
+A~B and B~C must collapse to one keeper even when A~C was never
+emitted. (North-star operator; the reference has no graph surface —
+its only dedup is the keyed insert at main.py:202.)
+
+Scale design: iterative min-label propagation — labels start as each
+vertex's own id; every round each vertex takes the min of its own and
+its neighbors' labels (one join + one groupBy-min per round, both on
+the vertex id). Rounds needed = graph diameter, and near-dup graphs
+are short squat clusters (diameter ≤ a few), not long chains. Each
+round localCheckpoints the label frame so Catalyst never sees an
+O(2^rounds) lineage; on a real cluster this becomes
+``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``. For
+adversarially-deep graphs the round count is bounded by switching to
+the large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond") — same join/agg primitives,
+O(log^2 n) rounds; not needed for dedup workloads.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from grader_etl_spark.io import load
+from grader_etl_spark.operators.llm_dedup import (
+    _JACCARD_THRESHOLD,
+    SHINGLE_K,
+    q_neardup_jaccard,
+)
+from grader_etl_spark.registry import query
+
+_SSET_SQL = f"""
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {SHINGLE_K - 2}, 0)),
+           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+2]
+         )) AS sset
+  FROM documents
+"""
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_rounds: int = 25
+) -> DataFrame:
+    """Min-label propagation to a fixpoint.
+
+    ``vertices``: one column ``id``;  ``edges``: columns ``src``,
+    ``dst`` (directed — pass both directions for an undirected graph).
+    Returns (id, component) where component = min id reachable.
+    """
+    labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint()
+    edges = edges.localCheckpoint()
+    for _ in range(max_rounds):
+        neighbor = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+
+@query(
+    "q_dedup_components",
+    oracle=f"""
+WITH RECURSIVE sh AS ({_SSET_SQL}),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)
+          / (length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)))
+        >= {_JACCARD_THRESHOLD}
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+)
+SELECT doc_id, MIN(label) AS component_id FROM reach GROUP BY doc_id
+""",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the exact-Jaccard
+    pair graph (threshold 0.25), labeling every document with the
+    min doc_id of its cluster — the canonical keeper. Downstream
+    curation keeps ``doc_id == component_id`` rows. The oracle builds
+    the same clusters with a recursive CTE (transitive reachability →
+    min reachable id), proving the propagation loop reaches the true
+    fixpoint, not an early iterate."""
+    pairs = q_neardup_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    edges = pairs.select(
+        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
+    )
+    docs = load(spark, sf_dir, "documents", columns=["doc_id"])
+    comp = connected_components(docs.select(F.col("doc_id").alias("id")), edges)
+    return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("component_id"))

@@ -12,7 +12,7 @@ once per document inside the stage, not re-split per metric.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import fan_out, load
 from grader_etl_spark.registry import query
@@ -312,4 +312,66 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5("text").alias("fp_exact"),
         F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp_normalized"),
+    )
+
+
+@query(
+    "q_tfidf_keywords",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, score, rank
+FROM (
+  SELECT doc_id, term, tf, df,
+         tf * ((n_docs * 1000) // df) AS score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf * ((n_docs * 1000) // df) DESC, term) AS rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+WHERE rank <= 3
+""",
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document. IDF is quantized to the
+    integer ``(N*1000) div df`` so the score is exact arithmetic on
+    both engines — a float ln() would hash-mismatch in the last ulp
+    between libm implementations, and ranking only needs monotonicity
+    in N/df, not the logarithm itself (documented quantization; a
+    production variant would use log and skip the oracle).
+
+    Scale shape: one explode pass builds (doc, term) counts with
+    map-side partial agg; document frequencies are a second tiny agg
+    keyed by term; the join back to per-doc rows shuffles on term
+    (vocab-sized, zipf-skewed — AQE skew split applies); the global N
+    rides in as a 1-row broadcast cross join, never a driver round
+    trip. Per-doc top-3 is a window over the doc key with a
+    deterministic (score desc, term asc) tie-break."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.expr("tf * ((n_docs * 1000) div df)").alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
     )

@@ -61,6 +61,7 @@ def load_all_operators() -> None:
         clustering,
         dedup,
         fuzzy,
+        graph,
         grouped_map,
         joins,
         llm_dedup,
