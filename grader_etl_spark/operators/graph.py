@@ -114,6 +114,19 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst"))
     )
+    # Only edge-touched vertices enter the propagation loop — in a
+    # deduped-enough corpus that's a tiny fraction, so every round's
+    # join/agg runs on the near-dup subgraph, not the whole corpus.
+    # The untouched majority are singleton components by definition
+    # (one anti-join, no iterations). Checkpoint BEFORE deriving the
+    # vertex set, or the whole Jaccard subtree evaluates twice.
+    edges = edges.localCheckpoint()
+    touched = edges.select(F.col("src").alias("id")).distinct()
+    comp = connected_components(touched, edges)
     docs = load(spark, sf_dir, "documents", columns=["doc_id"])
-    comp = connected_components(docs.select(F.col("doc_id").alias("id")), edges)
-    return comp.select(F.col("id").alias("doc_id"), F.col("component").alias("component_id"))
+    singletons = docs.join(
+        comp, docs.doc_id == comp.id, "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("component_id"))
+    return singletons.unionByName(
+        comp.select(F.col("id").alias("doc_id"), F.col("component").alias("component_id"))
+    )
