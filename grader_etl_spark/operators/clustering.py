@@ -40,8 +40,15 @@ def assign(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
 
     The k distances are k independent column expressions over the same
     broadcast-literal centroids; least()/CASE picks the argmin without
-    exploding rows. Ties break to the lowest cluster id."""
-    v = F.transform("embedding", lambda x: x.cast("double"))
+    exploding rows. Ties break to the lowest cluster id.
+
+    If the frame carries a pre-cast `__vd` column (kmeans() caches
+    one), distances read it directly — otherwise Catalyst's projection
+    collapse would inline the float→double transform into all k
+    distance expressions and re-cast the vector k times per row."""
+    v = F.col("__vd") if "__vd" in vectors.columns else F.transform(
+        "embedding", lambda x: x.cast("double")
+    )
     dists = [_sq_dist(v, c).alias(f"_d{i}") for i, c in enumerate(centroids)]
     with_d = vectors.select("*", *dists)
     best = F.least(*[F.col(f"_d{i}") for i in range(len(centroids))])
@@ -57,8 +64,11 @@ def _update(assigned: DataFrame, k: int, dim: int, old: list[list[float]]) -> li
     """New centroid matrix = per-(cluster, dimension) mean. Only k×dim
     aggregated doubles come back to the driver; empty clusters keep
     their previous centroid."""
+    v = F.col("__vd") if "__vd" in assigned.columns else F.transform(
+        "embedding", lambda x: x.cast("double")
+    )
     rows = (
-        assigned.select("cluster", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))))
+        assigned.select("cluster", F.posexplode(v))
         .groupBy("cluster", "pos")
         .agg(F.avg("col").alias("mean"))
         .collect()
@@ -75,17 +85,21 @@ def _update(assigned: DataFrame, k: int, dim: int, old: list[list[float]]) -> li
 def kmeans(vectors: DataFrame, k: int = K, iterations: int = ITERATIONS) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's algorithm with deterministic seeding: initial centroids
     are the k lowest-vec_id vectors (stable across partitioning,
-    unlike random init). Returns (assignments, final centroids)."""
-    seed_rows = (
-        vectors.orderBy("vec_id").limit(k)
-        .select(F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-        .collect()
-    )
+    unlike random init). Returns (assignments, final centroids).
+
+    The input is scanned/decoded ONCE: the float→double vector cast is
+    materialized as a persisted `__vd` column, so each of the
+    iterations' two jobs (assign, update) reads the cached arrays
+    instead of re-decoding parquet and re-casting every round."""
+    vd = vectors.select(
+        "*", F.transform("embedding", lambda x: x.cast("double")).alias("__vd")
+    ).persist()
+    seed_rows = vd.orderBy("vec_id").limit(k).select(F.col("__vd").alias("v")).collect()
     centroids = [list(r["v"]) for r in seed_rows]
     dim = len(centroids[0])
     for _ in range(iterations):
-        centroids = _update(assign(vectors, centroids), k, dim, centroids)
-    return assign(vectors, centroids), centroids
+        centroids = _update(assign(vd, centroids), k, dim, centroids)
+    return assign(vd, centroids).drop("__vd"), centroids
 
 
 @query("q_kmeans_embeddings", oracle=None)  # iterative; not one-statement SQL

@@ -176,3 +176,75 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+IVF_NPROBE = 2
+IVF_TRAIN_ITERS = 3
+
+
+@query("q_ann_ivf", oracle=None)  # approximate + iterative trainer: rows-only + pytest recall
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: the k-means coarse quantizer
+    (clustering.kmeans) partitions the corpus into K cells; each query
+    probes its IVF_NPROBE nearest cells and exact-cosine re-ranks only
+    those cells' vectors. This is the third point on the ANN
+    cost/recall curve alongside brute force (q_ann_cosine: exact,
+    query×corpus) and hyperplane LSH (q_ann_lsh: bucket equi-join):
+    at 100 TB the cell assignment is a write-time partition key, so a
+    probe reads nprobe/K of the corpus — partition pruning does the
+    candidate generation for free at scan time.
+
+    Cell selection is a codegen'd expression: K centroid distances →
+    array of (dist, cell) structs → array_sort → slice nprobe — no
+    UDF, no explode of the full distance matrix. Recall vs the exact
+    baseline is asserted in tests/test_similarity.py."""
+    from grader_etl_spark.operators.clustering import K, kmeans
+
+    emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assigned, centroids = kmeans(emb, k=K, iterations=IVF_TRAIN_ITERS)
+    corpus = with_norm(
+        assigned.select("vec_id", "cluster", _as_double_array(F.col("embedding")).alias("v"))
+    )
+
+    qv = corpus.filter(F.col("vec_id") < N_QUERIES)
+    dist_structs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = qv.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.explode(
+            F.slice(F.array_sort(dist_structs), 1, IVF_NPROBE)
+        ).alias("probe"),
+    ).select("query_id", "qv", "qn", F.col("probe.cell").alias("cell"))
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        corpus.join(
+            F.broadcast(probes),
+            (F.col("cluster") == F.col("cell")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm"))).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -41,3 +41,19 @@ def test_lsh_results_are_true_cosines(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact:
             assert abs(r["cosine"] - exact[key]) < 1e-12
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    from grader_etl_spark.operators.similarity import IVF_NPROBE, q_ann_ivf
+    from grader_etl_spark.operators.clustering import K
+
+    exact = _topk(q_ann_cosine(spark, sf_dir))
+    approx = _topk(q_ann_ivf(spark, sf_dir))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    # Probing nprobe/K of the corpus at random would give ~nprobe/K;
+    # near neighbors concentrate in the query's own cell, so demand
+    # far better than the 2/8 floor.
+    floor = IVF_NPROBE / K
+    assert recall >= max(0.5, 1.5 * floor), f"IVF top-k recall {recall:.2f} too low"
