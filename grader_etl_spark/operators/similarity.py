@@ -202,9 +202,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     assigned, centroids = kmeans(emb, k=K, iterations=IVF_TRAIN_ITERS)
+    # Persist: the cell-assigned corpus feeds the probe computation,
+    # its broadcast, and the candidate join — without this the K
+    # distance/argmin expressions re-evaluate once per consumer.
     corpus = with_norm(
         assigned.select("vec_id", "cluster", _as_double_array(F.col("embedding")).alias("v"))
-    )
+    ).persist()
 
     qv = corpus.filter(F.col("vec_id") < N_QUERIES)
     dist_structs = F.array(
