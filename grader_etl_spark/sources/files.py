@@ -77,3 +77,15 @@ def write_parquet_partitioned(
     """Canonical-store writer: date/key-partitioned parquet so
     downstream date filters prune files (the 100 TB layout)."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — like parquet, self-describing columnar with
+    predicate pushdown and column pruning; supported as an
+    interchange format for ORC-based lakes (Hive heritage)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC writer (zlib default compression)."""
+    df.write.mode(mode).orc(path)

@@ -172,6 +172,23 @@ def interval_join(
     return lw.join(rw, cond, "inner").select(*keep)
 
 
+def enriched_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """(ext) stream-static dimension enrichment: join each streaming
+    micro-batch against a static dimension table. The static side is
+    broadcast, so enrichment adds ZERO streaming state and no shuffle
+    of the stream — the canonical pattern for attaching user/product
+    metadata to an event stream before windowing. The dim frame is
+    re-resolved per micro-batch, so a dimension refreshed in place
+    (overwritten parquet) is picked up without restarting the query.
+    Stream-STREAM joins (both sides moving) are ``interval_join``."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Execute a streaming plan to completion over currently-available
     data (availableNow trigger) into an in-memory table — the test

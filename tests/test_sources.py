@@ -97,3 +97,21 @@ def test_read_csv_permissive_quarantine(spark, tmp_path):
     clean, corrupt = split_corrupt(read_csv(spark, str(p), JSON_SCHEMA))
     assert [(r["a"], r["b"]) for r in clean.collect()] == [(1, "x")]
     assert corrupt.count() == 1
+
+
+def test_orc_roundtrip_pushdown(spark, sf_dir, tmp_path):
+    """ORC write → read roundtrip preserves values and types, and an
+    ORC scan accepts pushed filters like parquet."""
+    from grader_etl_spark.io import load
+    from grader_etl_spark.sources.files import read_orc, write_orc
+
+    src = load(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in src.collect()
+    )
+    plan = back.filter(back.n_nationkey == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_nationkey" in plan

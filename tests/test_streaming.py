@@ -130,3 +130,24 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         ("u1", T0, T0 + dt.timedelta(minutes=10)),
         ("u2", T0 + dt.timedelta(hours=2), T0 + dt.timedelta(hours=2, minutes=30)),
     }
+
+
+def test_enriched_stream_static_broadcast(spark, tmp_path):
+    """Stream-static enrichment: every micro-batch row picks up its
+    dimension attributes; the plan carries no streaming-state operator
+    for the join (broadcast static side)."""
+    from grader_etl_spark.streaming.jobs import enriched_stream
+
+    path = str(tmp_path / "landing_enrich")
+    _land(
+        spark,
+        path,
+        [("u1", T0, "run", True), ("u2", T0, "check", False), ("u3", T0, "run", None)],
+    )
+    dim = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "silver")], "user_id string, tier string"
+    )
+    stream = file_stream(spark, path, SCHEMA)
+    run_to_memory_sink(enriched_stream(stream, dim, on="user_id"), "enriched")
+    rows = {r.user_id: r.tier for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert rows == {"u1": "gold", "u2": "silver", "u3": None}
