@@ -58,6 +58,7 @@ def load_all_operators() -> None:
         analytics,
         arrays,
         asof,
+        behavior,
         clustering,
         dedup,
         fuzzy,
