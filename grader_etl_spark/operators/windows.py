@@ -128,3 +128,36 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+SELECT event_id, user_id,
+       count(*) OVER w24 AS n_events_24h,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w24 AS DOUBLE) AS sum_value_24h
+FROM events
+WINDOW w24 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: RANGE (value-based) frame — each event's trailing-24-hour
+    per-user count and sum, where the frame boundary is event TIME,
+    not row position (rows: q_window_rolling). Both engines order by
+    the integer microsecond epoch so frame membership is exact (an
+    interval-typed frame over float seconds could disagree at
+    boundary microseconds). Same one-shuffle profile as any per-user
+    window; the range frame is evaluated with a sliding two-pointer
+    over each partition slice, not a per-row rescan."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-86_400_000_000, Window.currentRow)
+    )
+    return load(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]).select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_events_24h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_value_24h"),
+    )

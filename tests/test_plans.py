@@ -77,3 +77,40 @@ def test_no_rdd_fallback_anywhere(spark, sf_dir):
             continue
         p = plan_of(spark, sf_dir, name)
         assert "Scan ExistingRDD" not in p, name
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_nation_volume",
+        "q_market_share",
+        "q_returned_revenue",
+        "q_promo_revenue",
+        "q_parts_supplier_count",
+        "q_small_qty_revenue",
+        "q_idle_customers",
+        "q_waiting_suppliers",
+    ],
+)
+def test_tpch_more_dims_broadcast(spark, sf_dir, name):
+    """Every dim/threshold side in the Q7-Q22 shapes must broadcast —
+    a shuffled or sort-merge join of a dim table against the fact
+    spine is a silent 100× shuffle regression."""
+    assert "BroadcastHashJoin" in plan_of(spark, sf_dir, name), name
+
+
+def test_disjunctive_residuals_push_to_both_scans(spark, sf_dir):
+    """Q19 shape: Catalyst must derive single-side residuals from the
+    OR-of-conjuncts — the lineitem scan gets the quantity-range union,
+    the part scan gets the brand/size disjunction. If either scan's
+    PushedFilters loses its Or(...), the join degenerates to
+    filter-after-join over the full scan."""
+    p = plan_of(spark, sf_dir, "q_disjunctive_pushdown")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l and "Or(" in l for l in pushed), pushed
+    assert any("p_brand" in l and "Or(" in l for l in pushed), pushed
+
+
+def test_promo_revenue_date_range_reaches_scan(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q_promo_revenue")
+    assert "GreaterThanOrEqual(l_shipdate,1997-09-01" in p
+    assert "LessThan(l_shipdate,1997-10-01" in p
