@@ -65,3 +65,78 @@ def q_validate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1+F2: the validation gates as one pushed-down filter."""
     valid, _ = split_valid(load(spark, sf_dir, "events"))
     return valid.select("event_id", "user_id", "event_type")
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+SELECT 'orders_custkey_not_null' AS rule,
+       count(CASE WHEN o_custkey IS NULL THEN 1 END) AS violations
+FROM orders
+UNION ALL
+SELECT 'orders_duplicate_pk', count(*) - count(DISTINCT o_orderkey) FROM orders
+UNION ALL
+SELECT 'orders_status_accepted_values',
+       count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+FROM orders
+UNION ALL
+SELECT 'lineitem_discount_in_range',
+       count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END)
+FROM lineitem
+UNION ALL
+SELECT 'orders_orphan_custkey', count(*)
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'lineitem_orphan_orderkey', count(*)
+FROM lineitem
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+""",
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (dbt-test style): not-null,
+    primary-key uniqueness, accepted values, numeric range, and two
+    referential-integrity checks — one row per rule with its violation
+    count, so a scheduler can gate a pipeline on ``violations > 0``
+    (the engine-level form of the reference's per-row gates,
+    main.py:146-163).
+
+    Scale shape: every single-table rule for a table is computed in
+    ONE aggregate pass (null count, count-minus-distinct, accepted
+    values share a scan), then stack() unpivots to rule rows — rules
+    don't multiply scans, exactly like q_profile_columns. The
+    referential checks are broadcast/shuffled anti joins on the key
+    columns only."""
+    orders = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+    cust = load(spark, sf_dir, "customer", columns=["c_custkey"])
+    li = load(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_discount"])
+
+    orders_wide = orders.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("r_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("r_dup"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias("r_vals"),
+    ).select(
+        F.expr(
+            "stack(3, 'orders_custkey_not_null', r_null, "
+            "'orders_duplicate_pk', r_dup, "
+            "'orders_status_accepted_values', r_vals) AS (rule, violations)"
+        )
+    )
+    li_range = li.agg(
+        F.count(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)).alias("v")
+    ).select(F.lit("lineitem_discount_in_range").alias("rule"), F.col("v").alias("violations"))
+    orphan_orders = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("orders_orphan_custkey").alias("rule"), F.col("v").alias("violations"))
+    )
+    orphan_lines = (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("lineitem_orphan_orderkey").alias("rule"), F.col("v").alias("violations"))
+    )
+    return (
+        orders_wide.unionByName(li_range)
+        .unionByName(orphan_orders)
+        .unionByName(orphan_lines)
+    )
