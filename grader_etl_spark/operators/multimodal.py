@@ -146,3 +146,67 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic offsets; oracle mirrors the arithmetic."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     return sample_frames(assets_from_documents(docs))
+
+
+# Resize: transform the payload itself (not just metadata) — the
+# shape of image resizing with the codec stubbed. The fake kernel
+# tiles/truncates the source bytes into a fixed-size frame buffer, a
+# pure function of the payload, so the oracle can recompute it (and
+# its md5) from the text column in SQL.
+RESIZE_TARGET_BYTES = 4096  # "64x64 grayscale"
+
+
+def fake_resize(payload: bytes, target: int = RESIZE_TARGET_BYTES) -> bytes:
+    if not payload:
+        return b"\x00" * target
+    reps = -(-target // len(payload))  # ceil
+    return (payload * reps)[:target]
+
+
+_RESIZE_SCHEMA = "doc_id bigint, resized binary"
+
+
+def resize_assets(assets: DataFrame, target: int = RESIZE_TARGET_BYTES) -> DataFrame:
+    """mapInPandas payload transform: binary in, binary out, schema
+    pinned — the real-resize path would decode, resample, re-encode
+    inside the same kernel (decode_image gates on PIL). No shuffle;
+    output bytes replace input bytes partition-locally."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized": pdf["payload"].map(lambda b: fake_resize(b, target)),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
+@query(
+    "q_multimodal_resize",
+    oracle=f"""
+SELECT doc_id,
+       CAST({RESIZE_TARGET_BYTES} AS BIGINT) AS resized_len,
+       md5(substr(repeat(text, CAST(ceil({RESIZE_TARGET_BYTES}.0 / length(text)) AS INT)),
+                  1, {RESIZE_TARGET_BYTES})) AS resized_md5
+FROM documents
+WHERE length(text) > 0
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing end-to-end: binary payload →
+    mapInPandas transform kernel → new binary column, verified
+    bit-exact by md5 against the oracle's SQL reconstruction (ASCII
+    fixture ⇒ byte ops ≡ char ops). Proves the full
+    binary-in/binary-out Arrow path, not just metadata extraction."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        F.length("text") > 0
+    )
+    resized = resize_assets(assets_from_documents(docs))
+    return resized.select(
+        "doc_id",
+        F.length("resized").cast("long").alias("resized_len"),
+        F.md5("resized").alias("resized_md5"),
+    )
