@@ -251,3 +251,45 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+WITH scaled AS (
+  SELECT vec_id,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+)
+SELECT vec_id,
+       round(maxabs, 6) AS scale6,
+       array_to_string(list_transform(v, x -> CAST(round(x * 127.0 / maxabs) AS INT)), ',') AS q_codes,
+       CAST(list_sum(list_transform(v, x -> abs(CAST(round(x * 127.0 / maxabs) AS INT))))
+            AS BIGINT) AS l1_q
+FROM scaled
+WHERE maxabs > 0
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the storage-ETL pass
+    that cuts a float32 embedding column 4× before writing a corpus
+    (dequantize: x ≈ q * maxabs / 127). Pure higher-order array
+    expressions (transform/array_max/aggregate), fully codegen'd, no
+    UDF, no shuffle at all — a map-only pass, which is exactly what a
+    100 TB re-encode job must be. Both engines compute the identical
+    IEEE double ops, so the quantized codes match bit-exact."""
+    e = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).select(
+        "vec_id", _as_double_array(F.col("embedding")).alias("v")
+    )
+    maxabs = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    e = e.withColumn("maxabs", maxabs).filter(F.col("maxabs") > 0)
+    q = F.transform("v", lambda x: F.round(x * 127.0 / F.col("maxabs")).cast("int"))
+    return e.select(
+        "vec_id",
+        F.round("maxabs", 6).alias("scale6"),
+        F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))).alias("q_codes"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x).cast("long")
+        ).alias("l1_q"),
+    )

@@ -212,3 +212,66 @@ def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(d, 30).cast("timestamp").alias("due_date"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_epoch_start"),
     )
+
+
+@query(
+    "q_zscore_outliers",
+    oracle="""
+WITH stats AS (
+  SELECT event_type,
+         avg(value) AS mu,
+         stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       round((value - mu) / sigma, 4) AS z
+FROM events e JOIN stats USING (event_type)
+WHERE abs(round((value - mu) / sigma, 4)) > 2.5
+""",
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection: group moments via one
+    aggregate, broadcast back (the group-stats frame is
+    |groups|-sized), flag |z| > 2.5. The filter compares the ROUNDED
+    z on both engines so a last-ulp difference in the float moment
+    sums can never flip a boundary row between Spark and the oracle.
+    This normalize-against-group-statistics join-back is the template
+    for standardization feature pipelines at scale: one shuffle for
+    the moments, zero for the apply (broadcast)."""
+    ev = load(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+SELECT (CAST(round(l_extendedprice * 100) AS BIGINT) // 500000) AS bucket,
+       (CAST(round(l_extendedprice * 100) AS BIGINT) // 500000) * 5000 AS bucket_lo,
+       count(*) AS n
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram ($5000 buckets of extended price).
+    Bucketing runs on integer CENTS (round to cents, then integer
+    division) so bucket membership is exact on both engines — a
+    double divide-then-floor could disagree at bucket boundaries.
+    Map-side partial count per bucket means the shuffle carries
+    |buckets| rows per task regardless of input size."""
+    li = load(spark, sf_dir, "lineitem", columns=["l_extendedprice"])
+    bucket = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT) div 500000")
+    return (
+        li.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bucket", (F.col("bucket") * 5000).alias("bucket_lo"), "n")
+    )
