@@ -314,3 +314,63 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 completed: explicit GROUPING SETS (an arbitrary subset
+    lattice, here pair + status + grand total — what rollup/cube can't
+    pick freely) with grouping_id disambiguating real NULLs from
+    subtotal NULLs. Spark plans this as ONE scan + Expand (each row
+    emitted once per set) + a single hash agg — sets don't multiply
+    scans."""
+    o = load(spark, sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "q_argmax",
+    oracle="""
+SELECT user_id,
+       arg_max(event_type, event_id) AS last_type,
+       arg_max(value, event_id)     AS last_value,
+       arg_min(event_type, event_id) AS first_type,
+       max(event_id)                 AS last_event_id
+FROM events
+GROUP BY user_id
+""",
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates (max_by/min_by ≡ DuckDB arg_max/
+    arg_min): per user, the attributes of the highest/lowest-sequence
+    event WITHOUT a row_number window or self-join — one hash
+    aggregate carrying (key, ordering value) pairs, partial-merged
+    map-side. The ordering key is the unique event_id so the winner
+    is total-order deterministic on both engines."""
+    ev = load(spark, sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.max_by("value", "event_id").alias("last_value"),
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max("event_id").alias("last_event_id"),
+    )
