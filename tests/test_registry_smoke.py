@@ -17,6 +17,7 @@ ROWS_ONLY_BY_DESIGN = {
     "q_winnow_fingerprint",  # DuckDB has no crc32; pytest pins exact values
     "q_kmeans_embeddings",  # iterative Lloyd's; invariants in test_clustering.py
     "q_ann_ivf",  # approximate + iterative trainer; recall in test_similarity.py
+    "q_approx_percentiles",  # GK sketch; rank-error bound in test_approx.py
 }
 
 
