@@ -114,3 +114,39 @@ def test_promo_revenue_date_range_reaches_scan(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_promo_revenue")
     assert "GreaterThanOrEqual(l_shipdate,1997-09-01" in p
     assert "LessThan(l_shipdate,1997-10-01" in p
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime Bloom-filter join pruning (AQE companion): with a
+    selective filter on the build side of a shuffle join, Catalyst
+    injects bloom_filter_agg → might_contain on the probe side's scan,
+    cutting shuffled probe rows before the exchange. The size
+    thresholds are lowered here because the fixtures are tiny; at the
+    10GB+ scans this engine targets, the DEFAULT thresholds fire with
+    no configuration. Restores session confs so other tests see the
+    stock profile."""
+    import pyspark.sql.functions as F
+    from grader_etl_spark.io import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]).filter(
+            F.col("o_totalprice") > 400000
+        )
+        li = load(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+        plan = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
