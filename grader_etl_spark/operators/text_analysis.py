@@ -375,3 +375,55 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+@query(
+    "q_vocab_prune",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN df * 10 > n_docs * 3 THEN 0
+                     WHEN df = 1 THEN 0 ELSE tf END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN df * 10 > n_docs * 3 THEN tf ELSE 0 END) AS BIGINT) AS n_pruned_common,
+       CAST(SUM(CASE WHEN df * 10 <= n_docs * 3 AND df = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_pruned_rare
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+GROUP BY doc_id
+""",
+)
+def q_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary pruning (corpus prep): drop corpus-stopwords
+    (document frequency > 30% of docs) and hapax legomena (df = 1),
+    reporting per-doc kept/pruned token counts — the transform side of
+    what q_tfidf_keywords ranks. Thresholds compare integer-rescaled
+    counts (df*10 > N*3), never a float ratio, so bucket membership is
+    engine-exact. Same one-explode scan shape as TF-IDF: (doc, term)
+    counts partial-agg before the shuffle, df is a vocab-sized second
+    agg joined back on term, N rides a 1-row broadcast."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    is_common = F.col("df") * 10 > F.col("n_docs") * 3
+    is_rare = ~is_common & (F.col("df") == 1)
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.when(is_common | is_rare, 0).otherwise(F.col("tf"))).alias("n_kept"),
+            F.sum(F.when(is_common, F.col("tf")).otherwise(0)).alias("n_pruned_common"),
+            F.sum(F.when(is_rare, F.col("tf")).otherwise(0)).alias("n_pruned_rare"),
+        )
+    )
