@@ -179,7 +179,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_NPROBE = 2
-IVF_TRAIN_ITERS = 3
+# Same iteration budget as clustering.ITERATIONS so the IVF index and
+# the standalone k-means query share ONE trained quantizer (the
+# centroid memo keys on (corpus, k, iterations)).
+IVF_TRAIN_ITERS = 5
 
 
 @query("q_ann_ivf", oracle=None)  # approximate + iterative trainer: rows-only + pytest recall
