@@ -188,3 +188,109 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "q_point_in_time",
+    oracle="""
+WITH tl AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM events
+)
+SELECT user_id, state, valid_from
+FROM tl
+WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+""",
+)
+def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) read over the SCD2 history: each
+    user's active state AS OF a pinned instant — the query every
+    feature-store backfill runs to avoid label leakage. One window to
+    build intervals, one filter; with the history stored partitioned
+    by valid_from date, the filter prunes to partitions at/before the
+    as-of instant."""
+    ev = load(spark, sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    at = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    tl = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return tl.filter(
+        (F.col("valid_from") <= at)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > at))
+    ).select("user_id", "state", "valid_from")
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_seen,
+       count(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY user_id
+""",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation with a DETERMINISTIC rendering:
+    collect_set → array_sort → concat_ws (≡ DuckDB string_agg DISTINCT
+    ... ORDER BY). An unsorted listagg is partition-order
+    nondeterministic — the sort is what makes the aggregate
+    reproducible across cluster sizes, which matters more at 1000
+    executors than the O(k log k) per-group cost."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "event_type"])
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types_seen"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
+    "q_max_concurrency",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, min(ts) AS t_start, max(ts) AS t_end
+  FROM events GROUP BY user_id
+),
+pts AS (
+  SELECT t_start AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT t_end, -1 FROM iv
+),
+sweep AS (
+  SELECT t, delta,
+         SUM(delta) OVER (ORDER BY t, delta DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+  FROM pts
+)
+SELECT CAST(max(live) AS BIGINT) AS max_concurrent FROM sweep
+""",
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum number of simultaneously-active users (activity
+    interval = [first event, last event]) via a SWEEP LINE: unpivot
+    each interval to a +1/-1 point, running-sum in time order, take
+    the max. This replaces the quadratic interval self-join — the
+    standard trap — with O(n log n); ends sort after coincident starts
+    (delta DESC) so touching intervals count as concurrent on both
+    engines. The per-user interval agg shuffles once; the sweep's
+    global order runs over ONE point per interval endpoint (2 rows per
+    user, not per event). At 100 TB the sweep shards by coarse time
+    bucket with per-bucket carry-in offsets (a second tiny pass);
+    the fixture-scale plan keeps the single ordered partition."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "ts"])
+    iv = ev.groupBy("user_id").agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
+    pts = iv.select(F.col("t_start").alias("t"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.col("t_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.orderBy(F.col("t"), F.col("delta").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return pts.select(F.sum("delta").over(w).alias("live")).agg(
+        F.max("live").alias("max_concurrent")
+    )
