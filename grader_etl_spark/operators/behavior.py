@@ -294,3 +294,45 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.select(F.sum("delta").over(w).alias("live")).agg(
         F.max("live").alias("max_concurrent")
     )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+WITH gaps AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_seq
+FROM gaps
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT session assignment (gap > 30 min starts a new
+    session): lag to flag session starts, running sum to number them —
+    the island-labeling transform underneath q_session_window's
+    aggregate (which only returns per-session rollups; pipelines
+    usually need the session id ON each event to join features back).
+    Both windows share one (user_id) partitioning — Catalyst plans a
+    single sort+shuffle, the two window functions run in one pass."""
+    ev = load(spark, sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_start = F.when(
+        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_start", is_start)
+        .withColumn(
+            "session_seq",
+            F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .select("event_id", "user_id", "session_seq")
+    )
