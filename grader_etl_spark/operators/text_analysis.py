@@ -427,3 +427,48 @@ def q_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_rare, F.col("tf")).otherwise(0)).alias("n_pruned_rare"),
         )
     )
+
+
+@query(
+    "q_repetition_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         greatest(length(string_split_regex(trim(text), '\\s+')) - 2, 0) AS n_shingles,
+         length(list_distinct(list_transform(
+           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - 1, 0)),
+           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+2]
+         ))) AS n_distinct
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CASE WHEN n_shingles = 0 THEN 0.0
+            ELSE round(1.0 - CAST(n_distinct AS DOUBLE) / n_shingles, 6) END AS dup_ngram_ratio
+FROM t
+""",
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-3-gram fraction per document — the Gopher-style
+    repetition quality rule (boilerplate and looped generations score
+    high; prose scores near 0). Reuses the dedup pipeline's shingle
+    expression: total shingles = max(words-2, 0), distinct via the
+    same zip_with construction q_neardup_jaccard indexes on, so the
+    quality gate and the dedup index price ONE tokenization. Pure
+    column algebra, map-only, no shuffle."""
+    from grader_etl_spark.operators.llm_dedup import shingles
+
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    n_shingles = F.greatest(n_words - 2, F.lit(0)).cast("long")
+    n_distinct = F.size(shingles(F.col("text"))).cast("long")
+    ratio = F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_shingles"), 6)
+    )
+    return (
+        docs.select("doc_id", n_shingles.alias("n_shingles"), n_distinct.alias("n_distinct"))
+        .withColumn("dup_ngram_ratio", ratio)
+    )
