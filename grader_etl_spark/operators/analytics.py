@@ -167,9 +167,16 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     no per-group value materialization. tests/test_approx.py bounds
     its error against the exact interpolated percentiles."""
     li = load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
-    acc = F.lit(10_000)
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", F.lit(0.5), acc).alias("p50"),
-        F.approx_percentile("l_extendedprice", F.lit(0.9), acc).alias("p90"),
-        F.approx_percentile("l_extendedprice", F.lit(0.99), acc).alias("p99"),
+    ps = F.approx_percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10_000)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(ps.alias("ps"))
+        .select(
+            "l_returnflag",
+            F.element_at("ps", 1).alias("p50"),
+            F.element_at("ps", 2).alias("p90"),
+            F.element_at("ps", 3).alias("p99"),
+        )
     )
