@@ -56,3 +56,57 @@ def test_within_day_rows_are_time_sorted(spark, tmp_path):
     path = _store(spark, tmp_path)
     ts = [r["ts"] for r in read_day(spark, path, DAY).select("ts").collect()]
     assert ts == sorted(ts), "rows inside a day file should be time-clustered"
+
+
+def test_zorder_bounds_both_columns(spark, sf_dir, tmp_path):
+    """Z-order vs single-column sort, measured from the real parquet
+    footers: average per-file (max-min)/global_range for the SECOND
+    key must be far tighter under Z-ordering (single-column sort
+    leaves it ~1.0 — every file spans the whole range), while the
+    first key stays usefully bounded."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from grader_etl_spark.io import load
+    from grader_etl_spark.plans.layout import write_zordered
+
+    li = load(spark, sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity"])
+    n_files = 8
+
+    sorted_path = str(tmp_path / "sorted")
+    (
+        li.repartitionByRange(n_files, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(sorted_path)
+    )
+    z_path = str(tmp_path / "zorder")
+    write_zordered(li, z_path, "l_partkey", "l_suppkey", n_files)
+
+    def mean_norm_range(path: str, col: str) -> float:
+        spans, lo, hi = [], [], []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            fmin = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append(fmax - fmin)
+            lo.append(fmin)
+            hi.append(fmax)
+        return (sum(spans) / len(spans)) / max(max(hi) - min(lo), 1)
+
+    # Single-column sort: second key unbounded per file (~1.0).
+    assert mean_norm_range(sorted_path, "l_suppkey") > 0.8
+    # Z-order: BOTH keys bounded well below the full range per file.
+    assert mean_norm_range(z_path, "l_suppkey") < 0.6
+    assert mean_norm_range(z_path, "l_partkey") < 0.6
