@@ -1,0 +1,306 @@
+"""Corpus-filtering operators — the safety/decontamination/mixing
+layer of an LLM training-data pipeline (north star in BASELINE.json;
+no reference equivalent — the reference's only filtering is the
+row-validation gate at main.py:146-163).
+
+Everything here is map-dominant on purpose: PII scrubbing, weighted
+sampling, and per-document scoring are pure column algebra (zero
+shuffle), and the one join in decontamination is against a broadcast
+benchmark set — the shapes that stay linear at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# q_pii_redact — regex PII detection + redaction
+# ---------------------------------------------------------------------------
+
+# Patterns kept to the Java-regex ∩ RE2 common dialect so Spark and
+# DuckDB match identical spans.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+# The synthetic documents contain no PII, so each doc is deterministically
+# augmented with one email, one IP, and one phone derived from doc_id —
+# the detector then provably fires on every row.
+_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com on '"
+    " || '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-867-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _augmented(doc_id: F.Column, text: F.Column) -> F.Column:
+    """Spark twin of _AUG_SQL (Spark spells the cast STRING, not VARCHAR)."""
+    return F.concat(
+        text,
+        F.lit(" contact user"),
+        doc_id.cast("string"),
+        F.lit("@mail.example.com on 10.0."),
+        (doc_id % 256).cast("string"),
+        F.lit(".7 call 555-867-"),
+        F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+    )
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+WITH aug AS (SELECT doc_id, {_AUG_SQL} AS full_text FROM documents)
+SELECT doc_id,
+       CAST(length(regexp_extract_all(full_text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(length(regexp_extract_all(full_text, '{_IPV4_RE}'))  AS BIGINT) AS n_ips,
+       CAST(length(regexp_extract_all(full_text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(full_text,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_IPV4_RE}', '<IP>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM aug
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and redact emails / IPv4s / phone numbers
+    with anchored-order regexp_replace chains (email first so its
+    dotted host can't be half-eaten by the IP pattern). Pure codegen'd
+    column algebra, map-only, no shuffle — the shape a 100 TB scrub
+    must have; swapping in richer patterns (or an NER pandas-UDF) is a
+    local change. Output carries the md5 of the redacted text so the
+    oracle pins the exact rewritten bytes, not just the counts."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    full = _augmented(F.col("doc_id"), F.col("text"))
+    redacted = full
+    for pat, tag in ((_EMAIL_RE, "<EMAIL>"), (_IPV4_RE, "<IP>"), (_PHONE_RE, "<PHONE>")):
+        redacted = F.regexp_replace(redacted, pat, tag)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(full, F.lit(_EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(full, F.lit(_IPV4_RE), 0)).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(full, F.lit(_PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_decontaminate — benchmark n-gram overlap flagging
+# ---------------------------------------------------------------------------
+
+DECON_N = 5  # words per contamination n-gram (GPT-3 used 13; fixture docs are short)
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - {DECON_N - 1}, 0) + 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+         ))) AS gram
+  FROM toks
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_hits
+  FROM grams g JOIN bench USING (gram)
+  WHERE g.doc_id % 20 <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_contaminated_ngrams,
+       COALESCE(h.n_hits, 0) > 0             AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 20 <> 0
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    {DECON_N}-word n-gram with a held-out benchmark set (here: every
+    20th doc stands in for the eval suite). The benchmark's distinct
+    gram set is broadcast — eval suites are MBs against a 100 TB
+    corpus, so the corpus side never shuffles: explode, broadcast-hash
+    probe, partial-agg the hit counts per doc. Grams are distinct per
+    doc on both sides, so n_contaminated_ngrams counts distinct shared
+    grams."""
+    from grader_etl_spark.operators.llm_dedup import shingles
+
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    grams = docs.select("doc_id", F.explode(shingles(F.col("text"), k=DECON_N)).alias("gram"))
+    bench = grams.filter(F.col("doc_id") % 20 == 0).select("gram").distinct()
+    corpus = docs.filter(F.col("doc_id") % 20 != 0).select("doc_id")
+    hits = (
+        grams.filter(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return corpus.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_contaminated_ngrams"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sample_weighted — quality-weighted deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+         least(1.0, CAST(n_chars AS DOUBLE) / 400.0) AS keep_p
+  FROM documents
+)
+SELECT doc_id, source, n_chars, round(keep_p, 4) AS keep_p
+FROM scored
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      <= lower(lpad(to_hex(CAST(floor(keep_p * 4294967295) AS BIGINT)), 8, '0'))
+""",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: each doc is kept with
+    probability proportional to a quality proxy (length capped at 1.0)
+    by comparing its md5 fraction against the per-row threshold — both
+    rendered as 8-hex-char strings, which compare in value order. Like
+    q_sample_hash this is a pure map-side predicate: reproducible
+    under repartitioning/retries (what seeded sample() isn't), zero
+    shuffle, and the acceptance ratio tracks the weight — the
+    importance-sampling primitive for mixing high/low-quality sources
+    into a training corpus."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    keep_p = F.least(F.lit(1.0), F.col("n_chars").cast("double") / 400.0)
+    thresh = F.lower(
+        F.lpad(F.hex(F.floor(keep_p * F.lit(4294967295.0)).cast("long")), 8, "0")
+    )
+    frac = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return (
+        docs.withColumn("keep_p", keep_p)
+        .filter(frac <= thresh)
+        .select("doc_id", "source", "n_chars", F.round("keep_p", 4).alias("keep_p"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_bm25 — BM25 relevance scoring for a fixed query
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("merge", "window", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({", ".join(repr(t) for t in BM25_TERMS)})
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT t.doc_id, t.term, t.tf, f.df,
+       round(
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         * (t.tf * ({BM25_K1} + 1.0))
+         / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl)),
+         4) AS bm25
+FROM tf t
+JOIN dfreq f USING (term)
+JOIN dl d ON t.doc_id = d.doc_id
+CROSS JOIN stats s
+""",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scoring of every document against a fixed query-term set —
+    the retrieval/quality-ranking twin of q_tfidf_keywords. One
+    explode pass feeds both per-doc lengths and per-(doc,term) counts;
+    corpus stats (N, avgdl) ride a 1-row broadcast; document frequency
+    is a terms-sized broadcast. The corpus-side frame never shuffles
+    more than its partial (doc,term) counts. Scores rounded to 4 dp —
+    the ln() differs in the last ulp across libm builds."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    score = idf * (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", "tf", "df", F.round(score, 4).alias("bm25"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_char_entropy — character-distribution profiling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_char_entropy",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents
+),
+counts AS (SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY doc_id, ch)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT)  AS n_chars,
+       CAST(count(*) AS BIGINT)  AS n_distinct_chars,
+       round(log2(CAST(sum(cnt) AS DOUBLE))
+             - sum(cnt * log2(CAST(cnt AS DOUBLE))) / sum(cnt), 4) AS entropy_bits
+FROM counts
+GROUP BY doc_id
+""",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document — the cheap gibberish /
+    binary-junk / repeated-filler detector (low entropy = repetitive,
+    ~4.2 bits = English-like prose). Computed as log2(n) - Σ c·log2(c)/n
+    over per-(doc,char) counts so only integer counts are aggregated
+    (exact partial aggregation); the float log algebra happens once
+    per group at the end, rounded to 4 dp against summation-order
+    ulps. Two cheap shuffles on doc-keyed counts; at 100 TB the first
+    agg partial-combines to ≤|alphabet| rows per doc per task."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    chars = docs.select("doc_id", F.explode(F.regexp_extract_all("text", F.lit("."), 0)).alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    n = F.sum("cnt")
+    return counts.groupBy("doc_id").agg(
+        n.cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.round(
+            F.log2(n.cast("double")) - F.sum(F.col("cnt") * F.log2(F.col("cnt").cast("double"))) / n,
+            4,
+        ).alias("entropy_bits"),
+    )

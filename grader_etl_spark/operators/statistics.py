@@ -275,3 +275,43 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select("bucket", (F.col("bucket") * 5000).alias("bucket_lo"), "n")
     )
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT event_id, e.event_type, value, med, abs(value - med) AS ad
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY event_type)
+SELECT event_id, d.event_type, value,
+       round(0.6745 * (value - d.med) / m.mad, 4) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE abs(round(0.6745 * (value - d.med) / m.mad, 4)) > 2.0
+""",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    heavy-tail-safe twin of q_zscore_outliers (one wild value moves a
+    mean/stddev gate, not a median/MAD gate). Two percentile
+    aggregates (median, then median of absolute deviations), each a
+    tiny per-group state broadcast back to the row stream; the flag
+    compares the ROUNDED modified z-score (0.6745·dev/MAD,
+    Iglewicz-Hoaglin) so a last-ulp interpolation difference can't
+    flip a boundary row between engines."""
+    ev = load(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
+    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
+    rz = F.round(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"), 4)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select("event_id", "event_type", "value", rz.alias("robust_z"))
+        .filter(F.abs(F.col("robust_z")) > 2.0)
+    )

@@ -533,3 +533,45 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q_forecast_revenue",
+    oracle=f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         AS potential_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+  AND CAST(l_shipdate AS DATE) <  DATE '1996-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): a pure
+    filter-and-aggregate with zero joins — the canonical predicate-
+    pushdown + map-side-combine throughput probe. All four predicates
+    reach the parquet scan (shipdate range prunes row groups on
+    min/max footers at scale); the aggregate state is one
+    (decimal, count) pair per task. Discount compares as DECIMAL so
+    the 0.05/0.07 boundaries are exact on both engines."""
+    li = load(
+        spark, sf_dir, "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    d = F.col("l_discount").cast(_DEC)
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.to_date("l_shipdate") < F.lit("1996-01-01").cast("date"))
+            & d.between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC) * d)
+            .cast("double")
+            .alias("potential_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

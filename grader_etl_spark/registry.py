@@ -60,6 +60,7 @@ def load_all_operators() -> None:
         asof,
         behavior,
         clustering,
+        corpus_filters,
         dedup,
         fuzzy,
         graph,
