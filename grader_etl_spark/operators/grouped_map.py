@@ -73,3 +73,81 @@ def q_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_distances(emb).withColumn(
         "dist_to_centroid", F.round("dist_to_centroid", 6)
     )
+
+
+PACK_BUDGET = 1024  # chars per packed training sequence
+
+_PACK_SCHEMA = "source string, doc_id bigint, n_chars bigint, pack_id bigint, pack_fill bigint"
+
+
+def pack_greedy(docs: DataFrame, budget: int = PACK_BUDGET, key: str = "source") -> DataFrame:
+    """Greedy sequential bin packing of documents into fixed-budget
+    training sequences, per group: walk docs in doc_id order, start a
+    new pack whenever the next doc would overflow the budget."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, fills = [], []
+        pack_id, fill = 0, 0
+        first = True
+        for n in pdf["n_chars"]:
+            n = int(n)
+            if first:
+                fill = n
+                first = False
+            elif fill + n <= budget:
+                fill += n
+            else:
+                pack_id += 1
+                fill = n
+            pack_ids.append(pack_id)
+            fills.append(fill)
+        return pd.DataFrame(
+            {
+                "source": pdf[key],
+                "doc_id": pdf["doc_id"],
+                "n_chars": pdf["n_chars"],
+                "pack_id": pack_ids,
+                "pack_fill": fills,
+            }
+        )
+
+    return docs.groupBy(key).applyInPandas(kernel, schema=_PACK_SCHEMA)
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+WITH RECURSIVE ordered AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_chars, rn,
+         CAST(0 AS BIGINT) AS pack_id, n_chars AS pack_fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.doc_id, o.n_chars, o.rn,
+         CASE WHEN p.pack_fill + o.n_chars <= {PACK_BUDGET}
+              THEN p.pack_id ELSE p.pack_id + 1 END,
+         CASE WHEN p.pack_fill + o.n_chars <= {PACK_BUDGET}
+              THEN p.pack_fill + o.n_chars ELSE o.n_chars END
+  FROM packed p JOIN ordered o ON o.source = p.source AND o.rn = p.rn + 1
+)
+SELECT source, doc_id, n_chars, pack_id, pack_fill FROM packed
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (pretraining batch prep): greedily pack each
+    source's documents, in stable doc_id order, into ≤{PACK_BUDGET}-char
+    sequences — the running-fill reset makes this inherently
+    sequential per group, so it is the canonical applyInPandas custom
+    stateful operator: one shuffle on the group key, one Arrow batch
+    and a tight Python loop per group. The oracle replays the same
+    recursion as a DuckDB recursive CTE, so even this non-relational
+    operator is value-checked, not just row-counted. At 100 TB the
+    group key is (source, shard) so each packed stream stays
+    worker-sized; packs never span groups by design."""
+    docs = load(spark, sf_dir, "documents", columns=["source", "doc_id", "n_chars"])
+    return pack_greedy(docs)

@@ -13,7 +13,7 @@ whole-stage codegen.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
@@ -94,5 +94,68 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "n_events",
+        )
+    )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+cal AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       strftime(g.day, '%Y-%m-%d') AS day,
+       (v IS NOT NULL) AS observed,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM (SELECT user_id, day FROM users CROSS JOIN cal) g
+LEFT JOIN daily USING (user_id, day)
+""",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with forward fill: densify each user's daily
+    value series onto the full month grid, then carry the last
+    observation forward (last(ignorenulls) over an expanding frame) —
+    the standard time-series regularization before feature windows.
+    The grid is distinct-users × generated calendar (a dimension
+    crossed with sequence+explode, map-side expansion, no UDF); the
+    fill is one per-user window sort that shares the shuffle the daily
+    aggregate already forced. Day rows per key are bounded by the
+    calendar length, so partitions stay balanced at any corpus size."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "ts", "value"])
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    grid = ev.select("user_id").distinct().crossJoin(cal)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("v").isNotNull().alias("observed"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         )
     )
