@@ -130,3 +130,123 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return singletons.unionByName(
         comp.select(F.col("id").alias("doc_id"), F.col("component").alias("component_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the nation trade-flow graph
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 12
+PR_DAMPING = 0.85
+_N_NATIONS = 25  # the nation dimension is fixed-size at every SF
+
+
+def _pr_edges_sql() -> str:
+    return """
+  SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE cn.n_nationkey <> sn.n_nationkey
+  GROUP BY 1, 2
+"""
+
+
+def _pr_oracle() -> str:
+    """Unrolled fixed-iteration PageRank: r0..r{PR_ITERS} as chained
+    CTEs (DuckDB disallows aggregates in recursive CTEs, and a fixed
+    iterate is what the Spark side computes anyway)."""
+    step = """
+r{i} AS MATERIALIZED (
+  SELECT n.n_name,
+         0.15 + {d} * (COALESCE(c.contrib, 0.0) + COALESCE(
+             (SELECT sum(r.rank) FROM r{p} r LEFT JOIN outw o ON r.n_name = o.src
+              WHERE o.src IS NULL), 0.0) / {n}.0) AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS n_name, sum(r.rank * e.w / o.w_out) AS contrib
+    FROM r{p} r JOIN edges e ON r.n_name = e.src JOIN outw o ON e.src = o.src
+    GROUP BY e.dst
+  ) c ON n.n_name = c.n_name
+)"""
+    chain = ",\n".join(
+        step.format(i=i, p=i - 1, d=PR_DAMPING, n=_N_NATIONS) for i in range(1, PR_ITERS + 1)
+    )
+    return f"""
+WITH edges AS MATERIALIZED ({_pr_edges_sql()}),
+nodes AS (SELECT n_name FROM nation),
+outw AS MATERIALIZED (SELECT src, sum(w) AS w_out FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT n_name, 1.0 AS rank FROM nodes),
+{chain}
+SELECT n_name, round(rank, 6) AS pagerank FROM r{PR_ITERS}
+"""
+
+
+@query("q_pagerank_nations", oracle=_pr_oracle())
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the customer-nation → supplier-nation
+    trade graph (12 fixed iterations, damping 0.85, dangling
+    mass redistributed uniformly). The expensive part — distilling the
+    fact tables into the weighted edge list — is one join tree over
+    lineitem⋈orders⋈customer⋈supplier with broadcast nation dims,
+    aggregated to |V|² edges max and checkpointed ONCE; each iteration
+    is then a join + partial-agg on the edge frame keyed by vertex.
+    At web scale the identical loop runs with the rank frame
+    partitioned by vertex id and edges pre-partitioned on src, so each
+    round is one co-located shuffle (this is how GraphX/Pregel stage
+    it). The oracle replays the same 12 iterates as unrolled
+    CTEs; ranks round to 6 dp (damping contracts float-order noise, so
+    iterates stay far inside the grain)."""
+    li = load(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = load(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = load(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src"))),
+            cust.c_nationkey == F.col("ck"),
+        )
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst"))),
+            supp.s_nationkey == F.col("sk"),
+        )
+        .filter(F.col("ck") != F.col("sk"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("w_out")).localCheckpoint()
+    nodes = nation.select("n_name")
+    ranks = nodes.select("n_name", F.lit(1.0).alias("rank")).localCheckpoint()
+    for _ in range(PR_ITERS):
+        dangling = (
+            ranks.join(outw, ranks.n_name == outw.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            ranks.join(edges, ranks.n_name == edges.src)
+            .join(outw, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("w_out")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.n_name == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "n_name",
+                (
+                    F.lit(0.15)
+                    + F.lit(PR_DAMPING)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("dm") / _N_NATIONS)
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("n_name", F.round("rank", 6).alias("pagerank"))

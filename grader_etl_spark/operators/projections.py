@@ -216,3 +216,50 @@ def q_time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts_text"),
     )
+
+
+@query(
+    "q_complex_types",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       struct_pack(chars := n_chars, lang := lang).chars       AS meta_chars,
+       struct_pack(chars := n_chars, lang := lang).lang        AS meta_lang,
+       MAP(['words'], [CAST(len(toks) AS BIGINT)])['words'][1] AS stats_words,
+       array_to_string(list_slice(toks, 1, 3), ' ')            AS first3,
+       list_contains(toks, 'the')                              AS has_the,
+       list_sort(toks)[1]                                      AS min_token,
+       CAST(len(list_distinct(toks)) AS BIGINT)                AS n_uniq_tokens
+FROM t
+""",
+)
+def q_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type breadth: build struct and map columns, extract
+    fields/values, and exercise the array toolkit (slice / sort /
+    contains / distinct) in one codegen'd projection. The reference
+    has exactly one nested value (the stringly passback map,
+    main.py:94-101); this pins the full complex-type algebra a
+    training-data schema (typed metadata structs, tag maps, token
+    arrays) needs — all JVM-side, map-only, no shuffle. The struct and
+    map are assembled then immediately field-accessed so the oracle
+    compares scalar columns, exercising construction AND extraction."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
+    toks = F.split(F.trim("text"), r"\s+")
+    meta = F.struct(F.col("n_chars").alias("chars"), F.col("lang").alias("lang"))
+    stats = F.map_from_arrays(
+        F.array(F.lit("words")), F.array(F.size(toks).cast("long"))
+    )
+    return docs.select(
+        "doc_id",
+        meta.getField("chars").alias("meta_chars"),
+        meta.getField("lang").alias("meta_lang"),
+        F.element_at(stats, "words").alias("stats_words"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first3"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.element_at(F.array_sort(toks), 1).alias("min_token"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+    )
