@@ -315,3 +315,45 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", rz.alias("robust_z"))
         .filter(F.abs(F.col("robust_z")) > 2.0)
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       round(least(greatest(value, lo), hi), 4) AS value_winsorized,
+       (value < lo OR value > hi)               AS clipped
+FROM events e JOIN bounds USING (event_type)
+""",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip values to the [p5, p95] band —
+    the standard outlier-robust feature transform before training.
+    One percentile aggregate per group (both fractions share one
+    sketch-buffer pass), broadcast back, then a pure map-side clip;
+    output rounded to 4 dp so a last-ulp quantile-interpolation
+    difference can't leak into boundary rows."""
+    ev = load(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
+    ps = F.percentile("value", F.array(F.lit(0.05), F.lit(0.95)))
+    bounds = (
+        ev.groupBy("event_type")
+        .agg(ps.alias("ps"))
+        .select("event_type", F.element_at("ps", 1).alias("lo"), F.element_at("ps", 2).alias("hi"))
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(clipped, 4).alias("value_winsorized"),
+            ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias("clipped"),
+        )
+    )

@@ -472,3 +472,83 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", n_shingles.alias("n_shingles"), n_distinct.alias("n_distinct"))
         .withColumn("dup_ngram_ratio", ratio)
     )
+
+
+@query(
+    "q_inverted_index",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_sort(list(doc_id))[1:10], ',') AS posting_head
+FROM toks
+GROUP BY term
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index (posting list) construction: term → document
+    frequency + the first 10 doc ids of the sorted posting list. One
+    explode pass, distinct (doc,term) pairs partial-agg before the
+    term-keyed shuffle; posting lists materialize per term, so the
+    zipf head (stopword terms) is the skew case — AQE skew-split
+    handles the shuffle, and the output caps the list (real indexes
+    store postings as delta-encoded blocks, never one giant array
+    row). Deterministic: postings sorted before truncation."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
+    ).distinct()
+    return toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.concat_ws(",", F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10)).alias(
+            "posting_head"
+        ),
+    )
+
+
+@query(
+    "q_chunk_dedup_ratio",
+    oracle=f"""
+WITH chunks AS (
+  SELECT md5(substr(text, start, {CHUNK_SIZE})) AS h,
+         length(substr(text, start, {CHUNK_SIZE})) AS nbytes
+  FROM (
+    SELECT text, unnest(generate_series(1, length(text), {CHUNK_STEP})) AS start
+    FROM documents WHERE length(text) > 0
+  )
+)
+, per_hash AS (
+  SELECT h, count(*) AS n, min(nbytes) AS min_nbytes FROM chunks GROUP BY h
+)
+SELECT CAST(sum(n) AS BIGINT)               AS n_chunks,
+       CAST(count(*) AS BIGINT)             AS n_uniq_chunks,
+       CAST(sum(n * min_nbytes) AS BIGINT)  AS total_bytes,
+       CAST(sum(min_nbytes) AS BIGINT)      AS uniq_bytes
+FROM per_hash
+""",
+)
+def q_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed chunk dedup statistics — what block-level
+    storage dedup would save on the corpus: chunk every document with
+    the same grid as q_chunk_documents, fingerprint chunks by md5, and
+    report total vs distinct chunk counts and bytes. The shuffle
+    carries 16-byte hashes plus a length, never chunk payloads."""
+    docs = load(spark, sf_dir, "documents", columns=["text"]).filter(F.length("text") > 0)
+    starts = F.sequence(F.lit(1), F.length("text"), F.lit(CHUNK_STEP))
+    chunk = F.expr(f"substring(text, start, {CHUNK_SIZE})")
+    chunks = docs.select("text", F.explode(starts).alias("start")).select(
+        F.md5(chunk).alias("h"), F.length(chunk).alias("nbytes")
+    )
+    per_hash = chunks.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"), F.min("nbytes").alias("min_nbytes")
+    )
+    return per_hash.agg(
+        F.sum("n").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_uniq_chunks"),
+        F.sum(F.col("n") * F.col("min_nbytes")).cast("long").alias("total_bytes"),
+        F.sum("min_nbytes").cast("long").alias("uniq_bytes"),
+    )
