@@ -159,3 +159,73 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         )
     )
+
+
+EWMA_ALPHA = 0.2
+
+
+@query(
+    "q_ewma",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+),
+ordered AS (
+  SELECT user_id, day, v,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM daily
+),
+ew AS (
+  SELECT user_id, day, v, rn, v AS ewma FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.day, o.v, o.rn, 0.2 * o.v + 0.8 * e.ewma
+  FROM ew e JOIN ordered o ON o.user_id = e.user_id AND o.rn = e.rn + 1
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, v, round(ewma, 6) AS ewma
+FROM ew
+""",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's daily
+    value — the order-dependent recursion (ewma = α·x + (1-α)·prev)
+    that plain windows can't express. Done WITHOUT Python: per user,
+    collect the day-sorted series and run one sequential F.aggregate
+    fold whose accumulator carries (prev, emitted-array), then explode
+    the result — the fold is JVM-side, one shuffle on the user key,
+    and each group's state is just the series (calendar-bounded, so
+    worker-sized). The oracle replays the identical recursion as a
+    recursive CTE; both engines execute the same IEEE op sequence, so
+    6-dp rounding is belt-and-suspenders."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "ts", "value"])
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 4).alias("v")
+    )
+    series = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")
+    )
+    out_t = "array<struct<day:date,v:double,ewma:double>>"
+    init = F.struct(
+        F.lit(None).cast("double").alias("prev"), F.array().cast(out_t).alias("out")
+    )
+
+    def step(acc, x):
+        new = F.when(
+            acc.getField("prev").isNull(), x.getField("v")
+        ).otherwise(F.lit(EWMA_ALPHA) * x.getField("v") + F.lit(1 - EWMA_ALPHA) * acc.getField("prev"))
+        emitted = F.struct(
+            x.getField("day").alias("day"), x.getField("v").alias("v"), new.alias("ewma")
+        )
+        return F.struct(
+            new.alias("prev"), F.concat(acc.getField("out"), F.array(emitted)).alias("out")
+        )
+
+    folded = series.select(
+        "user_id", F.explode(F.aggregate("s", init, step).getField("out")).alias("e")
+    )
+    return folded.select(
+        "user_id",
+        F.date_format(F.col("e.day"), "yyyy-MM-dd").alias("day"),
+        F.col("e.v").alias("v"),
+        F.round("e.ewma", 6).alias("ewma"),
+    )

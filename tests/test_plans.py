@@ -66,7 +66,7 @@ def test_pairwise_ops_never_nested_loop(spark, sf_dir, name):
 # propagation rounds (lineage truncation); a checkpointed frame scans
 # as ExistingRDD by construction — still JVM-columnar data, not a
 # Python RDD fallback.
-_LITERAL_TABLE_OK = {"q_join_range", "q_dedup_components"}
+_LITERAL_TABLE_OK = {"q_join_range", "q_dedup_components", "q_pagerank_nations"}
 
 
 def test_no_rdd_fallback_anywhere(spark, sf_dir):
