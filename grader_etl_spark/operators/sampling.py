@@ -87,3 +87,31 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select("l_returnflag", "l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "q_train_split",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~90/5/5) from the
+    doc-key md5: the first two hex chars partition [0,256) into
+    [0,230)/[230,243)/[243,256) via plain string comparison. Pure
+    map-side, reproducible under any partitioning or re-run, and
+    stable as the corpus grows (a document's split never changes when
+    other documents arrive) — the property row_number()-based splits
+    lack. Leakage-sensitive corpora key the hash on the DEDUP
+    CLUSTER id (q_dedup_components) instead of the doc id so
+    near-duplicates land in the same split."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id"])
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test").alias("split"),
+    )

@@ -357,3 +357,100 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias("clipped"),
         )
     )
+
+
+@query(
+    "q_gini_nations",
+    oracle="""
+WITH cents AS (
+  SELECT c_nationkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS i
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+             / CAST(count(*) * sum(x) AS DOUBLE), 6) AS gini
+FROM cents
+GROUP BY c_nationkey
+""",
+)
+def q_gini_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per customer nation — the
+    inequality/concentration profile of spend. Computed from the
+    rank-weighted form G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) on integer
+    CENTS, so every aggregate is exact 64-bit arithmetic and only the
+    final division is floating — bit-identical across engines (ties
+    don't matter: permuting equal x leaves Σi·x unchanged). One
+    fact-side shuffle for the per-nation rank sort; the aggregates
+    ride the same partitioning."""
+    orders = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    x = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    w = Window.partitionBy("c_nationkey").orderBy("x", "o_orderkey")
+    cents = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_nationkey", "o_orderkey", x.alias("x"))
+        .withColumn("i", F.row_number().over(w))
+    )
+    n = F.count(F.lit(1))
+    return cents.groupBy("c_nationkey").agg(
+        n.cast("long").alias("n_orders"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("x")) - (n + 1) * F.sum("x")).cast("double")
+            / (n * F.sum("x")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q_market_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT s_nationkey,
+         l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, l_suppkey
+)
+SELECT s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(CAST(sum(CAST(r AS DECIMAL(38,8)) * CAST(r AS DECIMAL(38,8))) AS DOUBLE)
+             / (CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE)), 6) AS hhi
+FROM rev
+GROUP BY s_nationkey
+""",
+)
+def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue within each
+    nation: HHI = Σr²/(Σr)² — 1/n for perfect competition, 1.0 for
+    monopoly. Revenue sums stay DECIMAL end-to-end (exact,
+    order-independent); the squares widen to DECIMAL(38,8) before
+    summing so nothing rounds until the single final division. Two
+    aggregates sharing one shuffle key hierarchy: per-(nation,
+    supplier) partial sums, then the nation rollup."""
+    li = load(spark, sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    supp = load(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("r")
+        )
+    )
+    r38 = F.col("r").cast("decimal(38,8)")
+    return rev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.round(
+            F.sum(r38 * r38).cast("double")
+            / (F.sum("r").cast("double") * F.sum("r").cast("double")),
+            6,
+        ).alias("hhi"),
+    )
