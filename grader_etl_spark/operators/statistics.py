@@ -454,3 +454,127 @@ def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi"),
     )
+
+
+@query(
+    "q_trend_slope",
+    oracle="""
+WITH daily AS (
+  SELECT c_nationkey,
+         datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_nationkey,
+       round(regr_slope(y, x), 6)     AS slope,
+       round(regr_intercept(y, x), 6) AS intercept,
+       round(regr_r2(y, x), 6)        AS r2
+FROM daily
+GROUP BY c_nationkey
+""",
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend via the regression-aggregate family
+    (regr_slope / regr_intercept / regr_r2) — OLS as a single-pass
+    mergeable aggregate state (Σx, Σy, Σxy, Σx², n), no matrix math,
+    no second scan. Daily y sums stay DECIMAL (exact) before the
+    float regression; 6-dp rounding absorbs merge-order ulps. The
+    grouped daily agg and the regression share one shuffle key
+    hierarchy."""
+    orders = load(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    daily = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_nationkey",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("x"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("y"))
+    )
+    return daily.groupBy("c_nationkey").agg(
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    )
+
+
+@query(
+    "q_autocorr_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+  FROM daily
+)
+SELECT event_type, round(corr(n, prev_n), 6) AS autocorr_lag1
+FROM lagged
+GROUP BY event_type
+""",
+)
+def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's daily volume — the
+    burstiness/seasonality probe. Window lag + corr aggregate compose
+    directly: the per-type day sort serves the lag, and the corr state
+    (Welford pair moments) merges in one pass. Rounded 6 dp."""
+    ev = load(spark, sf_dir, "events", columns=["event_type", "ts"])
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("prev_n", F.lag("n").over(w))
+    return lagged.groupBy("event_type").agg(
+        F.round(F.corr("n", "prev_n"), 6).alias("autocorr_lag1")
+    )
+
+
+@query(
+    "q_chisq_lang_source",
+    oracle="""
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS DOUBLE) AS o FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT lang, source, o,
+         sum(o) OVER (PARTITION BY lang)   AS rt,
+         sum(o) OVER (PARTITION BY source) AS ct,
+         sum(o) OVER ()                    AS n
+  FROM cells
+)
+SELECT round(sum((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n)), 4) AS chi2,
+       CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+       CAST(sum(o) AS BIGINT) AS n_docs
+FROM tot
+""",
+)
+def q_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the lang × source
+    contingency table — the drift/balance check a corpus-mixing
+    pipeline runs per snapshot (is language independent of source?).
+    One count aggregate builds the cells; row/column/grand totals are
+    unbounded-frame window sums over the TINY cell table (|langs| ×
+    |sources| rows, so the windows cost nothing at any corpus scale);
+    expected counts come from exact integer-derived doubles.
+
+    Cells absent from the data (o = 0) contribute rt·ct/n to the
+    statistic; the fixture grid is fully populated, and the operator
+    documents (rather than densifies) that edge — production use
+    cross-joins the margins first when sparsity matters."""
+    docs = load(spark, sf_dir, "documents", columns=["lang", "source"])
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("double").alias("o"))
+    rt = F.sum("o").over(Window.partitionBy("lang"))
+    ct = F.sum("o").over(Window.partitionBy("source"))
+    n = F.sum("o").over(Window.partitionBy())
+    tot = cells.select("lang", "source", "o", rt.alias("rt"), ct.alias("ct"), n.alias("n"))
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    return tot.agg(
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 4).alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("long").alias("dof"),
+        F.sum("o").cast("long").alias("n_docs"),
+    )
