@@ -304,3 +304,143 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("entropy_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_psi_drift — population stability index between two snapshots
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_psi_drift",
+    oracle="""
+WITH bucketed AS (
+  SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'base' ELSE 'cur' END AS snap,
+         least(greatest(CAST(floor(value / 100.0) AS BIGINT), 0), 9) AS bucket
+  FROM events WHERE value IS NOT NULL
+),
+counts AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN snap = 'base' THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+         CAST(sum(CASE WHEN snap = 'cur'  THEN 1 ELSE 0 END) AS DOUBLE) AS nc
+  FROM bucketed GROUP BY bucket
+),
+tots AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM counts)
+SELECT bucket,
+       CAST(nb AS BIGINT) AS n_base,
+       CAST(nc AS BIGINT) AS n_current,
+       round((((nc + 0.5) / (tc + 5.0)) - ((nb + 0.5) / (tb + 5.0)))
+             * ln(((nc + 0.5) / (tc + 5.0)) / ((nb + 0.5) / (tb + 5.0))), 6) AS psi_term
+FROM counts CROSS JOIN tots
+ORDER BY bucket
+""",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index terms between two time snapshots of
+    the value distribution (first vs second half of the month) — the
+    standard feature-drift monitor; Σ psi_term > 0.2 means the
+    distribution moved. Fixed-width integer bucketing keeps bucket
+    membership exact; both snapshot histograms come from ONE scan
+    (conditional counts per bucket, partial-agg map-side); the totals
+    ride a 1-row broadcast. Per-bucket terms are emitted (the sum is
+    one more agg) so the drilldown — WHICH buckets moved — is free."""
+    ev = load(spark, sf_dir, "events", columns=["ts", "value"]).filter(
+        F.col("value").isNotNull()
+    )
+    snap = F.when(F.to_date("ts") < F.lit("2024-01-16").cast("date"), "base").otherwise("cur")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 100.0).cast("long"), F.lit(0)), F.lit(9)
+    )
+    counts = (
+        ev.select(snap.alias("snap"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("snap") == "base", 1).otherwise(0)).cast("double").alias("nb"),
+            F.sum(F.when(F.col("snap") == "cur", 1).otherwise(0)).cast("double").alias("nc"),
+        )
+    )
+    tots = counts.agg(F.sum("nb").alias("tb"), F.sum("nc").alias("tc"))
+    # Laplace-smoothed shares (0.5 per bucket, 10 buckets) keep empty
+    # buckets finite — the conventional PSI zero-cell guard.
+    pc = (F.col("nc") + 0.5) / (F.col("tc") + 5.0)
+    pb = (F.col("nb") + 0.5) / (F.col("tb") + 5.0)
+    return (
+        counts.crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            F.col("nb").cast("long").alias("n_base"),
+            F.col("nc").cast("long").alias("n_current"),
+            F.round((pc - pb) * F.log(pc / pb), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_term_pmi — pointwise mutual information of term co-occurrence
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_term_pmi",
+    oracle="""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM dt GROUP BY term),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS DOUBLE) AS c_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT term_a, term_b,
+       CAST(c_ab AS BIGINT) AS n_cooccur,
+       round(ln((c_ab * n_docs) / (fa.df * fb.df)), 4) AS pmi
+FROM pairs
+JOIN df fa ON term_a = fa.term
+JOIN df fb ON term_b = fb.term
+CROSS JOIN n
+WHERE c_ab >= 5
+""",
+)
+def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of term pairs co-occurring in a
+    document — the association-mining/phrase-detection primitive
+    (PMI > 0: terms attract; < 0: repel). The pair space is generated
+    by a per-document SELF-JOIN on doc_id over DISTINCT doc-terms, so
+    the blowup is bounded by (terms-per-doc choose 2) per document —
+    never vocab², and never corpus-pairwise; at open-vocab scale the
+    join keys on (doc, term-bucket) to cap the widest documents. Term
+    document-frequencies broadcast back onto the pair counts; a
+    support floor (c_ab ≥ 5) prunes noise pairs before the join."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
+    ).distinct()
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    a, b = dt.alias("a"), dt.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")))
+        .groupBy(F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    fa = dfreq.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    fb = dfreq.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(fa), "term_a")
+        .join(F.broadcast(fb), "term_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("c_ab").cast("long").alias("n_cooccur"),
+            F.round(
+                F.log((F.col("c_ab") * F.col("n_docs")) / (F.col("df_a") * F.col("df_b"))), 4
+            ).alias("pmi"),
+        )
+    )
