@@ -298,3 +298,128 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x).cast("long")
         ).alias("l1_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion: lexical (BM25) ⊕ dense (cosine) retrieval
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_TOP = 20
+
+
+def _rrf_oracle() -> str:
+    from grader_etl_spark.registry import REGISTRY
+
+    bm25_sql = REGISTRY["q_bm25"].oracle
+    return f"""
+WITH text_scores AS (
+  SELECT doc_id, round(sum(bm25), 4) AS text_score
+  FROM ({bm25_sql}) GROUP BY doc_id
+),
+text_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY text_score DESC, doc_id) AS tr
+  FROM text_scores
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+vec_rank AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY round(list_dot_product(v, q)
+                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))), 6) DESC,
+                    vec_id) AS vr
+  FROM e CROSS JOIN qv WHERE vec_id <> 0
+)
+SELECT doc_id,
+       CAST(tr AS BIGINT) AS text_rank,
+       CAST(vr AS BIGINT) AS vec_rank,
+       round(COALESCE(1.0 / ({RRF_K} + tr), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + vr), 0.0), 6) AS rrf
+FROM text_rank FULL OUTER JOIN vec_rank USING (doc_id)
+ORDER BY rrf DESC, doc_id
+LIMIT {RRF_TOP}
+"""
+
+
+@query("q_rank_fusion", oracle=None)  # oracle assigned below (needs q_bm25 registered first)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the lexical
+    ranking (summed BM25 over the fixed query terms) and the dense
+    ranking (cosine to the query vector, doc_id ≡ vec_id) merge as
+    Σ 1/(60 + rank) — rank-space fusion needs no score calibration
+    between the two retrievers, which is why RRF is the default
+    hybrid-search combiner. Both rank windows run over CANDIDATE
+    lists (retriever outputs, thousands of rows at most), so the
+    unpartitioned row_number sort is bounded regardless of corpus
+    size; the full-outer join unions the candidate sets and absent
+    ranks contribute 0. Scores rounded before ranking so engine ulps
+    can't swap adjacent ranks."""
+    from grader_etl_spark.operators.corpus_filters import q_bm25
+
+    text_scores = (
+        q_bm25(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("bm25"), 4).alias("text_score"))
+    )
+    text_rank = text_scores.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("text_score"), F.asc("doc_id")))
+        .cast("long")
+        .alias("tr"),
+    )
+    e = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).select(
+        "vec_id", _as_double_array(F.col("embedding")).alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("q"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    )
+    cos = F.round(dot / (norm(F.col("v")) * norm(F.col("q"))), 6)
+    vec_rank = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cos.alias("cosine"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), F.asc("doc_id")))
+            .cast("long")
+            .alias("vr"),
+        )
+    )
+    fused = (
+        text_rank.join(vec_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("tr").alias("text_rank"),
+            F.col("vr").alias("vec_rank"),
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("tr")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("vr")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(RRF_TOP)
+    )
+    return fused
+
+
+# Late-bind the oracle: q_bm25's SQL is registered by corpus_filters,
+# which load_all_operators imports before this module.
+from grader_etl_spark import registry as _registry  # noqa: E402
+
+_registry.REGISTRY["q_rank_fusion"] = _registry.QuerySpec(
+    name="q_rank_fusion",
+    fn=q_rank_fusion,
+    oracle=_rrf_oracle(),
+    doc=q_rank_fusion.__doc__ or "",
+)
