@@ -552,3 +552,52 @@ def q_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.col("min_nbytes")).cast("long").alias("total_bytes"),
         F.sum("min_nbytes").cast("long").alias("uniq_bytes"),
     )
+
+
+@query(
+    "q_unigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS c FROM tf GROUP BY term),
+tot AS (SELECT sum(c) AS t FROM vocab)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(tf * -ln(c / t)) / sum(tf), 4) AS mean_neg_logprob
+FROM tf JOIN vocab USING (term) CROSS JOIN tot
+GROUP BY doc_id
+""",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean negative log-probability of each document under the
+    corpus unigram model — the cheap perplexity proxy used as an LM
+    quality filter (CCNet-style): typical prose scores near the
+    corpus entropy, keyboard mash and rare-token soup score high.
+    One explode pass → (doc,term) counts; the unigram table is
+    vocab-sized and broadcasts back onto it; the corpus total rides a
+    1-row broadcast. Token counts weight the per-term surprisals so
+    the whole statistic is one grouped sum, rounded 4 dp against
+    summation-order ulps. A production filter swaps the unigram
+    table for a trained KenLM — the join shape is identical."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").cast("double").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))
+    return (
+        tf.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * -F.log(F.col("c") / F.col("t"))) / F.sum("tf"), 4
+            ).alias("mean_neg_logprob"),
+        )
+    )
