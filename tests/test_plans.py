@@ -66,7 +66,12 @@ def test_pairwise_ops_never_nested_loop(spark, sf_dir, name):
 # propagation rounds (lineage truncation); a checkpointed frame scans
 # as ExistingRDD by construction — still JVM-columnar data, not a
 # Python RDD fallback.
-_LITERAL_TABLE_OK = {"q_join_range", "q_dedup_components", "q_pagerank_nations"}
+_LITERAL_TABLE_OK = {
+    "q_join_range",
+    "q_dedup_components",
+    "q_pagerank_nations",
+    "q_entity_resolution",
+}
 
 
 def test_no_rdd_fallback_anywhere(spark, sf_dir):
