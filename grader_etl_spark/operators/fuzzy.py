@@ -103,11 +103,13 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline is value-checked end to end."""
     from grader_etl_spark.operators.graph import connected_components
 
-    pairs = q_fuzzy_match(spark, sf_dir).select("key_a", "key_b")
+    # Checkpoint the PAIRS, not the union: both union branches (and
+    # the touched-vertex derivation) would otherwise re-run the full
+    # blocked levenshtein join once each.
+    pairs = q_fuzzy_match(spark, sf_dir).select("key_a", "key_b").localCheckpoint()
     edges = pairs.select(
         F.col("key_a").alias("src"), F.col("key_b").alias("dst")
     ).unionByName(pairs.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst")))
-    edges = edges.localCheckpoint()
     touched = edges.select(F.col("src").alias("id")).distinct()
     comp = connected_components(touched, edges)
     parts = load(spark, sf_dir, "part", columns=["p_partkey"])

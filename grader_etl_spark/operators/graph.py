@@ -56,6 +56,7 @@ def connected_components(
     """
     labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint()
     edges = edges.localCheckpoint()
+    prev_sum = None
     for _ in range(max_rounds):
         neighbor = (
             edges.join(labels, edges.src == labels.id)
@@ -67,16 +68,14 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        # Convergence witness: labels only ever decrease, so the label
+        # sum strictly decreases iff ANY vertex changed — one tiny
+        # aggregate instead of a per-round join+count.
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
 
 

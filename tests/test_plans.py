@@ -155,3 +155,41 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_gini_nations",
+        "q_market_concentration",
+        "q_trend_slope",
+        "q_bm25",
+        "q_unigram_logprob",
+    ],
+)
+def test_stat_ops_broadcast_small_sides(spark, sf_dir, name):
+    """The dim/vocab/stats side of every statistical operator must
+    broadcast — a shuffled join of a tiny frame against the fact or
+    token stream is the silent scale regression."""
+    assert "BroadcastHashJoin" in plan_of(spark, sf_dir, name), name
+
+
+def test_psi_totals_ride_broadcast(spark, sf_dir):
+    """q_psi_drift's only join is the 1-row totals frame — it must
+    arrive by broadcast (a 1-row nested-loop broadcast is the correct
+    physical plan for a keyless cross join), never an exchange of the
+    bucket counts."""
+    p = plan_of(spark, sf_dir, "q_psi_drift")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_pmi_pair_join_is_hash_join(spark, sf_dir):
+    """The per-document term self-join must plan as an equi hash join
+    on doc_id (term inequality as residual condition), never a
+    cartesian pair blowup. The single BroadcastNestedLoopJoin allowed
+    is the keyless 1-row n_docs cross join."""
+    p = plan_of(spark, sf_dir, "q_term_pmi")
+    assert "CartesianProduct" not in p
+    # formatted plans print each operator twice (tree + detail)
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin" in p
