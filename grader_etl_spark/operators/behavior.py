@@ -336,3 +336,45 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "session_seq")
     )
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY event_type), 6) AS p
+FROM trans
+""",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    per-user lead() pairs adjacent events (one shuffle on user, the
+    same sort every sequence op shares), counts partial-agg map-side,
+    and row-normalization is a window sum over the |states|² matrix —
+    which is tiny at any corpus size, so the normalize step is free.
+    The per-user ordering ties break on event_id, making the pairing
+    deterministic under any partitioning."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    wn = Window.partitionBy("event_type")
+    return trans.select(
+        "event_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
+    )
