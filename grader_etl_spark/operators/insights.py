@@ -1,0 +1,414 @@
+"""Customer/behavioral insight operators — the classic warehouse
+analytics layer a grading/attempt pipeline grows into once the daily
+report (main.py:278-289) stops being enough: segmentation, rank
+correlation, seasonality. All built-in JVM expressions; the only
+shuffles are the per-group aggregations and the per-segment window
+sorts.
+
+Scale notes (100 TB discipline):
+- RFM scores use NTILE partitioned by market segment, so the window
+  sort is per-segment, never a single global sort; at extreme
+  cardinality the documented variant is approx_percentile cutoffs
+  broadcast back (same output contract, sketch-merge instead of sort).
+- Spearman ranks ride per-returnflag window sorts that AQE can split
+  on skew; the correlation itself is a single-pass mergeable state.
+- Seasonality reduces to |days| rows before any window runs — the
+  post-agg frames are calendar-sized, free at any input scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+# Pinned "as of" date for recency: just past the fixtures' order-date
+# range, so recency is a stable positive day count (P6 determinism
+# rule — never current_date in an oracle-checked query).
+RFM_ASOF = "2024-02-01"
+
+
+@query(
+    "q_rfm_segments",
+    oracle=f"""
+WITH base AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '{RFM_ASOF}')
+           AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS monetary
+  FROM orders
+  GROUP BY o_custkey
+), scored AS (
+  SELECT c_custkey, c_mktsegment, recency_days, frequency, monetary,
+         NTILE(5) OVER (PARTITION BY c_mktsegment
+                        ORDER BY recency_days ASC, c_custkey)  AS r_score,
+         NTILE(5) OVER (PARTITION BY c_mktsegment
+                        ORDER BY frequency DESC, c_custkey)    AS f_score,
+         NTILE(5) OVER (PARTITION BY c_mktsegment
+                        ORDER BY monetary DESC, c_custkey)     AS m_score
+  FROM base JOIN customer ON c_custkey = o_custkey
+)
+SELECT c_custkey, c_mktsegment, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS rfm
+FROM scored
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary from
+    the order history, quintile-scored WITHIN market segment (NTILE 5,
+    ties broken by c_custkey so both engines bucket identically).
+
+    Shape: one groupBy(o_custkey) partial-agg, a join to customer
+    (broadcast at fixture scale; key-partitioned at 100 TB), then
+    three NTILE windows sharing the c_mktsegment partitioning — the
+    per-segment sort is the only O(n log n) step and AQE splits a hot
+    segment. Monetary sums go through DECIMAL(18,2) so the aggregate
+    is order-independent (registry value discipline)."""
+    od = load(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    base = od.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ASOF).cast("date"), F.max(F.to_date("o_orderdate"))
+        ).cast("long").alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    seg = Window.partitionBy("c_mktsegment")
+    joined = base.join(cust, base.o_custkey == cust.c_custkey)
+    return joined.select(
+        "c_custkey",
+        "c_mktsegment",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(seg.orderBy(F.asc("recency_days"), F.asc("c_custkey")))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(seg.orderBy(F.desc("frequency"), F.asc("c_custkey")))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(seg.orderBy(F.desc("monetary"), F.asc("c_custkey")))
+        .cast("long")
+        .alias("m_score"),
+    ).withColumn(
+        "rfm",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+@query(
+    "q_spearman_corr",
+    oracle="""
+WITH ranked AS (
+  SELECT l_returnflag,
+         RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           AS qty_rank,
+         RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+           AS price_rank
+  FROM lineitem
+)
+SELECT l_returnflag,
+       ROUND(corr(qty_rank, price_rank), 6) AS spearman,
+       COUNT(*) AS n
+FROM ranked
+GROUP BY l_returnflag
+""",
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per group: monotonic-association
+    probe that Pearson corr (q_stats_agg) misses. RANK() gives tied
+    values identical ranks in both engines (no tie-break needed —
+    determinism comes from rank semantics, not ordering), then one
+    Pearson corr over the rank pairs.
+
+    Both rank windows share the l_returnflag partitioning, so one
+    shuffle + two local sorts; the corr aggregate is a single-pass
+    mergeable moment state. Rounded to 6 dp (moment-merge order)."""
+    li = load(
+        spark, sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    byflag = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.rank().over(byflag.orderBy("l_quantity")).alias("qty_rank"),
+        F.rank().over(byflag.orderBy("l_extendedprice")).alias("price_rank"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.round(F.corr("qty_rank", "price_rank"), 6).alias("spearman"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_seasonality_dow",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           AS revenue
+  FROM orders
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(revenue) AS DECIMAL(38,2)) AS all_rev,
+         COUNT(*) AS all_days
+  FROM daily
+)
+SELECT EXTRACT(dow FROM d) AS dow,
+       COUNT(*) AS n_days,
+       CAST(SUM(revenue) AS DOUBLE) AS dow_revenue,
+       ROUND((CAST(SUM(revenue) AS DOUBLE) / COUNT(*))
+             / (CAST(MAX(all_rev) AS DOUBLE) / MAX(all_days)), 6)
+         AS seasonal_index
+FROM daily CROSS JOIN tot
+GROUP BY 1
+""",
+)
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: mean daily revenue per weekday
+    over the global mean daily revenue (index 1.0 = flat week). DOW
+    pinned to DuckDB's Sunday=0 (q_datetime_funcs convention).
+
+    Shape: orders collapse to |days| rows first (one partial-agg
+    shuffle); the totals frame is ONE row carried by a broadcast-able
+    cross join, and the final 7-row agg is free. All sums ride
+    DECIMAL so both engines see bit-identical numerators; the single
+    double division happens once per output row, rounded to 6 dp."""
+    od = load(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = od.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("revenue")
+    )
+    tot = daily.agg(
+        F.sum("revenue").cast("decimal(38,2)").alias("all_rev"),
+        F.count("*").alias("all_days"),
+    )
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .groupBy((F.dayofweek("d") - 1).cast("long").alias("dow"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("revenue").cast("double").alias("dow_revenue"),
+            F.round(
+                (F.sum("revenue").cast("double") / F.count("*"))
+                / (F.max("all_rev").cast("double") / F.max("all_days")),
+                6,
+            ).alias("seasonal_index"),
+        )
+    )
+
+
+@query(
+    "q_ks_test",
+    oracle="""
+WITH tagged AS (
+  SELECT l_extendedprice AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1
+  FROM lineitem
+  WHERE l_returnflag IN ('R', 'N')
+), tot AS (
+  SELECT CAST(SUM(g1) AS BIGINT) AS n1,
+         CAST(SUM(1 - g1) AS BIGINT) AS n2
+  FROM tagged
+), ecdf AS (
+  SELECT SUM(g1)     OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c1,
+         SUM(1 - g1) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c2
+  FROM tagged
+)
+SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+       ROUND(MAX(ABS(CAST(c1 AS DOUBLE) / n1
+                     - CAST(c2 AS DOUBLE) / n2)), 6) AS d_stat
+FROM ecdf CROSS JOIN tot
+""",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: max ECDF gap between
+    returned ('R') and non-returned ('N') line-item prices — the
+    nonparametric distribution-shift test next to q_psi_drift's
+    binned one.
+
+    Ties are handled by a RANGE (value-based) frame, so every row at
+    the same price sees the same cumulative counts in both engines —
+    determinism from frame semantics, not tie-breaks. Per-row ECDF
+    values are exact-integer divisions (bit-identical IEEE), so only
+    the final max is rounded. The global ORDER BY v window is the
+    scale limit; the documented 100 TB variant computes the gap on an
+    approx_percentile grid (sketch-merge, no global sort)."""
+    li = load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    tagged = li.filter(F.col("l_returnflag").isin("R", "N")).select(
+        F.col("l_extendedprice").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("g1"),
+    )
+    tot = tagged.agg(
+        F.sum("g1").alias("n1"), F.sum(F.lit(1) - F.col("g1")).alias("n2")
+    )
+    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    ecdf = tagged.select(
+        F.sum("g1").over(w).alias("c1"),
+        F.sum(F.lit(1) - F.col("g1")).over(w).alias("c2"),
+    )
+    return ecdf.crossJoin(F.broadcast(tot)).agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("c1").cast("double") / F.col("n1")
+                    - F.col("c2").cast("double") / F.col("n2")
+                )
+            ),
+            6,
+        ).alias("d_stat"),
+    )
+
+
+@query(
+    "q_benford",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+), counted AS (
+  SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (), 6)                       AS observed_share,
+       ROUND(log10(1.0 + 1.0 / digit), 6)               AS benford_share,
+       ROUND(POWER(CAST(n AS DOUBLE) / SUM(n) OVER ()
+                   - log10(1.0 + 1.0 / digit), 2)
+             / log10(1.0 + 1.0 / digit)
+             * SUM(n) OVER (), 4)                       AS chi2_term
+FROM counted
+""",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals: observed vs
+    theoretical log10(1 + 1/d) share plus the per-digit chi-square
+    contribution — the classic synthetic-data / fraud smell test.
+
+    The first significant digit is extracted via exact integer cents
+    (round(x*100) as BIGINT → first char), never log10-of-value, so
+    boundary amounts like 1000.00 can't flip digits between engines.
+    One partial-agg shuffle to 9 rows; the share windows run over the
+    9-row table (free). log10 terms are libm on identical literals —
+    rounded to 6/4 dp per the BM25 precedent."""
+    od = load(spark, sf_dir, "orders", columns=["o_totalprice"])
+    digit = (
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    counted = od.select(digit).groupBy("digit").agg(F.count("*").alias("n"))
+    wall = Window.partitionBy()
+    share = F.col("n").cast("double") / F.sum("n").over(wall)
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counted.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("observed_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(F.pow(share - benford, 2) / benford * F.sum("n").over(wall), 4).alias(
+            "chi2_term"
+        ),
+    )
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+WITH assigned AS (
+  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'A' ELSE 'B' END AS variant,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS converted
+  FROM events
+), cells AS (
+  SELECT COUNT(CASE WHEN variant = 'A' THEN 1 END)                   AS n_a,
+         COUNT(CASE WHEN variant = 'B' THEN 1 END)                   AS n_b,
+         COUNT(CASE WHEN variant = 'A' AND converted = 1 THEN 1 END) AS conv_a,
+         COUNT(CASE WHEN variant = 'B' AND converted = 1 THEN 1 END) AS conv_b
+  FROM assigned
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+       ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+       ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat
+FROM cells
+""",
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic md5 hash split
+    (~50/50 on the first hex nibble, the q_sample_hash scheme): did
+    variant A convert (event_type='purchase') at a different rate
+    than B? The experiment-analysis primitive.
+
+    Everything up to the final formula is exact integer conditional
+    counts in ONE global aggregate (map-side partials, no shuffle of
+    rows, no groupBy — a single 4-counter state). The z formula runs
+    once on the driver-side 1-row frame from identical integers, so
+    division/sqrt are bit-identical IEEE on both engines; rounded to
+    4 dp."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "event_type"])
+    assigned = ev.select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+        )
+        .otherwise("B")
+        .alias("variant"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("converted"),
+    )
+    cells = assigned.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == "A", F.col("converted")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("variant") == "B", F.col("converted")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return cells.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(
+            (rate_a - rate_b)
+            / F.sqrt(
+                pooled
+                * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            ),
+            4,
+        ).alias("z_stat"),
+    )

@@ -65,6 +65,7 @@ def load_all_operators() -> None:
         fuzzy,
         graph,
         grouped_map,
+        insights,
         joins,
         llm_dedup,
         multimodal,
