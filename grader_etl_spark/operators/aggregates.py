@@ -17,7 +17,7 @@ computed in double from already-equal inputs.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.constants import CHECK_TYPE, REPORT_DATE, RUN_TYPE, SUCCESS_TYPE
 from grader_etl_spark.io import load
@@ -373,4 +373,43 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "event_id").alias("last_value"),
         F.min_by("event_type", "event_id").alias("first_type"),
         F.max("event_id").alias("last_event_id"),
+    )
+
+
+@query(
+    "q_mode",
+    oracle="""
+WITH counted AS (
+  SELECT user_id, event_type, COUNT(*) AS mode_cnt
+  FROM events
+  GROUP BY user_id, event_type
+), ranked AS (
+  SELECT user_id, event_type, mode_cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY mode_cnt DESC, event_type) AS rn
+  FROM counted
+)
+SELECT user_id, event_type AS mode_event_type, mode_cnt
+FROM ranked WHERE rn = 1
+""",
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: each user's most frequent event
+    type (ties broken alphabetically — Spark's built-in mode() makes
+    no tie promise, so the engine computes mode as count + top-1,
+    which IS deterministic and what the oracle replays). Complements
+    q_argmax: max_by picks the attribute of an extreme MEASURE; mode
+    picks the most FREQUENT value.
+
+    Shape: partial-agg to (user, type) counts first — the row_number
+    window then runs on the reduced frame and rides the same user_id
+    partitioning, so the mode costs one map-combined shuffle plus a
+    per-user top-1 over ≤5 rows."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "event_type"])
+    counted = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("mode_cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("mode_cnt"), F.asc("event_type"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), "mode_cnt")
     )

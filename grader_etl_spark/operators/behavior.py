@@ -378,3 +378,57 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
     )
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN event_type <> 'purchase' THEN event_id END AS touch_id,
+         CASE WHEN event_type <> 'purchase' THEN event_type END AS touch_type
+  FROM events
+),
+credited AS (
+  SELECT user_id, event_id, event_type,
+         last_value(touch_type IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS channel
+  FROM seq
+)
+SELECT channel, COUNT(*) AS conversions
+FROM credited
+WHERE event_type = 'purchase' AND channel IS NOT NULL
+GROUP BY channel
+""",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to
+    the user's most recent preceding non-purchase event (the
+    marketing-channel question). The carry-forward is
+    last(ignorenulls) over an UNBOUNDED..1-PRECEDING frame — the same
+    engine-side idiom as q_join_asof's as-of carry and q_gap_fill's
+    forward fill, so determinism comes from the (ts, event_id) total
+    order.
+
+    One shuffle by user_id serves the window; purchases then reduce
+    map-side to a |channels|-sized count. Purchases with no prior
+    touch (first event) are unattributed and excluded, matching the
+    oracle's IS NOT NULL."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "event_id", "event_type", "ts"])
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    credited = ev.select(
+        "event_type",
+        F.last(touch, ignorenulls=True).over(w).alias("channel"),
+    )
+    return (
+        credited.filter((F.col("event_type") == "purchase") & F.col("channel").isNotNull())
+        .groupBy("channel")
+        .agg(F.count("*").alias("conversions"))
+    )

@@ -184,27 +184,18 @@ SELECT n_name, round(rank, 6) AS pagerank FROM r{PR_ITERS}
 """
 
 
-@query("q_pagerank_nations", oracle=_pr_oracle())
-def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted PageRank over the customer-nation → supplier-nation
-    trade graph (12 fixed iterations, damping 0.85, dangling
-    mass redistributed uniformly). The expensive part — distilling the
-    fact tables into the weighted edge list — is one join tree over
-    lineitem⋈orders⋈customer⋈supplier with broadcast nation dims,
-    aggregated to |V|² edges max and checkpointed ONCE; each iteration
-    is then a join + partial-agg on the edge frame keyed by vertex.
-    At web scale the identical loop runs with the rank frame
-    partitioned by vertex id and edges pre-partitioned on src, so each
-    round is one co-located shuffle (this is how GraphX/Pregel stage
-    it). The oracle replays the same 12 iterates as unrolled
-    CTEs; ranks round to 6 dp (damping contracts float-order noise, so
-    iterates stay far inside the grain)."""
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer-nation → supplier-nation weighted edge list
+    distilled from the fact tables (the SQL twin is _pr_edges_sql):
+    one join tree over lineitem⋈orders with broadcast dims, reduced
+    to at most |V|² rows and checkpointed so iterative callers don't
+    re-run the join tree per round."""
     li = load(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
     orders = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     supp = load(spark, sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
     nation = load(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
-    edges = (
+    return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -221,6 +212,25 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .localCheckpoint()
     )
+
+
+@query("q_pagerank_nations", oracle=_pr_oracle())
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the customer-nation → supplier-nation
+    trade graph (12 fixed iterations, damping 0.85, dangling
+    mass redistributed uniformly). The expensive part — distilling the
+    fact tables into the weighted edge list — is one join tree over
+    lineitem⋈orders⋈customer⋈supplier with broadcast nation dims,
+    aggregated to |V|² edges max and checkpointed ONCE; each iteration
+    is then a join + partial-agg on the edge frame keyed by vertex.
+    At web scale the identical loop runs with the rank frame
+    partitioned by vertex id and edges pre-partitioned on src, so each
+    round is one co-located shuffle (this is how GraphX/Pregel stage
+    it). The oracle replays the same 12 iterates as unrolled
+    CTEs; ranks round to 6 dp (damping contracts float-order noise, so
+    iterates stay far inside the grain)."""
+    nation = load(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    edges = _trade_edges(spark, sf_dir)
     outw = edges.groupBy("src").agg(F.sum("w").alias("w_out")).localCheckpoint()
     nodes = nation.select("n_name")
     ranks = nodes.select("n_name", F.lit(1.0).alias("rank")).localCheckpoint()
@@ -249,3 +259,97 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return ranks.select("n_name", F.round("rank", 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# Single-source shortest paths (Bellman-Ford, fixed iterations)
+# ---------------------------------------------------------------------------
+
+SP_ITERS = 4
+SP_SOURCE = "FRANCE"
+_SP_INF = 10**15  # unreachable sentinel; far above any 4-hop cost sum
+
+
+def _sp_oracle() -> str:
+    """Unrolled Bellman-Ford: d0..d{SP_ITERS} chained CTEs (same
+    fixed-iterate staging as _pr_oracle; MATERIALIZED or the chain
+    re-expands exponentially)."""
+    step = """
+d{i} AS MATERIALIZED (
+  SELECT p.n_name,
+         LEAST(p.dist, COALESCE(m.best, {inf})) AS dist
+  FROM d{p} p
+  LEFT JOIN (
+    SELECT e.dst AS n_name, MIN(q.dist + e.cost) AS best
+    FROM d{p} q JOIN edges e ON q.n_name = e.src
+    GROUP BY e.dst
+  ) m ON m.n_name = p.n_name
+)"""
+    chain = ",\n".join(step.format(i=i, p=i - 1, inf=_SP_INF) for i in range(1, SP_ITERS + 1))
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT src, dst, CAST(FLOOR(1000000.0 / w) AS BIGINT) AS cost
+  FROM ({_pr_edges_sql()})
+),
+d0 AS MATERIALIZED (
+  SELECT n_name,
+         CAST(CASE WHEN n_name = '{SP_SOURCE}' THEN 0 ELSE {_SP_INF} END
+              AS BIGINT) AS dist
+  FROM nation
+),
+{chain}
+SELECT n_name,
+       CASE WHEN dist >= {_SP_INF} THEN CAST(NULL AS BIGINT) ELSE dist END
+         AS dist
+FROM d{SP_ITERS}
+"""
+
+
+@query("q_shortest_cost_paths", oracle=_sp_oracle())
+def q_shortest_cost_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths over the nation trade graph
+    (Bellman-Ford, SP_ITERS fixed relaxation rounds = paths up to
+    SP_ITERS hops). Edge cost = floor(1e6 / trade volume): heavily
+    traded lanes are cheap, so the result ranks every nation by its
+    cheapest multi-hop trade route from the source — and because
+    costs are exact integers, every min/+ is bit-exact in both
+    engines with no rounding anywhere.
+
+    The edge distillation is the shared _trade_edges join tree
+    (checkpointed once); each relaxation round is one join + min-agg
+    keyed by vertex — the Pregel staging, co-located at scale when
+    the dist frame is hash-partitioned by vertex id. The oracle
+    replays the identical rounds as unrolled MATERIALIZED CTEs."""
+    edges = _trade_edges(spark, sf_dir).select(
+        "src",
+        "dst",
+        F.floor(F.lit(1000000.0) / F.col("w")).cast("long").alias("cost"),
+    ).localCheckpoint()
+    nation = load(spark, sf_dir, "nation", columns=["n_name"])
+    dist = nation.select(
+        "n_name",
+        F.when(F.col("n_name") == SP_SOURCE, F.lit(0))
+        .otherwise(F.lit(_SP_INF))
+        .cast("long")
+        .alias("dist"),
+    ).localCheckpoint()
+    for _ in range(SP_ITERS):
+        best = (
+            dist.join(edges, dist.n_name == edges.src)
+            .groupBy(F.col("dst").alias("bn"))
+            .agg(F.min(F.col("dist") + F.col("cost")).alias("best"))
+        )
+        dist = (
+            dist.join(F.broadcast(best), dist.n_name == F.col("bn"), "left")
+            .select(
+                "n_name",
+                F.least(F.col("dist"), F.coalesce("best", F.lit(_SP_INF))).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    return dist.select(
+        "n_name",
+        F.when(F.col("dist") >= _SP_INF, F.lit(None).cast("long"))
+        .otherwise(F.col("dist"))
+        .alias("dist"),
+    )

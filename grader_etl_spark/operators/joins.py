@@ -177,3 +177,26 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = spark.createDataFrame(_BANDS, "lo double, hi double, band string")
     cond = (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi)
     return part.join(broadcast(bands), cond, "inner").select("p_partkey", "band")
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+SELECT r_name, c_mktsegment
+FROM region
+CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s
+""",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (the one join type J1-J8 skip):
+    region × distinct market segments — the dimension-grid shape used
+    to densify sparse reports (q_gap_fill builds the same grid with
+    sequence+explode). Both sides reduce to a handful of rows BEFORE
+    the product, so the planner picks BroadcastNestedLoopJoin and the
+    blowup is |regions|·|segments|, never fact-sized. Cartesian joins
+    on fact tables stay forbidden at scale — every other operator in
+    the registry that could pair rows (near-dup, fuzzy, PMI) blocks
+    first."""
+    region = load(spark, sf_dir, "region", columns=["r_name"])
+    segs = load(spark, sf_dir, "customer", columns=["c_mktsegment"]).distinct()
+    return region.crossJoin(segs)

@@ -578,3 +578,101 @@ def q_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("dof"),
         F.sum("o").cast("long").alias("n_docs"),
     )
+
+
+@query(
+    "q_theil_index",
+    oracle="""
+WITH base AS (
+  SELECT c_nationkey, CAST(c_acctbal + 1000.0 AS DOUBLE) AS x
+  FROM customer
+),
+mu AS (
+  SELECT c_nationkey,
+         CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS m,
+         COUNT(*) AS n
+  FROM base GROUP BY c_nationkey
+)
+SELECT b.c_nationkey,
+       MAX(n) AS n,
+       ROUND(SUM((x / m) * ln(x / m)) / MAX(n), 4) AS theil_t
+FROM base b JOIN mu USING (c_nationkey)
+GROUP BY b.c_nationkey
+""",
+)
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index per nation over (shifted-positive)
+    account balances — the decomposable inequality measure next to
+    q_gini_nations' rank-based one: T = mean((x/μ)·ln(x/μ)).
+
+    The group mean μ comes from a DECIMAL sum over exact 2-decimal
+    inputs (order-independent numerator), broadcast back onto the
+    rows; each row's term is then identical IEEE in both engines and
+    only the final per-group mean is rounded (4 dp absorbs
+    summation-order ulps — the q_unigram_logprob precedent). Two
+    shuffles: the moments agg and the join-back agg, both keyed by
+    nation."""
+    cust = load(spark, sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    base = cust.select(
+        "c_nationkey", (F.col("c_acctbal") + 1000.0).cast("double").alias("x")
+    )
+    mu = base.groupBy("c_nationkey").agg(
+        (F.sum(F.col("x").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("m"),
+        F.count("*").alias("n"),
+    )
+    return (
+        base.join(F.broadcast(mu), "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(
+                F.sum((F.col("x") / F.col("m")) * F.log(F.col("x") / F.col("m")))
+                / F.max("n"),
+                4,
+            ).alias("theil_t"),
+        )
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+SELECT p_partkey,
+       ABS(p_retailprice - 1000.0)                         AS abs_diff,
+       CEIL(p_retailprice)                                 AS price_ceil,
+       FLOOR(p_retailprice)                                AS price_floor,
+       CAST(SIGN(p_retailprice - 1000.0) AS DOUBLE)        AS price_sign,
+       ROUND(SQRT(p_retailprice), 6)                       AS price_sqrt,
+       ROUND(LN(p_retailprice), 6)                         AS price_ln,
+       ROUND(EXP(CAST(p_size AS DOUBLE) / 25.0), 6)        AS size_exp,
+       ROUND(POWER(p_retailprice, 0.5) * POWER(p_size, 2), 4) AS poly,
+       CAST(p_size % 7 AS BIGINT)                          AS size_mod,
+       ROUND(LOG10(p_retailprice), 6)                      AS price_log10,
+       ROUND(SIN(p_retailprice / 100.0)
+             + COS(p_retailprice / 100.0), 6)              AS trig
+FROM part
+""",
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function breadth (the numeric half of P11): abs / ceil /
+    floor / sign / sqrt / ln / exp / power / modulo / log10 / trig in
+    ONE codegen'd projection — zero shuffles, every function a JVM
+    intrinsic over libm, transcendentals rounded 6 dp (ulp policy).
+    CEIL/FLOOR return BIGINT in DuckDB-compatible form on both
+    sides."""
+    part = load(spark, sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_size"])
+    price = F.col("p_retailprice")
+    return part.select(
+        "p_partkey",
+        F.abs(price - 1000.0).alias("abs_diff"),
+        F.ceil(price).cast("double").alias("price_ceil"),
+        F.floor(price).cast("double").alias("price_floor"),
+        F.signum(price - 1000.0).alias("price_sign"),
+        F.round(F.sqrt(price), 6).alias("price_sqrt"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        F.round(F.exp(F.col("p_size").cast("double") / 25.0), 6).alias("size_exp"),
+        F.round(F.pow(price, 0.5) * F.pow(F.col("p_size"), 2), 4).alias("poly"),
+        (F.col("p_size") % 7).cast("long").alias("size_mod"),
+        F.round(F.log10(price), 6).alias("price_log10"),
+        F.round(F.sin(price / 100.0) + F.cos(price / 100.0), 6).alias("trig"),
+    )

@@ -601,3 +601,82 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_neg_logprob"),
         )
     )
+
+
+@query(
+    "q_bigram_logprob",
+    oracle="""
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         unnest(arr) AS term,
+         unnest(generate_series(1, len(arr))) AS pos
+  FROM arrs
+),
+big AS (
+  SELECT doc_id, term AS w1,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+doc_big AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS n
+  FROM big WHERE w2 IS NOT NULL
+  GROUP BY doc_id, w1, w2
+),
+model AS (
+  SELECT w1, w2, CAST(SUM(n) AS DOUBLE) AS c12 FROM doc_big GROUP BY w1, w2
+),
+starts AS (
+  SELECT w1, CAST(SUM(c12) AS DOUBLE) AS c1 FROM model GROUP BY w1
+)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       round(SUM(n * -ln(c12 / c1)) / SUM(n), 4) AS mean_neg_logprob
+FROM doc_big JOIN model USING (w1, w2) JOIN starts USING (w1)
+GROUP BY doc_id
+""",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean negative log-probability of each document under the
+    corpus BIGRAM model P(w2|w1) = c(w1,w2)/c(w1·) — the
+    order-sensitive upgrade of q_unigram_logprob: shuffled-word soup
+    scores high here even when its unigram mix looks natural (MLE on
+    the training corpus itself, so no unseen-bigram smoothing is
+    needed).
+
+    Shape: one posexplode pass → per-doc adjacent pairs via a lead
+    window keyed by doc (rides the same doc_id partitioning as the
+    per-doc counts that follow); the bigram model and its start
+    totals are vocab²-bounded aggregates that broadcast back onto the
+    per-doc pair counts. Count-weighted surprisal keeps the statistic
+    a single grouped sum, rounded 4 dp against summation-order ulps
+    (the q_unigram_logprob precedent). Docs with < 2 tokens drop out
+    (no bigrams), matching the oracle's WHERE w2 IS NOT NULL."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias(
+            "pos", "term"
+        ),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        "doc_id", F.col("term").alias("w1"), F.lead("term").over(wdoc).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    doc_big = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    model = doc_big.groupBy("w1", "w2").agg(F.sum("n").cast("double").alias("c12"))
+    starts = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        doc_big.join(F.broadcast(model), ["w1", "w2"])
+        .join(F.broadcast(starts), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("n") * -F.log(F.col("c12") / F.col("c1"))) / F.sum("n"), 4
+            ).alias("mean_neg_logprob"),
+        )
+    )

@@ -63,6 +63,7 @@ def load_all_operators() -> None:
         corpus_filters,
         dedup,
         fuzzy,
+        governance,
         graph,
         grouped_map,
         insights,

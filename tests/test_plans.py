@@ -71,6 +71,7 @@ _LITERAL_TABLE_OK = {
     "q_dedup_components",
     "q_pagerank_nations",
     "q_entity_resolution",
+    "q_shortest_cost_paths",
 }
 
 
