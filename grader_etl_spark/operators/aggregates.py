@@ -413,3 +413,45 @@ def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_event_type"), "mode_cnt")
     )
+
+
+@query(
+    "q_pivot_multi",
+    oracle="""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END)     AS view_n,
+       CAST(SUM(CASE WHEN event_type = 'view'
+                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)     AS view_v,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END)    AS click_n,
+       CAST(SUM(CASE WHEN event_type = 'click'
+                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)     AS click_v,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_n,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)     AS purchase_v
+FROM events
+GROUP BY 1
+""",
+)
+def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value (A5 extended):
+    daily event counts AND decimal-exact value sums per event type in
+    one pass. Spark's pivot with a pinned value list compiles to one
+    hash aggregate whose state is |dates| × (3 types × 2 aggs) — no
+    extra shuffle over the plain groupBy, and the pinned list keeps
+    the plan static (no driver-side distinct pre-query). Sums ride
+    DECIMAL then surface as DOUBLE (registry value discipline)."""
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("d"))
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
+        )
+    )
+    return piv.select(
+        "d",
+        F.col("view_n"), F.col("view_v"),
+        F.col("click_n"), F.col("click_v"),
+        F.col("purchase_n"), F.col("purchase_v"),
+    )

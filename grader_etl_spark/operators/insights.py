@@ -412,3 +412,109 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_stat"),
     )
+
+
+@query(
+    "q_audience_overlap",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, COUNT(*) AS n FROM du GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_inter
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT t1, t2, n_inter,
+       s1.n AS n1, s2.n AS n2,
+       ROUND(CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.event_type = t1
+JOIN sizes s2 ON s2.event_type = t2
+""",
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap: Jaccard similarity of USER SETS
+    between every pair of event types — the segment-overlap question
+    (how much do viewers and buyers coincide?). Same set-similarity
+    algebra as the document near-dup family, on the behavioral axis.
+
+    The key move is distinct-first: |types|×|users| rows reduce
+    BEFORE the self-join, and the join is keyed on user_id (shuffle
+    co-location), so intersections are join-hit counts — never a
+    cartesian of users. Output is |types|²-sized. Exact integers
+    until the one rounded division."""
+    du = (
+        load(spark, sf_dir, "events", columns=["event_type", "user_id"])
+        .distinct()
+    )
+    sizes = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = du.select(F.col("event_type").alias("t1"), "user_id")
+    b = du.select(F.col("event_type").alias("t2"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    s1 = sizes.select(F.col("event_type").alias("t1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("event_type").alias("t2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "t1")
+        .join(F.broadcast(s2), "t2")
+        .select(
+            "t1", "t2", "n_inter", "n1", "n2",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "q_anomaly_dow",
+    oracle="""
+WITH daily AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+         EXTRACT(dow FROM CAST(o_orderdate AS DATE)) AS dow,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2
+), stats AS (
+  SELECT dow, AVG(revenue) AS mu, stddev_samp(revenue) AS sigma
+  FROM daily GROUP BY dow
+)
+SELECT d, daily.dow, revenue,
+       ROUND((revenue - mu) / sigma, 4) AS z
+FROM daily JOIN stats USING (dow)
+WHERE ABS(ROUND((revenue - mu) / sigma, 4)) > 1.5
+""",
+)
+def q_anomaly_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted daily-revenue anomalies: each day is
+    z-scored against ITS WEEKDAY's distribution, so a quiet Sunday
+    isn't flagged just for being a Sunday (the time-series upgrade of
+    q_zscore_outliers' static groups). Input collapses to |days| rows
+    before any statistics; the per-DOW stats frame is 7 rows,
+    broadcast back. The filter compares the ROUNDED z on both engines
+    (boundary-row discipline); daily revenues themselves are
+    DECIMAL-exact doubles."""
+    od = load(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    daily = od.groupBy(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("d"),
+        (F.dayofweek(F.to_date("o_orderdate")) - 1).cast("long").alias("dow"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue")
+    )
+    stats = daily.groupBy("dow").agg(
+        F.avg("revenue").alias("mu"), F.stddev_samp("revenue").alias("sigma")
+    )
+    z = F.round((F.col("revenue") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        daily.join(F.broadcast(stats), "dow")
+        .select("d", "dow", "revenue", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 1.5)
+    )

@@ -676,3 +676,88 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log10(price), 6).alias("price_log10"),
         F.round(F.sin(price / 100.0) + F.cos(price / 100.0), 6).alias("trig"),
     )
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       split_part(p_type, ' ', 1)                    AS type_head,
+       split_part(p_type, ' ', 3)                    AS type_tail,
+       reverse(p_brand)                              AS brand_rev,
+       repeat(p_brand, 2)                            AS brand_twice,
+       translate(p_name, 'aeiou', '.....')           AS name_devoweled,
+       CAST(strpos(p_name, 'o') AS BIGINT)           AS first_o,
+       left(p_name, 5)                               AS name_head,
+       right(p_name, 3)                              AS name_tail,
+       replace(p_brand, '#', '-')                    AS brand_dashed,
+       CAST(contains(p_type, 'BRASS') AS BOOLEAN)    AS is_brass
+FROM part
+""",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth beyond P11's case/pad/regex layer:
+    split_part / reverse / repeat / translate / position / left /
+    right / replace / contains in ONE codegen'd projection — zero
+    shuffles, all JVM intrinsics, byte-identical semantics between
+    engines (strpos and instr are both 1-based with 0 for absent)."""
+    part = load(spark, sf_dir, "part", columns=["p_partkey", "p_name", "p_brand", "p_type"])
+    return part.select(
+        "p_partkey",
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(3)).alias("type_tail"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+        F.translate(F.col("p_name"), "aeiou", ".....").alias("name_devoweled"),
+        F.instr(F.col("p_name"), "o").cast("long").alias("first_o"),
+        F.substring(F.col("p_name"), 1, 5).alias("name_head"),
+        F.substring(F.col("p_name"), -3, 3).alias("name_tail"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_dashed"),
+        F.col("p_type").contains("BRASS").alias("is_brass"),
+    )
+
+
+PCTL_DISC_FRACS = (0.25, 0.50, 0.75, 0.95)
+
+
+@query(
+    "q_percentile_disc",
+    oracle=f"""
+WITH ranked AS (
+  SELECT l_returnflag, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag, p, l_quantity AS qty_at_p
+FROM ranked
+CROSS JOIN (VALUES {", ".join(f"({p})" for p in PCTL_DISC_FRACS)}) ps(p)
+WHERE rn = GREATEST(1, CAST(CEIL(p * n) AS BIGINT))
+""",
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (G5's missing half): the value AT rank
+    ceil(p·n) — an actual data value, never interpolated, which is
+    what SLA/latency reporting wants. Row-number by value + one
+    per-group count window share a single shuffle; each requested
+    fraction is a filter against the same ranked frame (ties collapse
+    to identical values, so tie order can't change the answer).
+    ceil(p·n) is the same IEEE double product in both engines."""
+    li = load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    byflag = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(byflag.orderBy("l_quantity")).alias("rn"),
+        F.count(F.lit(1)).over(byflag).alias("n"),
+    )
+    ps = F.explode(F.array(*[F.lit(float(p)) for p in PCTL_DISC_FRACS])).alias("p")
+    return (
+        ranked.select("l_returnflag", "l_quantity", "rn", "n", ps)
+        .filter(
+            F.col("rn")
+            == F.greatest(F.lit(1).cast("long"), F.ceil(F.col("p") * F.col("n")))
+        )
+        .select("l_returnflag", "p", F.col("l_quantity").alias("qty_at_p"))
+    )

@@ -680,3 +680,71 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_neg_logprob"),
         )
     )
+
+
+VOCAB_COVERAGE_KS = (100, 1000, 5000, 20000)
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+WITH tf AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+), counts AS (
+  SELECT term, COUNT(*) AS c FROM tf GROUP BY term
+), ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rnk
+  FROM counts
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS t FROM counts
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(COUNT(CASE WHEN rnk <= k THEN 1 END) AS BIGINT) AS vocab_used,
+       ROUND(CAST(SUM(CASE WHEN rnk <= k THEN c ELSE 0 END) AS BIGINT)
+             / CAST(MAX(t) AS DOUBLE), 6) AS coverage
+FROM ranked
+CROSS JOIN (VALUES {", ".join(f"({k})" for k in VOCAB_COVERAGE_KS)}) ks(k)
+CROSS JOIN tot
+GROUP BY 1
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus tokens
+    the top-k most frequent terms cover, at several candidate vocab
+    sizes — the sizing question every tokenizer build answers first
+    (and the Zipf sanity check next to q_vocab_prune's tail cut).
+
+    One explode pass → term counts (map-combined); the rank window
+    runs over the |vocab|-sized count table ordered (count desc,
+    term) so both engines rank ties identically; coverage sums are
+    exact integers against the corpus total, one rounded division per
+    k. The k-grid rides a literal broadcast cross join."""
+    docs = load(spark, sf_dir, "documents", columns=["text"])
+    counts = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = counts.select(
+        "c", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("term"))).alias("rnk")
+    )
+    tot = counts.agg(F.sum("c").cast("long").alias("t"))
+    ks = F.explode(F.array(*[F.lit(k).cast("long") for k in VOCAB_COVERAGE_KS])).alias("k")
+    return (
+        ranked.select("c", "rnk", ks)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.count(F.when(F.col("rnk") <= F.col("k"), 1)).cast("long").alias("vocab_used"),
+            F.round(
+                F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("c")).otherwise(0)).cast("long")
+                / F.max("t").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )
