@@ -38,8 +38,15 @@ def load(spark: SparkSession, sf_dir: str, table: str, columns: list[str] | None
     TimestampType here (the fixture's values are µs-resolution, so the
     floor-division is lossless)."""
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if table == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # µs-no-tz parquet arrives as TIMESTAMP_NTZ, which Spark 4
+            # rejects in unix_micros()/epoch casts; with the session
+            # timezone pinned to UTC this cast is wall-clock-exact.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if columns:
         df = df.select(*columns)
     return df

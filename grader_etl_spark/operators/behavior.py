@@ -325,8 +325,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events", columns=["event_id", "user_id", "ts"])
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
+    # Interval comparison (not epoch casts): valid for TIMESTAMP and
+    # TIMESTAMP_NTZ alike — Spark 4 forbids a direct NTZ->bigint cast.
     is_start = F.when(
-        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES")), 1
     ).otherwise(0)
     return (
         ev.withColumn("is_start", is_start)

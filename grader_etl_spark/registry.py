@@ -78,6 +78,7 @@ def load_all_operators() -> None:
         text_analysis,
         time_windows,
         tpch_extra,
+        tpch_final,
         tpch_more,
         unpivot,
         validation,
