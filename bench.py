@@ -1,8 +1,15 @@
 """Benchmark harness: runs every registered query at the bench scale
-factor and prints ONE JSON line:
+factor.
 
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q_daily_report": sec, ...}, "sf": 0.1}
+Output contract (the driver keeps only the LAST ~2000 chars of stdout,
+so the final stdout line must be compact):
+
+  * Final stdout line: ONE compact JSON object < 1500 bytes —
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {<10 slowest>: sec, ...}, "sf": 0.1,
+     "n_queries": N, "full": "BENCH_FULL.json"}
+  * Full per-query timings: written to BENCH_FULL.json next to this
+    file (same shape, all queries).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores).
@@ -47,17 +54,32 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "sum of per-query wall seconds, all registered queries, noop sink",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "sum of per-query wall seconds, all registered queries, noop sink",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    # Compact final line: the driver truncates stdout to its tail, so keep
+    # this under 1500 bytes — total + the 10 slowest queries only.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary = {
+        "metric": "sum of per-query wall seconds, all registered queries, noop sink",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf,
+        "n_queries": len(timings),
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) < 1500, f"summary line too long: {len(line)} bytes"
+    print(line)
 
 
 if __name__ == "__main__":
