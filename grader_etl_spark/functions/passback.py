@@ -24,7 +24,7 @@ import json
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import MapType, StringType
 
@@ -59,9 +59,18 @@ def _literal_eval_udf(raw: pd.Series) -> pd.Series:
 
 
 def parse_passback(raw: Column) -> Column:
-    """Hybrid dual-syntax parse: from_json fast path, literal-eval
-    pandas-UDF fallback, `{}` default — order-identical to the
-    reference (JSON first, literal second, empty last)."""
+    """Hybrid dual-syntax parse as a single Column expression: from_json
+    fast path, literal-eval pandas-UDF fallback, `{}` default —
+    order-identical to the reference (JSON first, literal second,
+    empty last).
+
+    SCALE WARNING: Spark extracts pandas UDFs out of `when` branches
+    into an ArrowEvalPython node that evaluates on EVERY input row —
+    the guard selects which result is kept, it does not short-circuit
+    the Python call. Use :func:`with_passback_parsed` (split-union) in
+    anything row-count-bound; this expression form is kept only for
+    expression-level composition on small frames and for tests.
+    """
     fast = F.from_json(raw, _MAP_TYPE)
     slow = _literal_eval_udf(raw)
     empty = F.create_map().cast(_MAP_TYPE)
@@ -70,3 +79,34 @@ def parse_passback(raw: Column) -> Column:
         .when(raw.isNotNull(), F.coalesce(slow, empty))
         .otherwise(empty)
     )
+
+
+def with_passback_parsed(df: "DataFrame", raw_col: str, out_col: str) -> "DataFrame":
+    """Split-union dual-syntax parse: adds ``out_col`` (map<string,string>)
+    parsed from ``df[raw_col]``.
+
+    Row routing (decision order identical to the reference's
+    json.loads → ast.literal_eval → {} at main.py:94-101):
+
+    * fast subset — rows where ``from_json`` succeeds OR the raw string
+      is null: resolved entirely JVM-side (codegen), zero Python.
+    * fallback subset — rows where ``from_json`` returns null on a
+      non-null string (Python-literal syntax, or garbage → `{}`): ONLY
+      these reach the Arrow-batched literal-eval UDF.
+
+    The ArrowEvalPython node's child is the *filtered* frame, so at
+    100 TB the Python/Arrow cost is proportional to the malformed
+    fraction, not the table (pinned by tests/test_plans.py). The input
+    subtree is evaluated once per branch — two parquet scans with
+    identical pushdown, which is far cheaper than one scan plus an
+    all-rows Arrow round-trip.
+    """
+    fast = F.from_json(F.col(raw_col), _MAP_TYPE)
+    empty = F.create_map().cast(_MAP_TYPE)
+    ok = df.filter(fast.isNotNull() | F.col(raw_col).isNull()).withColumn(
+        out_col, F.coalesce(fast, empty)
+    )
+    fallback = df.filter(fast.isNull() & F.col(raw_col).isNotNull()).withColumn(
+        out_col, F.coalesce(_literal_eval_udf(F.col(raw_col)), empty)
+    )
+    return ok.unionByName(fallback)

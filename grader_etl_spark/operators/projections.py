@@ -93,8 +93,12 @@ def q_passback_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python-literal-only syntax (`{"k": 87,}` — the trailing comma is
     legal Python, illegal JSON) before parsing, so those values only
     round-trip if the literal_eval fallback recovers exactly what JSON
-    parsing yields on the original string."""
-    from grader_etl_spark.functions.passback import parse_passback
+    parsing yields on the original string.
+
+    Split-union plan: the literal-eval pandas UDF runs only on the
+    from_json-null subset (the odd-id rows), not the whole table —
+    see functions/passback.py:with_passback_parsed."""
+    from grader_etl_spark.functions.passback import with_passback_parsed
 
     ev = load(spark, sf_dir, "events", columns=["event_id", "props"])
     dual = ev.withColumn(
@@ -103,8 +107,8 @@ def q_passback_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id") % 2 == 1, F.regexp_replace("props", r"\}$", ",}")
         ).otherwise(F.col("props")),
     )
-    return dual.select(
-        "event_id", parse_passback(F.col("raw")).getItem("k").alias("k")
+    return with_passback_parsed(dual, "raw", "parsed").select(
+        "event_id", F.col("parsed").getItem("k").alias("k")
     )
 
 

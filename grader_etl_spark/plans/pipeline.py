@@ -32,7 +32,7 @@ from typing import Callable, Protocol
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Row, SparkSession
 
-from grader_etl_spark.functions.passback import parse_passback
+from grader_etl_spark.functions.passback import with_passback_parsed
 from grader_etl_spark.operators.dedup import first_writer_wins, insert_new_keys_only
 from grader_etl_spark.operators.validation import split_valid
 
@@ -52,8 +52,11 @@ def transform(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     passback_params (serialized dict, either JSON or Python-literal
     syntax), is_correct, attempt_type, created_at.
     """
-    passback = parse_passback(F.col("passback_params"))
-    shaped = raw.select(
+    # Split-union parse: the literal-eval UDF only sees rows from_json
+    # can't handle (functions/passback.py:with_passback_parsed).
+    parsed = with_passback_parsed(raw, "passback_params", "_passback")
+    passback = F.col("_passback")
+    shaped = parsed.select(
         F.col("lti_user_id").alias("user_id"),
         passback.getItem("oauth_consumer_key").alias("oauth_consumer_key"),
         passback.getItem("lis_result_sourcedid").alias("lis_result_sourcedid"),

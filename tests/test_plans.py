@@ -47,6 +47,25 @@ def test_topk_avoids_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "q_topk")
 
 
+def test_passback_udf_sees_only_fallback_rows(spark, sf_dir):
+    """Split-union contract (functions/passback.py:with_passback_parsed):
+    the literal-eval pandas UDF must run only on the from_json-null
+    subset — its ArrowEvalPython node's direct child is the Filter that
+    selects malformed rows, and the fast branch has no Python at all."""
+    p = plan_of(spark, sf_dir, "q_passback_parse")
+    # In the formatted tree, ArrowEvalPython (n)'s child line is the
+    # next line down one indent level — it must be a Filter.
+    tree = p.split("\n\n")[0].splitlines()
+    assert sum("ArrowEvalPython" in l for l in tree) == 1
+    idx = next(i for i, l in enumerate(tree) if "ArrowEvalPython" in l)
+    assert "Filter" in tree[idx + 1], tree[idx + 1]
+    # And that Filter selects exactly the from_json-null, raw-not-null rows.
+    filt = next(
+        b for b in p.split("\n\n") if b.startswith(f"({tree[idx + 1].split('(')[1]}")
+    )
+    assert "isnull(from_json" in filt and "isnotnull(" in filt
+
+
 @pytest.mark.parametrize(
     "name",
     ["q_neardup_jaccard", "q_neardup_minhash", "q_dedup_simhash", "q_neardup_embedding"],
