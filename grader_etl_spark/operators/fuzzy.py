@@ -101,17 +101,14 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded propagation rounds on the edge-touched subgraph). The
     oracle recomputes the closure as a recursive CTE, so the composed
     pipeline is value-checked end to end."""
-    from grader_etl_spark.operators.graph import connected_components
+    from grader_etl_spark.operators.graph import components_from_pairs
 
-    # Checkpoint the PAIRS, not the union: both union branches (and
-    # the touched-vertex derivation) would otherwise re-run the full
-    # blocked levenshtein join once each.
-    pairs = q_fuzzy_match(spark, sf_dir).select("key_a", "key_b").localCheckpoint()
-    edges = pairs.select(
-        F.col("key_a").alias("src"), F.col("key_b").alias("dst")
-    ).unionByName(pairs.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst")))
-    touched = edges.select(F.col("src").alias("id")).distinct()
-    comp = connected_components(touched, edges)
+    # The pair list feeds components_from_pairs directly (no
+    # both-directions doubling, no re-canonicalizing distinct); the
+    # blocked levenshtein join runs exactly once, into the loop's
+    # entry checkpoint.
+    pairs = q_fuzzy_match(spark, sf_dir).select("key_a", "key_b")
+    comp = components_from_pairs(pairs, "key_a", "key_b")
     parts = load(spark, sf_dir, "part", columns=["p_partkey"])
     singletons = parts.join(comp, parts.p_partkey == comp.id, "left_anti").select(
         "p_partkey", F.col("p_partkey").alias("entity_id")

@@ -7,34 +7,83 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from grader_etl_spark.operators.graph import connected_components, q_dedup_components
+from grader_etl_spark.operators.graph import (
+    _star_components,
+    connected_components,
+    q_dedup_components,
+)
 
 
-def _cc(spark, vertex_ids, edge_pairs):
+def _cc(spark, vertex_ids, edge_pairs, fn=connected_components, **kw):
     vertices = spark.createDataFrame([(v,) for v in vertex_ids], "id long")
     sym = [(a, b) for a, b in edge_pairs] + [(b, a) for a, b in edge_pairs]
     edges = spark.createDataFrame(sym or [(None, None)], "src long, dst long").filter(
         F.col("src").isNotNull()
     )
-    rows = connected_components(vertices, edges).collect()
+    rows = fn(vertices, edges, **kw).collect()
     return {r.id: r.component for r in rows}
 
 
-def test_chain_needs_multiple_rounds(spark):
+import pytest
+
+
+@pytest.mark.parametrize("tail", [100_000, 0])
+def test_chain_needs_multiple_rounds(spark, tail):
     # 1-2-3-4-5 chain: label 1 must travel 4 hops; a one-round
-    # implementation would leave 5 labeled 3.
-    got = _cc(spark, [1, 2, 3, 4, 5, 9], [(1, 2), (2, 3), (3, 4), (4, 5)])
+    # implementation would leave 5 labeled 3. tail=100k exercises the
+    # driver union-find finish, tail=0 the distributed contraction.
+    got = _cc(
+        spark, [1, 2, 3, 4, 5, 9], [(1, 2), (2, 3), (3, 4), (4, 5)], tail_threshold=tail
+    )
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 9: 9}
 
 
-def test_two_clusters_and_isolates(spark):
-    got = _cc(spark, [1, 2, 3, 10, 11, 20], [(2, 3), (1, 3), (10, 11)])
+@pytest.mark.parametrize("tail", [100_000, 0])
+def test_two_clusters_and_isolates(spark, tail):
+    got = _cc(
+        spark, [1, 2, 3, 10, 11, 20], [(2, 3), (1, 3), (10, 11)], tail_threshold=tail
+    )
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
 
 
 def test_no_edges(spark):
     got = _cc(spark, [7, 8], [])
     assert got == {7: 7, 8: 8}
+
+
+def test_star_components_basic(spark):
+    # Same shapes as the min-label tests, through the star path only.
+    got = _cc(
+        spark, [1, 2, 3, 10, 11, 20], [(2, 3), (1, 3), (10, 11)], fn=_star_components
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+    assert _cc(spark, [7, 8], [], fn=_star_components) == {7: 7, 8: 8}
+
+
+def test_deep_chain_falls_back_to_star(spark):
+    # A 120-node chain sheds O(1) edges per contraction round, so the
+    # shrink-stall detector must hand off to the alternating-star path
+    # (not spin or raise) and still reach the fixpoint. tail_threshold=0
+    # keeps the driver union-find out of the way.
+    n = 120
+    got = _cc(
+        spark,
+        list(range(n)),
+        [(i, i + 1) for i in range(n - 1)],
+        max_rounds=4,
+        tail_threshold=0,
+    )
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_star_components_deep_chain_direct(spark):
+    # Star rounds are diameter-independent: a 300-node chain converges
+    # well inside the default round budget.
+    n = 300
+    got = _cc(
+        spark, list(range(n)), [(i, i + 1) for i in range(n - 1)], fn=_star_components
+    )
+    assert got == {i: 0 for i in range(n)}
 
 
 def test_dedup_components_invariants(spark, sf_dir):
