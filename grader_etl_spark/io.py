@@ -32,11 +32,18 @@ TABLES = (
 def load(spark: SparkSession, sf_dir: str, table: str, columns: list[str] | None = None) -> DataFrame:
     """Scan one fixture table from ``{sf_dir}/{table}.parquet``.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects; with spark.sql.legacy.parquet.nanosAsLong (session.py) it
-    arrives as epoch-nanos long and is normalized to a microsecond
-    TimestampType here (the fixture's values are µs-resolution, so the
-    floor-division is lossless)."""
+    ``events.ts`` has shipped in two encodings across fixture
+    generations; both are normalized to TimestampType here so every
+    consumer sees one type:
+
+    * timestamp[us] with no timezone — what current TESTDATA produces
+      at all three scales. Arrives as TIMESTAMP_NTZ, which Spark 4
+      rejects in unix_micros()/epoch casts; with the session timezone
+      pinned to UTC the cast to TimestampType is wall-clock-exact.
+    * parquet TIMESTAMP(NANOS) — the legacy encoding. Spark's reader
+      rejects it outright; with spark.sql.legacy.parquet.nanosAsLong
+      (session.py) it arrives as epoch-nanos long and the µs
+      floor-division is lossless at the fixture's µs resolution."""
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
         ts_type = dict(df.dtypes).get("ts")
@@ -76,12 +83,15 @@ def load_events_range(
     the parquet reader.
 
     A filter on the converted TimestampType column cannot be pushed
-    through the timestamp_micros() expression, so the range is applied
-    to the raw epoch-nanos long FIRST — .explain then shows
-    GreaterThanOrEqual/LessThan on ts in PushedFilters, which is what
-    lets row-group statistics (and, on a date-partitioned store,
-    partition pruning) skip data at 100 TB. ``start`` inclusive,
-    ``end`` exclusive, both 'YYYY-MM-DD[ HH:MM:SS]' UTC."""
+    through the timestamp_micros() expression, so on the legacy
+    nanos-long encoding the range is applied to the raw epoch-nanos
+    long FIRST — .explain then shows GreaterThanOrEqual/LessThan on ts
+    in PushedFilters, which is what lets row-group statistics (and, on
+    a date-partitioned store, partition pruning) skip data at 100 TB.
+    On the current timestamp_ntz encoding the literal comparison
+    pushes down as-is. Either way the returned ``ts`` is cast to
+    TimestampType, matching load(). ``start`` inclusive, ``end``
+    exclusive, both 'YYYY-MM-DD[ HH:MM:SS]' UTC."""
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
 
     def nanos(s: str) -> int:
@@ -95,7 +105,7 @@ def load_events_range(
         df = df.filter(
             (F.col("ts") >= F.lit(start).cast("timestamp"))
             & (F.col("ts") < F.lit(end).cast("timestamp"))
-        )
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
     if columns:
         df = df.select(*columns)
     return df

@@ -190,10 +190,12 @@ def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     (or pre-bucketed layouts skip it, plans/bucketing.py), and the
     conditional counts partial-aggregate map-side to 3 rows per
     task."""
+    # Range filter on the raw timestamp column (not to_date(), which
+    # would block parquet predicate pushdown): under UTC, date ∈ 1997
+    # ⇔ ts ∈ [1997-01-01, 1998-01-01).
     li = load(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_shipdate"]).filter(
-        F.to_date("l_shipdate").between(
-            F.lit("1997-01-01").cast("date"), F.lit("1997-12-31").cast("date")
-        )
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     orders = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -246,9 +248,9 @@ def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(
         spark, sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
     ).filter(
-        F.to_date("l_shipdate").between(
-            F.lit("1996-01-01").cast("date"), F.lit("1996-12-31").cast("date")
-        )
+        # raw-timestamp bounds, pushdown-eligible (see q_shipmode_priority)
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     shipped = (
         li.join(F.broadcast(prt), li.l_partkey == prt.p_partkey)
