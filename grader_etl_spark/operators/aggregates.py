@@ -250,15 +250,40 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_approx_distinct", oracle=None)  # approximate: rows-only + pytest tolerance
+@query(
+    "q_approx_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_unique_users,
+       TRUE                    AS approx_within_10pct
+FROM events
+GROUP BY 1
+""",
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++, 1.5% default rsd): the
-    scale path for A4 — one pass, no per-key shuffle state, mergeable
-    sketches. tests/test_approx.py bounds its error against the exact
-    count; engines' HLL implementations differ, so no value oracle."""
+    """approx_count_distinct (HyperLogLog++): the scale path for A4 —
+    one pass, no per-key shuffle state, mergeable sketches. The
+    PRODUCTION aggregate is the sketch alone; here the exact twin
+    rides along so the driver's value compare is a real check — the
+    oracle verifies the exact column and the in-band boolean (engines'
+    HLL implementations differ, so the raw estimate itself can't be
+    cross-checked). tests/test_approx.py additionally bounds the raw
+    sketch error."""
     ev = load(spark, sf_dir, "events", columns=["event_type", "user_id"])
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_unique_users")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_unique_users"),
+            F.approx_count_distinct("user_id").alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_unique_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_unique_users"))
+                <= F.lit(0.10) * F.col("exact_unique_users")
+            ).alias("approx_within_10pct"),
+        )
     )
 
 

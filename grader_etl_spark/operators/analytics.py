@@ -159,24 +159,48 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_percentiles", oracle=None)  # sketch-based: rows-only + pytest bound
+@query(
+    "q_approx_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS exact_p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS exact_p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
+       TRUE AS approx_in_rank_band
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented 100 TB variant of q_percentiles:
-    ``approx_percentile`` (Greenwald-Khanna sketch, relative-error
-    1/accuracy) — single pass, fixed-size mergeable state per group,
-    no per-group value materialization. tests/test_approx.py bounds
-    its error against the exact interpolated percentiles."""
+    ``approx_percentile`` (Greenwald-Khanna sketch, rank error ≤
+    n/accuracy) — single pass, fixed-size mergeable state per group.
+    The PRODUCTION aggregate is the sketch alone; here the exact
+    percentiles ride along so the driver compare is a real value
+    check, and the boolean asserts each sketch answer sits inside the
+    exact ±1%-rank band [q(p-.01), q(p+.01)] — a guaranteed-true
+    envelope at accuracy 10k (rank error ≤ 0.01% ≪ 1%), so the oracle
+    can pin it as literal TRUE. tests/test_approx.py additionally
+    checks the tight n/accuracy rank bound."""
     li = load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
-    ps = F.approx_percentile(
+    fracs = (0.49, 0.5, 0.51, 0.89, 0.9, 0.91, 0.98, 0.99, 0.995)
+    exact = F.percentile("l_extendedprice", F.array(*[F.lit(x) for x in fracs]))
+    approx = F.approx_percentile(
         "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10_000)
+    )
+    in_band = (
+        F.element_at("ap", 1).between(F.element_at("ex", 1), F.element_at("ex", 3))
+        & F.element_at("ap", 2).between(F.element_at("ex", 4), F.element_at("ex", 6))
+        & F.element_at("ap", 3).between(F.element_at("ex", 7), F.element_at("ex", 9))
     )
     return (
         li.groupBy("l_returnflag")
-        .agg(ps.alias("ps"))
+        .agg(exact.alias("ex"), approx.alias("ap"))
         .select(
             "l_returnflag",
-            F.element_at("ps", 1).alias("p50"),
-            F.element_at("ps", 2).alias("p90"),
-            F.element_at("ps", 3).alias("p99"),
+            F.round(F.element_at("ex", 2), 4).alias("exact_p50"),
+            F.round(F.element_at("ex", 5), 4).alias("exact_p90"),
+            F.round(F.element_at("ex", 8), 4).alias("exact_p99"),
+            in_band.alias("approx_in_rank_band"),
         )
     )

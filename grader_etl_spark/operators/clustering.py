@@ -121,7 +121,13 @@ def kmeans(
     return assign(vd, centroids).drop("__vd"), centroids
 
 
-@query("q_kmeans_embeddings", oracle=None)  # iterative; not one-statement SQL
+# No oracle possible: 5 Lloyd iterations of float means — Spark's
+# distributed avg() reduces in partition order, DuckDB's in scan
+# order, and IEEE addition is non-associative, so centroid bits (and
+# boundary assignments) can legitimately differ between engines.
+# Invariants (determinism, assignment optimality, monotone inertia)
+# are pinned in tests/test_clustering.py instead.
+@query("q_kmeans_embeddings", oracle=None)
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster assignment + rounded distance after 5 deterministic
     Lloyd iterations, k=8. Rows-only driver check; the algorithmic

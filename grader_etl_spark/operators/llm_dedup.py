@@ -7,12 +7,15 @@ cross join — even the EXACT Jaccard query generates candidates from a
 shared-shingle inverted index (lossless pruning) and computes
 intersection sizes as join-hit counts; MinHash/LSH banding and SimHash
 prefix-bucketing are the probabilistic variants for corpora where the
-shared-token candidate set itself is too large, pytest-verified
-against the exact output (tests/test_llm_dedup.py).
+shared-token candidate set itself is too large — pytest-verified
+against the exact output (tests/test_llm_dedup.py) AND value-oracled:
+both pipelines are integer-deterministic on the cross-engine md5_32
+base hash (functions/hashing.py), so the DuckDB oracles replay them
+bit-exactly.
 
 No Python UDFs anywhere: shingles, MinHash permutations, SimHash bit
 votes and Hamming distances are all higher-order array expressions
-(crc32/transform/aggregate), so signature computation stays inside
+(md5/conv/transform/aggregate), so signature computation stays inside
 whole-stage codegen.
 """
 
@@ -21,6 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
 from grader_etl_spark.io import fan_out, load
 from grader_etl_spark.registry import query
 
@@ -196,7 +200,10 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", shingle_col: str = "sset") -> DataFrame:
     """64-permutation MinHash signatures: h_j(S) = min over s∈S of
-    (a_j * crc32(s) + b_j) mod p. Returns (id_col, sig array<long>).
+    (a_j * md5_32(s) + b_j) mod p. Returns (id_col, sig array<long>).
+    md5_32 is the cross-engine hash (functions/hashing.py), which is
+    what lets the DuckDB oracle replay the whole LSH pipeline
+    value-exactly; a*h stays < 2^63 (a < 2^31, h < 2^32).
 
     Shape matters here: explode shingles to rows, hash each ONCE, then
     64 ``min`` aggregates over the hash column. A nested
@@ -206,7 +213,7 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", shingle_col: str =
     explode+groupBy form hashes once, partial-aggregates map-side, and
     shuffles only 64 longs per document."""
     hashed = sh.select(id_col, F.explode(shingle_col).alias("s")).select(
-        id_col, F.crc32(F.col("s").cast("binary")).alias("h")
+        id_col, md5_32(F.col("s")).alias("h")
     )
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE_P).alias(f"mh{j}")
@@ -244,12 +251,76 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-@query("q_neardup_minhash", oracle=None)  # approximate candidates: rows-only + pytest recall
+def _minhash_oracle() -> str:
+    """DuckDB replay of the full MinHash+LSH pipeline. Every stage is
+    integer-deterministic (md5_32 base hash, affine perms mod p, band
+    strings, equi-join, exact-Jaccard verify), so the oracle is a true
+    value check, not a recall bound. The 64 MIN aggregates and 16 band
+    strings are generated from the same _PERM_A/_PERM_B/_MERSENNE_P
+    constants the Spark side uses."""
+    rows = MINHASH_PERMS // LSH_BANDS
+    h = MD5_32_SQL.format(expr="s")
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {_MERSENNE_P}) AS mh{j}"
+        for j, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    )
+    bands = ",\n      ".join(
+        f"CONCAT_WS(',', '{i}', "
+        + ", ".join(f"mh{i * rows + r}" for r in range(rows))
+        + ")"
+        for i in range(LSH_BANDS)
+    )
+    jac = (
+        "CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)"
+        " / (length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)))"
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {SHINGLE_K - 2}, 0)),
+           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+2]
+         )) AS sset
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, {h} AS h
+  FROM (SELECT doc_id, unnest(sset) AS s FROM sh)
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+buckets AS (
+  SELECT doc_id, unnest([
+      {bands}
+  ]) AS bucket
+  FROM sig
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.doc_id_1, c.doc_id_2, {jac} AS jaccard
+FROM cands c
+JOIN sh a ON a.doc_id = c.doc_id_1
+JOIN sh b ON b.doc_id = c.doc_id_2
+WHERE {jac} >= {_JACCARD_THRESHOLD}
+"""
+
+
+@query("q_neardup_minhash", oracle=_minhash_oracle())
 def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: shingle → 64-perm signature → 16-band
     buckets → candidate equi-join → exact-Jaccard verification of
     candidates only. Output shape matches q_neardup_jaccard; recall
-    against it is asserted in tests/test_llm_dedup.py."""
+    against it is asserted in tests/test_llm_dedup.py, and the DuckDB
+    oracle (_minhash_oracle) replays the identical integer pipeline
+    end to end — the md5_32 cross-engine base hash is what makes the
+    signatures engine-portable."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     # Consumed by the signature pass and both exact-verify branches.
     sh = docs.select("doc_id", shingles(F.col("text")).alias("sset")).persist()
@@ -277,13 +348,13 @@ SIMHASH_BITS = 32
 
 
 def simhash(text: Column) -> Column:
-    """32-bit SimHash over word crc32s: per bit, the sign of the ±1
-    vote sum across tokens; bits packed into a long.
+    """32-bit SimHash over word md5_32 hashes: per bit, the sign of
+    the ±1 vote sum across tokens; bits packed into a long.
 
     The bit loop is a Python-side loop over 32 fixed masks (shift
     amounts must be Python ints in Spark), emitting one aggregate
     lambda per bit — still a single codegen'd projection."""
-    hashes = F.transform(F.split(F.trim(text), r"\s+"), lambda t: F.crc32(t.cast("binary")))
+    hashes = F.transform(F.split(F.trim(text), r"\s+"), lambda t: md5_32(t))
 
     def vote(mask: int) -> Column:
         # closure (not a default arg — pyspark counts lambda params)
@@ -309,7 +380,7 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     wrong shape for a corpus scan."""
     hashed = docs.select(
         id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t")
-    ).select(id_col, F.crc32(F.col("t").cast("binary")).alias("h"))
+    ).select(id_col, md5_32(F.col("t")).alias("h"))
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
@@ -326,12 +397,51 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     return hashed.groupBy(id_col).agg(*votes).select(id_col, sig.alias("sig"))
 
 
-@query("q_dedup_simhash", oracle=None)  # approximate: rows-only + pytest
+def _simhash_oracle() -> str:
+    """DuckDB replay of the SimHash pipeline — like _minhash_oracle,
+    integer-deterministic end to end on the md5_32 base hash: token
+    hashes → 32 ±1 vote sums → packed signature → top-16-bit bucket
+    join → bit_count Hamming verify."""
+    h = MD5_32_SQL.format(expr="t")
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, {h} AS h
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents)
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, CAST({pack} AS BIGINT) AS sig FROM votes
+),
+b AS (SELECT doc_id, sig, sig >> {SIMHASH_BITS - 16} AS bucket FROM sig)
+SELECT x.doc_id AS doc_id_1,
+       y.doc_id AS doc_id_2,
+       CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sig, y.sig)) <= 6
+"""
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: bucket on the top 16 bits (candidate
     blocking), then keep pairs with Hamming distance ≤ 6 on the full
     32-bit signature. bit_count is built-in, so the verify stays in
-    codegen."""
+    codegen. Value-oracled: every stage is integer math on the
+    cross-engine md5_32 hash, so the DuckDB oracle replays it
+    exactly."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     # Both self-join sides read the signatures; hash the corpus once.
     sig = simhash_signatures(docs).withColumn(
@@ -347,7 +457,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_id_1"),
             F.col("b.doc_id").alias("doc_id_2"),
-            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= 6)
     )

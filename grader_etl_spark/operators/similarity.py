@@ -139,7 +139,12 @@ def lsh_buckets(v: Column) -> Column:
     return F.array(*[_table_signature(v, t) for t in range(LSH_TABLES)])
 
 
-@query("q_ann_lsh", oracle=None)  # approximate: rows-only + pytest recall
+# No oracle possible: bucket membership is the SIGN of float
+# hyperplane dot products — a single ulp of cross-engine float-sum
+# difference flips a bucket bit and legally changes the candidate
+# set. Recall vs the exact brute-force twin is bounded in
+# tests/test_similarity.py instead.
+@query("q_ann_lsh", oracle=None)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane LSH ANN: candidates = pairs
     colliding in ANY of the {LSH_TABLES} tables (equi-join on bucket id
@@ -185,7 +190,12 @@ IVF_NPROBE = 2
 IVF_TRAIN_ITERS = 5
 
 
-@query("q_ann_ivf", oracle=None)  # approximate + iterative trainer: rows-only + pytest recall
+# No oracle possible: the cell layout comes from the float-iterative
+# k-means trainer (see q_kmeans_embeddings' note — cross-engine float
+# reduction order), and nprobe pruning inherits any cell-boundary
+# difference. Recall vs exact top-k is bounded in
+# tests/test_similarity.py instead.
+@query("q_ann_ivf", oracle=None)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: the k-means coarse quantizer
     (clustering.kmeans) partitions the corpus into K cells; each query

@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
+from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
 from grader_etl_spark.io import fan_out, load
 from grader_etl_spark.registry import query
 
@@ -242,8 +243,9 @@ WINNOW_W = 4  # window of consecutive gram hashes
 
 
 def winnow_fingerprints(text: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> Column:
-    """Distinct winnowed fingerprints of a document: crc32 over each
-    char k-gram, then the minimum per w-gram sliding window. Guarantees
+    """Distinct winnowed fingerprints of a document: md5_32 (the
+    cross-engine hash, functions/hashing.py) over each char k-gram,
+    then the minimum per w-gram sliding window. Guarantees
     any shared substring of length >= k+w-1 contributes a shared
     fingerprint (the winnowing theorem), at ~1/w the density of the
     full k-gram set.
@@ -261,7 +263,7 @@ def winnow_fingerprints(text: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> C
         F.length(text) >= k,
         F.transform(
             F.sequence(F.lit(1), F.length(text) - (k - 1)),
-            lambda i: F.crc32(text.substr(i, F.lit(k)).cast("binary")),
+            lambda i: md5_32(text.substr(i, F.lit(k))),
         ),
     ).otherwise(empty_longs)
     wins = F.element_at(
@@ -280,12 +282,40 @@ def winnow_fingerprints(text: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> C
     return F.array_sort(F.array_distinct(wins))
 
 
-@query("q_winnow_fingerprint", oracle=None)  # crc32 unavailable in DuckDB: rows-only + pytest
+_WINNOW_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= {WINNOW_K} THEN
+           list_transform(range(1, length(text) - {WINNOW_K - 2}),
+             i -> {MD5_32_SQL.format(expr=f"SUBSTRING(text, i, {WINNOW_K})")})
+         ELSE CAST([] AS BIGINT[]) END AS g
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(g) >= {WINNOW_W} THEN
+           list_transform(range(1, len(g) - {WINNOW_W - 2}),
+             j -> list_min(g[j:j+{WINNOW_W - 1}]))
+         ELSE CAST([] AS BIGINT[]) END AS winlist
+  FROM grams
+),
+fps AS (SELECT doc_id, list_sort(list_distinct(winlist)) AS fps FROM wins)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       fps[1]                   AS first_fp
+FROM fps
+"""
+
+
+@query("q_winnow_fingerprint", oracle=_WINNOW_ORACLE)
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed rolling-hash fingerprints per document (count + head
-    shown; the full set is the dedup/similarity key). Exact values are
-    pinned by tests/test_winnow.py against a pure-Python zlib.crc32
-    reference — DuckDB ships no crc32, so no SQL oracle."""
+    shown; the full set is the dedup/similarity key). Value-oracled:
+    the k-gram hash is the cross-engine md5_32 (functions/hashing.py),
+    so DuckDB replays the identical gram→window-min→distinct pipeline
+    with list functions; tests/test_winnow.py additionally pins a
+    pure-Python reference and the winnowing shared-substring
+    guarantee."""
     docs = fan_out(load(spark, sf_dir, "documents", columns=["doc_id", "text"]))
     fps = winnow_fingerprints(F.col("text"))
     return docs.select(

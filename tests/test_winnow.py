@@ -1,14 +1,13 @@
 """Winnowing fingerprint parity against a pure-Python reference
-(zlib.crc32 — the same polynomial Spark's crc32 uses), plus the
-winnowing guarantee: documents sharing a long substring share a
+(md5_32 — the cross-engine hash the DuckDB oracle replays too), plus
+the winnowing guarantee: documents sharing a long substring share a
 fingerprint."""
 
 from __future__ import annotations
 
-import zlib
-
 import pyspark.sql.functions as F
 
+from grader_etl_spark.functions.hashing import md5_32_py
 from grader_etl_spark.operators.text_analysis import (
     WINNOW_K,
     WINNOW_W,
@@ -17,7 +16,7 @@ from grader_etl_spark.operators.text_analysis import (
 
 
 def py_winnow(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
-    grams = [zlib.crc32(text[i : i + k].encode()) for i in range(len(text) - k + 1)]
+    grams = [md5_32_py(text[i : i + k]) for i in range(len(text) - k + 1)]
     wins = [min(grams[j : j + w]) for j in range(len(grams) - w + 1)]
     return sorted(set(wins))
 
