@@ -3,7 +3,7 @@ re-expressed as Structured Streaming:
 
 | reference behavior                          | cite             | here |
 |---------------------------------------------|------------------|------|
-| re-ingest overlapping 7-day window each run | main.py:25,104-105 | file/Kafka source reads only new data — no re-fetch |
+| re-ingest overlapping 7-day window each run | main.py:25,104-105 | file/rate(Kafka-twin) source reads only new data — no re-fetch |
 | dedup overlap via keyed ON CONFLICT insert  | main.py:202      | ``deduplicated_stream`` (watermark + dropDuplicates) |
 | late data accepted up to 7 days             | consequence      | watermark delay = 7 days |
 | daily report, run daily                     | main.py:288      | ``daily_tumbling_report`` (1-day tumbling window) |
@@ -35,6 +35,51 @@ def file_stream(
     (main.py:103-125): new files are discovered incrementally, each
     read exactly once, no overlap re-fetch needed."""
     return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def rate_stream(
+    spark: SparkSession,
+    rows_per_batch: int = 1000,
+    start_ts_ms: int = 1704067200000,  # 2024-01-01 UTC, inside the fixture month
+    advance_ms_per_batch: int = 86_400_000,
+) -> DataFrame:
+    """Generator-source twin of ``file_stream`` — the broker-backed
+    ingest stand-in. A production deployment swaps this one line for
+    ``spark.readStream.format("kafka")...`` (same (timestamp, payload)
+    shape, same downstream chain); no broker ships in this
+    environment, so the built-in rate-micro-batch source plays the
+    part. Unlike the plain ``rate`` source it is DETERMINISTIC per
+    batch (batch k = the same rows every run), which is what lets the
+    parity test assert streaming == batch on equal inputs."""
+    return (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", start_ts_ms)
+        .option("advanceMillisPerBatch", advance_ms_per_batch)
+        .load()
+    )
+
+
+def synthesize_events(ticks: DataFrame, base_date: str = "2024-01-01") -> DataFrame:
+    """Map a (value: long, ...) tick frame onto the attempt-event
+    schema, deterministically from ``value`` alone — so the same
+    function shapes the streaming rate source AND its batch twin
+    (spark.range) for parity tests. Every 10th tick repeats the
+    previous tick's key to exercise the dedup stage; timestamps spread
+    over ~5 days inside the watermark window."""
+    v = F.col("value")
+    key_v = F.when(v % 10 == 9, v - 1).otherwise(v)
+    return ticks.select(
+        F.concat(F.lit("user_"), (key_v % 37).cast("string")).alias("user_id"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.to_timestamp(F.lit(base_date))) + (key_v * 977) % 432_000
+        ).alias("event_timestamp"),
+        F.when(key_v % 3 == 0, F.lit("run"))
+        .when(key_v % 3 == 1, F.lit("check"))
+        .otherwise(F.lit("submit"))
+        .alias("attempt_type"),
+        (key_v % 2 == 0).alias("is_correct"),
+    )
 
 
 def _ensure_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:

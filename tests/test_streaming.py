@@ -22,8 +22,10 @@ from grader_etl_spark.streaming.jobs import (
     deduplicated_stream,
     file_stream,
     interval_join,
+    rate_stream,
     run_to_memory_sink,
     session_activity,
+    synthesize_events,
 )
 
 SCHEMA = StructType(
@@ -130,6 +132,46 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         ("u1", T0, T0 + dt.timedelta(minutes=10)),
         ("u2", T0 + dt.timedelta(hours=2), T0 + dt.timedelta(hours=2, minutes=30)),
     }
+
+
+def test_rate_source_chain_matches_batch(spark):
+    """The generator-source (Kafka-twin) ingest through the SAME
+    watermark+dedup+daily-report chain as the file topology must equal
+    the batch computation over the identical tick set. rate-micro-batch
+    with availableNow emits exactly one deterministic batch (values
+    0..N-1), so the batch twin is spark.range(N) through the same
+    synthesize_events mapping."""
+    n = 500
+    stream = daily_tumbling_report(
+        deduplicated_stream(synthesize_events(rate_stream(spark, rows_per_batch=n)))
+    )
+    run_to_memory_sink(stream, "rate_daily_out", output_mode="complete")
+    got = {
+        r["report_date"]: r for r in spark.sql("SELECT * FROM rate_daily_out").collect()
+    }
+
+    batch = synthesize_events(spark.range(n).withColumnRenamed("id", "value"))
+    want = {
+        r["report_date"]: r
+        for r in daily_tumbling_report(
+            batch.dropDuplicates(["user_id", "event_timestamp"])
+        ).collect()
+    }
+    assert set(got) == set(want) and len(got) >= 5  # ticks span ~5 days
+    for day in want:
+        for col in ("total_attempts", "successful_attempts", "run_attempts", "check_attempts"):
+            assert got[day][col] == want[day][col], (day, col)
+
+
+def test_rate_source_dedup_drops_synthetic_duplicates(spark):
+    """Every 10th synthetic tick repeats the previous key, so the
+    dedup stage must drop exactly that fraction."""
+    n = 200
+    stream = deduplicated_stream(synthesize_events(rate_stream(spark, rows_per_batch=n)))
+    run_to_memory_sink(stream, "rate_dedup_out")
+    rows = spark.sql("SELECT * FROM rate_dedup_out").collect()
+    keys = {(r["user_id"], r["event_timestamp"]) for r in rows}
+    assert len(rows) == len(keys) == n - n // 10
 
 
 def test_enriched_stream_static_broadcast(spark, tmp_path):
