@@ -26,8 +26,11 @@ single write action.
 
 from __future__ import annotations
 
+import os
+import time
+from contextlib import contextmanager
 from dataclasses import dataclass
-from typing import Callable, Protocol
+from typing import Callable, Iterator, Protocol
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -88,10 +91,55 @@ def transform(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
 # ---------------------------------------------------------------------------
 
 
+@contextmanager
+def _store_lock(path: str, timeout: float = 120.0, poll: float = 0.05) -> Iterator[None]:
+    """Advisory mutex for the store's check-then-append critical
+    section: O_CREAT|O_EXCL on a sibling ``<path>.lock`` file, which is
+    atomic on POSIX filesystems (and on HDFS via create-no-overwrite).
+
+    Why it exists: without it, two writers can BOTH anti-join against
+    the same pre-append key snapshot and BOTH land the same key —
+    duplicate rows, exactly the race the reference's per-row
+    ``ON CONFLICT`` (main.py:202) cannot have. Plain parquet has no
+    table-level transaction, so mutual exclusion has to come from
+    outside the format; at cluster scale this contextmanager is the
+    single-node rendition of what a transactional table format
+    (Delta/Iceberg MERGE, or Hive lock manager) provides — swap this
+    function, keep the callers.
+
+    Stale locks (a writer that died mid-append) surface as a
+    TimeoutError naming the lock file rather than silent corruption."""
+    lock = path.rstrip("/") + ".lock"
+    parent = os.path.dirname(lock)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"store lock {lock} held for >{timeout}s — stale lock from a "
+                    "dead writer? remove it manually after verifying no append is live"
+                )
+            time.sleep(poll)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        os.remove(lock)
+
+
 @dataclass
 class ParquetStore:
     """Date-partitioned parquet sink with first-writer-wins append —
-    the engine's canonical rendition of the statistics table."""
+    the engine's canonical rendition of the statistics table.
+    Concurrent appends are serialized by ``_store_lock`` (see it for
+    the scale story); readers are never blocked (parquet appends are
+    add-only and readers list files at plan time)."""
 
     spark: SparkSession
     path: str
@@ -107,19 +155,22 @@ class ParquetStore:
         semantically `INSERT ... ON CONFLICT (user_id, event_timestamp)
         DO NOTHING` for the whole batch in three shuffle-free-where-
         possible steps (the anti-join prunes the sink scan to the two
-        key columns)."""
+        key columns). The snapshot-read → anti-join → append sequence
+        holds the store lock, so interleaved writers see each other's
+        keys (tests/test_pipeline.py pins the two-writer race)."""
         deduped = first_writer_wins(
             batch, keys=DEDUP_KEYS, order=["attempt_type", "oauth_consumer_key"]
         )
-        existing = self.read()
-        if existing is not None:
-            deduped = insert_new_keys_only(deduped, existing, keys=DEDUP_KEYS)
-        (
-            deduped.withColumn("event_date", F.to_date("event_timestamp"))
-            .write.mode("append")
-            .partitionBy("event_date")
-            .parquet(self.path)
-        )
+        with _store_lock(self.path):
+            existing = self.read()
+            if existing is not None:
+                deduped = insert_new_keys_only(deduped, existing, keys=DEDUP_KEYS)
+            (
+                deduped.withColumn("event_date", F.to_date("event_timestamp"))
+                .write.mode("append")
+                .partitionBy("event_date")
+                .parquet(self.path)
+            )
 
 
 # ---------------------------------------------------------------------------

@@ -98,3 +98,64 @@ def test_pipeline_idempotent_redelivery_and_report(spark, tmp_path):
     empty = spark.createDataFrame([], RAW_SCHEMA)
     row4 = run_pipeline(empty, store, report_date="2024-01-16")
     assert row4["total_attempts"] == 0 and row4["success_percentage"] == 0.0
+
+
+def test_concurrent_appends_preserve_first_writer_wins(spark, tmp_path):
+    """Two writers appending interleaved batches with overlapping keys
+    must never land a key twice: the store lock serializes the
+    snapshot-read -> anti-join -> append critical section, so whichever
+    writer commits second sees the first's keys. Which payload
+    survives a contested key depends on arrival order (both orders are
+    first-writer-wins-legal); uniqueness and completeness must not."""
+    import datetime as dt
+    from concurrent.futures import ThreadPoolExecutor
+
+    from grader_etl_spark.plans.pipeline import DEDUP_KEYS
+
+    store = ParquetStore(spark, str(tmp_path / "stats_concurrent"))
+    stats_schema = (
+        "user_id string, oauth_consumer_key string, lis_result_sourcedid string, "
+        "lis_outcome_service_url string, is_correct boolean, attempt_type string, "
+        "event_timestamp timestamp"
+    )
+    t0 = dt.datetime(2024, 1, 15, 10, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (u, payload, None, None, True, "run", t0 + dt.timedelta(minutes=m))
+                for u, payload, m in rows
+            ],
+            stats_schema,
+        )
+
+    # 6 contested keys (same user/ts, different payload) + 4 unique each.
+    a = mk([("u%d" % i, "A", i) for i in range(6)] + [("a%d" % i, "A", i) for i in range(4)])
+    b = mk([("u%d" % i, "B", i) for i in range(6)] + [("b%d" % i, "B", i) for i in range(4)])
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        for f in [ex.submit(store.idempotent_append, a), ex.submit(store.idempotent_append, b)]:
+            f.result()
+
+    rows = store.read().collect()
+    keys = [(r["user_id"], r["event_timestamp"]) for r in rows]
+    assert len(keys) == len(set(keys)) == 14  # 6 contested once each + 8 unique
+    # Every contested key holds exactly one of the two candidate payloads,
+    # and each writer's unique keys all landed.
+    for r in rows:
+        assert r["oauth_consumer_key"] in ("A", "B")
+    assert {k for k, _ in keys} == {f"u{i}" for i in range(6)} | {
+        f"a{i}" for i in range(4)
+    } | {f"b{i}" for i in range(4)}
+
+
+def test_store_lock_times_out_on_stale_lock(spark, tmp_path):
+    import pytest
+
+    from grader_etl_spark.plans.pipeline import _store_lock
+
+    path = str(tmp_path / "locked_store")
+    with _store_lock(path):
+        with pytest.raises(TimeoutError, match="stale lock"):
+            with _store_lock(path, timeout=0.3):
+                pass
