@@ -28,10 +28,19 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from grader_etl_spark.registry import REGISTRY, load_all_operators  # noqa: E402
 from grader_etl_spark.session import get_spark  # noqa: E402
+
+
+# Module-level so get_type_hints resolves `pd` despite
+# `from __future__ import annotations`; wrapped in pandas_udf lazily
+# (the wrapper needs a live SparkSession).
+def _identity(s: pd.Series) -> pd.Series:
+    return s
 
 
 def main() -> None:
@@ -43,8 +52,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     load_all_operators()
 
-    # Warm-up: JVM, codegen, parquet footer caches.
+    # Warm-up: JVM, codegen, parquet footer caches — plus one trivial
+    # pandas UDF so the Python worker pool's spin-up (~15 s cold) isn't
+    # billed to the first Arrow-batched query (r1: q_passback_parse
+    # read 16.6 s cold vs 1.5 s warm).
     REGISTRY["q_daily_report"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    from pyspark.sql.functions import pandas_udf
+
+    warm_udf = pandas_udf(_identity, "long")
+    spark.range(64).select(warm_udf("id")).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
@@ -52,6 +68,10 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Drop persisted frames between queries: each query pays its
+        # own IO, and earlier queries' caches can't squeeze executor
+        # memory for later ones — stable, order-independent numbers.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     full = {
