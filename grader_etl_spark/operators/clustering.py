@@ -2,13 +2,17 @@
 algorithm pattern (IVF coarse quantizer training for the ANN
 operators; corpus topic bucketing for curation).
 
-Iterative structure: the per-iteration work is two Spark jobs —
-(1) assignment: each vector to its nearest centroid, computed
-JVM-side against a broadcast k×dim centroid literal; (2) update:
-per-dimension mean via posexplode + groupBy — and only the k×dim
-centroid matrix ever reaches the driver. The 100 TB shape holds: the
-corpus is scanned once per iteration, shuffled only by (cluster,
-dim) for the update agg, and nothing vector-sized is collected.
+Structure, split by role the way production IVF splits it:
+
+* TRAINING — driver-side numpy Lloyd's over a bounded deterministic
+  sample (TRAIN_CAP lowest vec_ids, one collect). A quantizer is an
+  offline artifact trained on a sample, never a per-query distributed
+  loop; the previous in-query distributed trainer spent ~all its time
+  on scheduler fixed costs and per-iteration codegen of k×dim literal
+  trees (8.3 s for 2000 vectors).
+* ASSIGNMENT — one distributed codegen'd pass over the FULL corpus:
+  k squared-distance fold expressions against broadcast centroid
+  literals, least()/CASE argmin, no UDF, no explode.
 
 Rows-only correctness (iterative float argmin is not expressible in
 one DuckDB SQL statement); tests/test_clustering.py pins determinism,
@@ -60,26 +64,40 @@ def assign(vectors: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
-def _update(assigned: DataFrame, k: int, dim: int, old: list[list[float]]) -> list[list[float]]:
-    """New centroid matrix = per-(cluster, dimension) mean. Only k×dim
-    aggregated doubles come back to the driver; empty clusters keep
-    their previous centroid."""
-    v = F.col("__vd") if "__vd" in assigned.columns else F.transform(
-        "embedding", lambda x: x.cast("double")
-    )
-    rows = (
-        assigned.select("cluster", F.posexplode(v))
-        .groupBy("cluster", "pos")
-        .agg(F.avg("col").alias("mean"))
-        .collect()
-    )
-    out = [list(c) for c in old]
-    means: dict[int, list[float]] = {}
-    for r in rows:
-        means.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["mean"]
-    for c, vec in means.items():
-        out[c] = vec
-    return out
+# Trainer sample bound: the Lloyd loop sees at most this many vectors
+# (lowest vec_ids — deterministic across partitionings). 50k × dim 64
+# doubles ≈ 25 MB of driver state, the same bounded-collect budget as
+# the CC tail union-find (graph.py).
+TRAIN_CAP = 50_000
+
+
+def _train_numpy(
+    sample: list, k: int, iterations: int, seed_centroids: list[list[float]]
+) -> list[list[float]]:
+    """Driver-side Lloyd iterations over the bounded training sample.
+
+    Why driver-side: a quantizer is trained ONCE, offline, on a sample
+    — never inside every serving query — and the distributed version
+    of this loop was pure scheduler overhead at any corpus size (each
+    iteration recompiled k×dim literal expression trees and ran two
+    tiny jobs; 8.3 s for 2000 vectors, all fixed cost). numpy on the
+    capped sample is the honest emulation of that offline artifact;
+    ASSIGNMENT stays distributed (one codegen'd pass over the full
+    corpus). Empty clusters keep their previous centroid, matching the
+    prior distributed implementation."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)  # (n, dim)
+    c = np.asarray(seed_centroids, dtype=np.float64)  # (k, dim)
+    for _ in range(iterations):
+        # ||x - c||² via the expansion trick: n×k matrix, no n×k×dim blowup.
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+        labels = d2.argmin(axis=1)  # ties → lowest cluster id (first occurrence)
+        for j in range(k):
+            members = x[labels == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return [list(map(float, row)) for row in c]
 
 
 # Trained-quantizer memo: a coarse quantizer is an OFFLINE artifact
@@ -100,10 +118,12 @@ def kmeans(
     are the k lowest-vec_id vectors (stable across partitioning,
     unlike random init). Returns (assignments, final centroids).
 
-    The input is scanned/decoded ONCE: the float→double vector cast is
-    materialized as a persisted `__vd` column, so each of the
-    iterations' two jobs (assign, update) reads the cached arrays
-    instead of re-decoding parquet and re-casting every round."""
+    Split by role: TRAINING runs driver-side in numpy over a bounded
+    deterministic sample (the TRAIN_CAP lowest vec_ids — see
+    _train_numpy for why), one collect; ASSIGNMENT is one distributed
+    codegen'd pass over the full corpus. The float→double vector cast
+    is materialized as a persisted `__vd` column so the sample collect
+    and the assignment pass share one scan/decode."""
     vd = vectors.select(
         "*", F.transform("embedding", lambda x: x.cast("double")).alias("__vd")
     ).persist()
@@ -111,11 +131,14 @@ def kmeans(
     if memo is not None and memo in _CENTROID_CACHE:
         centroids = _CENTROID_CACHE[memo]
         return assign(vd, centroids).drop("__vd"), centroids
-    seed_rows = vd.orderBy("vec_id").limit(k).select(F.col("__vd").alias("v")).collect()
-    centroids = [list(r["v"]) for r in seed_rows]
-    dim = len(centroids[0])
-    for _ in range(iterations):
-        centroids = _update(assign(vd, centroids), k, dim, centroids)
+    sample = [
+        list(r["v"])
+        for r in vd.orderBy("vec_id")
+        .limit(TRAIN_CAP)
+        .select(F.col("__vd").alias("v"))
+        .collect()
+    ]
+    centroids = _train_numpy(sample, k, iterations, sample[:k])
     if memo is not None:
         _CENTROID_CACHE[memo] = centroids
     return assign(vd, centroids).drop("__vd"), centroids

@@ -423,9 +423,11 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused
 
 
-# Late-bind the oracle: q_bm25's SQL is registered by corpus_filters,
-# which load_all_operators imports before this module.
+# Late-bind the oracle: q_bm25's SQL is registered by corpus_filters —
+# imported here explicitly so importing THIS module alone works too
+# (not only through load_all_operators' ordering).
 from grader_etl_spark import registry as _registry  # noqa: E402
+from grader_etl_spark.operators import corpus_filters as _corpus_filters  # noqa: E402,F401
 
 _registry.REGISTRY["q_rank_fusion"] = _registry.QuerySpec(
     name="q_rank_fusion",
