@@ -1,0 +1,94 @@
+"""Training-corpus sharding and source-mixture weighting — the two
+ops that sit between a curated corpus and the training-data writer.
+(North-star operators; the reference has no corpus surface — its only
+layout decision is the single statistics table at main.py:180-228.)
+
+Scale design: both are one-pass. Shard assignment is a pure projection
+on the cross-engine md5_32 hash (functions/hashing.py) — at 100 TB the
+writer runs ``repartition(N_SHARDS, shard_id)`` +
+``sortWithinPartitions(sort_key)`` and streams each shard file out,
+one shuffle total, no global sort (the hash IS the global shuffle
+order). Mixture rates are a per-source aggregate (map-side partial)
+joined against one broadcast total row.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+N_SHARDS = 16
+
+
+@query(
+    "q_corpus_shards",
+    oracle=f"""
+SELECT doc_id,
+       {MD5_32_SQL.format(expr="CONCAT('shard:', doc_id)")} % {N_SHARDS} AS shard_id,
+       {MD5_32_SQL.format(expr="CONCAT('order:', doc_id)")}              AS sort_key
+FROM documents
+""",
+)
+def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment + global shuffle order for
+    training-data writing: shard = keyed hash mod N, within-shard
+    order = an independent keyed hash. Hash-derived order is a full
+    corpus shuffle that needs NO random state and NO global sort —
+    reproducible across runs, engines (md5_32 oracle), and
+    partitionings. The writer path is repartition(N, shard_id) +
+    sortWithinPartitions(sort_key); this query materializes the
+    assignment it would use."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id"])
+    return docs.select(
+        "doc_id",
+        (md5_32(F.concat(F.lit("shard:"), F.col("doc_id"))) % N_SHARDS).alias("shard_id"),
+        md5_32(F.concat(F.lit("order:"), F.col("doc_id"))).alias("sort_key"),
+    )
+
+
+@query(
+    "q_mixture_rates",
+    oracle="""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS n_total, COUNT(*) AS n_sources FROM per_source)
+SELECT source,
+       n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / n_total, 6) AS share,
+       ROUND(LEAST(1.0, (CAST(n_total AS DOUBLE) / n_sources) / n_docs), 6) AS sample_rate,
+       CAST(FLOOR(LEAST(1.0, (CAST(n_total AS DOUBLE) / n_sources) / n_docs) * n_docs)
+            AS BIGINT) AS expected_docs
+FROM per_source CROSS JOIN tot
+""",
+)
+def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing: per-source sampling rates that move
+    the corpus toward a uniform source mixture WITHOUT upsampling
+    (rate = min(1, target_share/actual_share)) — the standard
+    pretraining-mixture lever. One map-side-partial aggregate over the
+    corpus plus a broadcast 1-row total; the rates then drive
+    q_sample_weighted-style hash sampling, so the whole rebalance is
+    deterministic end to end."""
+    per_source = (
+        load(spark, sf_dir, "documents", columns=["source"])
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").alias("n_total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    rate = F.least(
+        F.lit(1.0), (F.col("n_total").cast("double") / F.col("n_sources")) / F.col("n_docs")
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("n_total"), 6).alias("share"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.floor(rate * F.col("n_docs")).cast("long").alias("expected_docs"),
+    )

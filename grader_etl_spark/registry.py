@@ -73,6 +73,7 @@ def load_all_operators() -> None:
         projections,
         sampling,
         setops,
+        sharding,
         similarity,
         statistics,
         text_analysis,
