@@ -54,8 +54,13 @@ def quality_gate(docs: DataFrame) -> DataFrame:
     )
 
 
-def curate(docs: DataFrame) -> DataFrame:
-    """The full pipeline; returns (doc_id, n_words) of curated docs."""
+def curate(docs: DataFrame, shingle_index: DataFrame | None = None) -> DataFrame:
+    """The full pipeline; returns (doc_id, n_words) of curated docs.
+
+    ``shingle_index``: optional pre-materialized (doc_id, sset) frame
+    (llm_dedup.shingled_docs) — when provided, stage 3 joins it by
+    doc_id instead of re-tokenizing the keeper texts, so the corpus is
+    shingled once per session across every near-dup operator."""
     gated = quality_gate(docs)
 
     # Stage 2: exact dedup on the normalized fingerprint.
@@ -73,7 +78,10 @@ def curate(docs: DataFrame) -> DataFrame:
 
     # Stage 3: exact near-dup pairs among keepers (inverted index),
     # drop the higher id of every pair.
-    sh = keepers.select("doc_id", shingles(F.col("text")).alias("sset")).persist()
+    if shingle_index is not None:
+        sh = keepers.select("doc_id").join(shingle_index, "doc_id")
+    else:
+        sh = keepers.select("doc_id", shingles(F.col("text")).alias("sset")).persist()
     ex = sh.select("doc_id", F.explode("sset").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
@@ -141,5 +149,12 @@ WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline as one differential query —
     quality gate, exact dedup, near-dup prune, all stages in one plan
-    checked against the naive-SQL rendition."""
-    return curate(load(spark, sf_dir, "documents", columns=["doc_id", "text"]))
+    checked against the naive-SQL rendition. Stage 3 reads the
+    session-materialized shingle index shared with the other near-dup
+    operators."""
+    from grader_etl_spark.operators.llm_dedup import shingled_docs
+
+    return curate(
+        load(spark, sf_dir, "documents", columns=["doc_id", "text"]),
+        shingle_index=shingled_docs(spark, sf_dir),
+    )

@@ -82,7 +82,9 @@ def test_pairwise_ops_never_nested_loop(spark, sf_dir, name):
 # q_join_range's 4-row literal band table comes from createDataFrame —
 # an ExistingRDD scan of O(1) rows is fine; nothing else may have one.
 # q_dedup_components localCheckpoints the label/edge frames between
-# propagation rounds (lineage truncation); a checkpointed frame scans
+# propagation rounds (lineage truncation), and the near-dup family
+# reads the session-materialized shingle index (llm_dedup.
+# shingled_docs, also a localCheckpoint); a checkpointed frame scans
 # as ExistingRDD by construction — still JVM-columnar data, not a
 # Python RDD fallback.
 _LITERAL_TABLE_OK = {
@@ -91,6 +93,9 @@ _LITERAL_TABLE_OK = {
     "q_pagerank_nations",
     "q_entity_resolution",
     "q_shortest_cost_paths",
+    "q_neardup_jaccard",
+    "q_neardup_minhash",
+    "q_curate_corpus",
 }
 
 
