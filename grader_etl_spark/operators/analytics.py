@@ -179,14 +179,17 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles ride along so the driver compare is a real value
     check, and the boolean asserts each sketch answer sits inside the
     exact ±1%-rank band [q(p-.01), q(p+.01)] — a guaranteed-true
-    envelope at accuracy 10k (rank error ≤ 0.01% ≪ 1%), so the oracle
-    can pin it as literal TRUE. tests/test_approx.py additionally
-    checks the tight n/accuracy rank bound."""
+    envelope at accuracy 1k (rank error ≤ 0.1% ≪ 1%), so the oracle
+    can pin it as literal TRUE. Accuracy 1k (not 10k): the band only
+    needs rank error well under 1%, and GK sketch cost scales with
+    accuracy — 10× cheaper for the same guarantee.
+    tests/test_approx.py additionally checks the tight n/accuracy
+    rank bound at accuracy 10k on its own sketch."""
     li = load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
     fracs = (0.49, 0.5, 0.51, 0.89, 0.9, 0.91, 0.98, 0.99, 0.995)
     exact = F.percentile("l_extendedprice", F.array(*[F.lit(x) for x in fracs]))
     approx = F.approx_percentile(
-        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10_000)
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(1_000)
     )
     in_band = (
         F.element_at("ap", 1).between(F.element_at("ex", 1), F.element_at("ex", 3))
