@@ -86,6 +86,19 @@ def test_star_components_deep_chain_direct(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_components_from_pairs_tolerates_dupes_and_loops(spark):
+    from grader_etl_spark.operators.graph import components_from_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (3, 3), (4, 5)], "a long, b long"
+    )
+    rows = components_from_pairs(pairs, "a", "b").collect()
+    got = {r.id: r.component for r in rows}
+    # Self-loop (3,3) contributes no edge; 3 is absent from the
+    # edge-touched output (callers anti-join singletons).
+    assert got == {1: 1, 2: 1, 4: 4, 5: 4}
+
+
 def test_dedup_components_invariants(spark, sf_dir):
     comp = q_dedup_components(spark, sf_dir)
     rows = comp.collect()
