@@ -552,3 +552,68 @@ def q_shortest_cost_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("dist"))
         .alias("dist"),
     )
+
+
+_DEDUP_CC_SQL = f"""
+WITH RECURSIVE sh AS ({_SSET_SQL}),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)
+          / (length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)))
+        >= {_JACCARD_THRESHOLD}
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+comp AS (SELECT doc_id, MIN(label) AS component_id FROM reach GROUP BY doc_id)
+"""
+
+
+@query(
+    "q_dedup_savings",
+    oracle=_DEDUP_CC_SQL
+    + """
+SELECT CAST(COUNT(*) AS BIGINT)                                   AS n_docs,
+       CAST(COUNT(CASE WHEN c.doc_id = c.component_id THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(SUM(d.n_chars) AS BIGINT)                             AS bytes_total,
+       CAST(SUM(CASE WHEN c.doc_id = c.component_id
+                     THEN d.n_chars ELSE 0 END) AS BIGINT)        AS bytes_kept,
+       ROUND(1.0 - CAST(SUM(CASE WHEN c.doc_id = c.component_id
+                                 THEN d.n_chars ELSE 0 END) AS DOUBLE)
+                   / SUM(d.n_chars), 6)                           AS savings_ratio
+FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+""",
+)
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup APPLY step: after cluster resolution
+    (q_dedup_components), keep one canonical document per cluster
+    (doc_id == component min) and report the corpus-level savings —
+    the number every dedup run is judged by. One broadcast-join of the
+    tiny component map onto doc sizes plus a single global aggregate;
+    the oracle recomputes the clusters with the recursive CTE and the
+    identical keep rule."""
+    comp = q_dedup_components(spark, sf_dir)
+    sizes = load(spark, sf_dir, "documents", columns=["doc_id", "n_chars"])
+    kept = F.col("doc_id") == F.col("component_id")
+    return (
+        sizes.join(comp, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.sum("n_chars").alias("bytes_total"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0))).alias("bytes_kept"),
+        )
+        .select(
+            "n_docs",
+            "n_kept",
+            "bytes_total",
+            "bytes_kept",
+            F.round(
+                F.lit(1.0) - F.col("bytes_kept").cast("double") / F.col("bytes_total"), 6
+            ).alias("savings_ratio"),
+        )
+    )

@@ -92,3 +92,42 @@ def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate, 6).alias("sample_rate"),
         F.floor(rate * F.col("n_docs")).cast("long").alias("expected_docs"),
     )
+
+
+@query(
+    "q_quality_percentile_gate",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, source,
+         length(text) AS n_chars,
+         percent_rank() OVER (PARTITION BY source ORDER BY length(text), doc_id) AS pr
+  FROM documents
+)
+SELECT doc_id, source, n_chars, ROUND(pr, 6) AS len_pct_rank
+FROM scored
+WHERE pr >= 0.2
+""",
+)
+def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality gating by PERCENTILE, not absolute
+    threshold: drop each source's bottom 20% by the quality proxy
+    (document length here; any q_text_stats feature slots in). The
+    per-source window means a verbose source can't crowd out a terse
+    one — the standard way corpus curation applies quality filters per
+    domain. One window over a (source)-partitioned sort; at 100 TB
+    this is a single shuffle on source with per-partition sorting, no
+    global sort. doc_id tie-break keeps ranks deterministic."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    w = Window.partitionBy("source").orderBy(F.length("text"), "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.length("text").cast("long").alias("n_chars"),
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .filter(F.col("pr") >= 0.2)
+        .select("doc_id", "source", "n_chars", F.round("pr", 6).alias("len_pct_rank"))
+    )
