@@ -51,6 +51,31 @@ def test_scalar_parser_reference_semantics():
     assert safe_parse_passback('"just a string"') == {}
 
 
+def test_split_union_matches_scalar_on_corpus(spark):
+    """The DataFrame-level split-union (the production path — the UDF
+    sees only from_json-null rows) must agree with the scalar
+    reference on the same corpus, row routing included."""
+    from grader_etl_spark.functions.passback import with_passback_parsed
+
+    df = spark.createDataFrame([(i, raw) for i, raw in enumerate(CORPUS)], "i int, raw string")
+    out = {
+        r["i"]: (dict(r["parsed"]) if r["parsed"] is not None else None)
+        for r in with_passback_parsed(df, "raw", "parsed").collect()
+    }
+    assert set(out) == set(range(len(CORPUS)))  # no row lost or duplicated
+    for i, raw in enumerate(CORPUS):
+        exp = _expected(raw)
+        got = out[i]
+        assert got is not None, f"row {i} ({raw!r}): NULL, expected {exp}"
+        norm = {k: (None if v is None else str(v)) for k, v in got.items()}
+        assert set(norm) == set(exp), f"row {i} ({raw!r})"
+        for k, v in exp.items():
+            if v is not None and (v.startswith("{") or v.startswith("[")):
+                assert norm[k] is not None  # representation may differ (see below)
+            else:
+                assert norm[k] == v, f"row {i} ({raw!r})[{k}]"
+
+
 def test_column_parser_matches_scalar_on_corpus(spark):
     df = spark.createDataFrame([(i, raw) for i, raw in enumerate(CORPUS)], "i int, raw string")
     out = {
