@@ -74,18 +74,28 @@ def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus plus a broadcast 1-row total; the rates then drive
     q_sample_weighted-style hash sampling, so the whole rebalance is
     deterministic end to end."""
+    from pyspark.sql import Window
+
     per_source = (
         load(spark, sf_dir, "documents", columns=["source"])
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    tot = per_source.agg(
-        F.sum("n_docs").alias("n_total"), F.count(F.lit(1)).alias("n_sources")
+    # Totals via an all-rows window over the AGGREGATED frame (one row
+    # per source — tiny by construction), not a crossJoin against a
+    # separate total aggregate: Catalyst doesn't share subtrees, so the
+    # crossJoin form scans and aggregates the corpus twice.
+    w = Window.partitionBy()
+    totaled = per_source.select(
+        "source",
+        "n_docs",
+        F.sum("n_docs").over(w).alias("n_total"),
+        F.count(F.lit(1)).over(w).alias("n_sources"),
     )
     rate = F.least(
         F.lit(1.0), (F.col("n_total").cast("double") / F.col("n_sources")) / F.col("n_docs")
     )
-    return per_source.crossJoin(F.broadcast(tot)).select(
+    return totaled.select(
         "source",
         "n_docs",
         F.round(F.col("n_docs").cast("double") / F.col("n_total"), 6).alias("share"),

@@ -47,6 +47,21 @@ def test_topk_avoids_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "q_topk")
 
 
+def test_sharding_plans_hold_scale_promises(spark, sf_dir):
+    """q_corpus_shards is a pure projection (zero Exchange — the
+    shard/order hashes compile into the scan projection);
+    q_mixture_rates aggregates the corpus ONCE (one scan, totals via a
+    window over the per-source frame); the quality gate's window rides
+    exactly one source-partitioned Exchange."""
+    p = plan_of(spark, sf_dir, "q_corpus_shards")
+    assert "Exchange" not in p
+    tree = plan_of(spark, sf_dir, "q_mixture_rates").split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    p = plan_of(spark, sf_dir, "q_quality_percentile_gate")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange") == 1 and "Window" in p
+
+
 def test_passback_udf_sees_only_fallback_rows(spark, sf_dir):
     """Split-union contract (functions/passback.py:with_passback_parsed):
     the literal-eval pandas UDF must run only on the from_json-null
@@ -96,6 +111,7 @@ _LITERAL_TABLE_OK = {
     "q_neardup_jaccard",
     "q_neardup_minhash",
     "q_curate_corpus",
+    "q_dedup_savings",
 }
 
 
