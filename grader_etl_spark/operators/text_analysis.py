@@ -778,3 +778,136 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ngram_top — corpus-level n-gram frequency table (LM-data staple)
+# ---------------------------------------------------------------------------
+
+NGRAM_TOP_K = 50
+
+
+@query(
+    "q_ngram_top",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+),
+grams AS (
+  SELECT n, gram FROM (
+    SELECT 1 AS n, unnest(tk) AS gram FROM toks
+    UNION ALL
+    SELECT 2, tk[i] || ' ' || tk[i+1]
+    FROM toks, unnest(range(1, greatest(length(tk), 1))) AS t(i)
+    UNION ALL
+    SELECT 3, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+    FROM toks, unnest(range(1, greatest(length(tk) - 1, 1))) AS t(i)
+  )
+),
+counted AS (
+  SELECT n, gram, COUNT(*) AS freq,
+         ROW_NUMBER() OVER (PARTITION BY n ORDER BY COUNT(*) DESC, gram) AS rk
+  FROM grams GROUP BY n, gram
+)
+SELECT CAST(n AS BIGINT) AS n, gram, freq, CAST(rk AS BIGINT) AS rank
+FROM counted WHERE rk <= {NGRAM_TOP_K}
+""",
+)
+def q_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{NGRAM_TOP_K} corpus 1/2/3-grams with frequencies — the LM
+    vocabulary/contamination-screening staple. One tokenize pass per n
+    riding one explode→groupBy (map-side partial combine carries
+    (gram, count), never documents); the per-n top-k is a rank window
+    over the already-aggregated gram table, which at 100 TB is the
+    frequency table, orders of magnitude smaller than the corpus. Ties
+    break lexicographically so ranks are deterministic."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    sh1 = docs.select(F.explode(tokens(F.col("text"))).alias("gram")).withColumn(
+        "n", F.lit(1)
+    )
+    # Reuse the shingle machinery for 2- and 3-grams (shingles() is
+    # distinct-per-doc, which would undercount; build raw grams here).
+    def raw_grams(k: int):
+        def build(toks: Column) -> Column:
+            out = toks
+            for j in range(1, k):
+                out = F.zip_with(
+                    out,
+                    F.slice(toks, j + 1, 1 << 30),
+                    lambda acc, t: F.concat(acc, F.lit(" "), t),
+                )
+            return F.filter(out, lambda s: s.isNotNull())
+
+        g = F.element_at(F.transform(F.array(tokens(F.col("text"))), build), 1)
+        return docs.select(F.explode(g).alias("gram")).withColumn("n", F.lit(k))
+
+    grams = sh1.unionByName(raw_grams(2)).unionByName(raw_grams(3))
+    counted = grams.groupBy("n", "gram").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("n").orderBy(F.col("freq").desc(), "gram")
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= NGRAM_TOP_K)
+        .select(F.col("n").cast("long").alias("n"), "gram", "freq", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_packing_plan — token-length histogram for sequence-packing planning
+# ---------------------------------------------------------------------------
+
+PACK_CONTEXT = 512
+PACK_BUCKET = 64
+
+
+@query(
+    "q_packing_plan",
+    oracle=f"""
+WITH counts AS (
+  SELECT doc_id,
+         length(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT LEAST(n_tokens // {PACK_BUCKET}, {PACK_CONTEXT // PACK_BUCKET}) * {PACK_BUCKET} AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT)       AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT)  AS total_tokens,
+       CAST(SUM(CAST(CEIL(CAST(n_tokens AS DOUBLE) / {PACK_CONTEXT}) AS BIGINT)) AS BIGINT)
+         AS bins_if_unpacked,
+       CAST(CEIL(CAST(SUM(n_tokens) AS DOUBLE) / {PACK_CONTEXT}) AS BIGINT)
+         AS bins_lower_bound
+FROM counts
+GROUP BY 1
+""",
+)
+def q_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing planner at context {PACK_CONTEXT}: token-length
+    histogram ({PACK_BUCKET}-wide buckets, long tail capped at the
+    context length) with, per bucket, the bin count if every document
+    shipped alone versus the token-volume lower bound — the gap is the
+    packing headroom the L33 packer (q_pack_sequences) harvests. One
+    tokenize+aggregate pass; the histogram is vocabulary-sized, not
+    corpus-sized."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    n_tokens = F.size(tokens(F.col("text")))
+    bucket = (
+        F.least(
+            n_tokens.cast("long") / F.lit(PACK_BUCKET),
+            F.lit(PACK_CONTEXT // PACK_BUCKET),
+        ).cast("long")
+        * PACK_BUCKET
+    )
+    return (
+        docs.select(n_tokens.alias("n_tokens"), bucket.alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.ceil(F.col("n_tokens").cast("double") / PACK_CONTEXT).cast("long"))
+            .cast("long")
+            .alias("bins_if_unpacked"),
+            F.ceil(F.sum("n_tokens").cast("double") / PACK_CONTEXT)
+            .cast("long")
+            .alias("bins_lower_bound"),
+        )
+    )
