@@ -815,35 +815,41 @@ FROM counted WHERE rk <= {NGRAM_TOP_K}
 )
 def q_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{NGRAM_TOP_K} corpus 1/2/3-grams with frequencies — the LM
-    vocabulary/contamination-screening staple. One tokenize pass per n
-    riding one explode→groupBy (map-side partial combine carries
-    (gram, count), never documents); the per-n top-k is a rank window
-    over the already-aggregated gram table, which at 100 TB is the
-    frequency table, orders of magnitude smaller than the corpus. Ties
-    break lexicographically so ranks are deterministic."""
+    vocabulary/contamination-screening staple. ONE corpus scan: the
+    token array is let-bound once per row, the 1/2/3-gram arrays are
+    assembled as (n, gram) structs and concatenated, and a single
+    explode feeds one groupBy (map-side partial combine carries
+    (n, gram, count), never documents); the per-n top-k is a rank
+    window over the already-aggregated gram table, which at 100 TB is
+    the frequency table, orders of magnitude smaller than the corpus.
+    Ties break lexicographically so ranks are deterministic.
+    (shingles() is distinct-per-doc, which would undercount — raw
+    grams are built here.)"""
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    sh1 = docs.select(F.explode(tokens(F.col("text"))).alias("gram")).withColumn(
-        "n", F.lit(1)
-    )
-    # Reuse the shingle machinery for 2- and 3-grams (shingles() is
-    # distinct-per-doc, which would undercount; build raw grams here).
-    def raw_grams(k: int):
-        def build(toks: Column) -> Column:
-            out = toks
-            for j in range(1, k):
-                out = F.zip_with(
-                    out,
-                    F.slice(toks, j + 1, 1 << 30),
-                    lambda acc, t: F.concat(acc, F.lit(" "), t),
-                )
-            return F.filter(out, lambda s: s.isNotNull())
 
-        g = F.element_at(F.transform(F.array(tokens(F.col("text"))), build), 1)
-        return docs.select(F.explode(g).alias("gram")).withColumn("n", F.lit(k))
+    def gram_arr(toks: Column, k: int) -> Column:
+        out = toks
+        for j in range(1, k):
+            out = F.zip_with(
+                out,
+                F.slice(toks, j + 1, 1 << 30),
+                lambda acc, t: F.concat(acc, F.lit(" "), t),
+            )
+        return F.filter(out, lambda s: s.isNotNull())
 
-    grams = sh1.unionByName(raw_grams(2)).unionByName(raw_grams(3))
+    def tag(kk: int):
+        # closure, NOT a default arg: pyspark counts lambda params, and
+        # a second parameter would receive the array INDEX (same trap
+        # documented at simhash()).
+        return lambda g: F.struct(F.lit(kk).alias("n"), g.alias("gram"))
+
+    def assemble(toks: Column) -> Column:
+        return F.concat(*[F.transform(gram_arr(toks, k), tag(k)) for k in (1, 2, 3)])
+
+    structs = F.element_at(F.transform(F.array(tokens(F.col("text"))), assemble), 1)
+    grams = docs.select(F.explode(structs).alias("g")).select("g.n", "g.gram")
     counted = grams.groupBy("n", "gram").agg(F.count(F.lit(1)).alias("freq"))
     w = Window.partitionBy("n").orderBy(F.col("freq").desc(), "gram")
     return (
