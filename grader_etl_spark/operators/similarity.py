@@ -435,3 +435,59 @@ _registry.REGISTRY["q_rank_fusion"] = _registry.QuerySpec(
     oracle=_rrf_oracle(),
     doc=q_rank_fusion.__doc__ or "",
 )
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_norm_outliers — corpus hygiene for the vector table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embedding_norm_outliers",
+    oracle="""
+WITH norms AS (
+  SELECT vec_id,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS norm
+  FROM embeddings
+),
+stats AS (
+  SELECT avg(norm) AS mu, stddev_samp(norm) AS sigma FROM norms
+)
+SELECT vec_id,
+       ROUND(norm, 6) AS norm6,
+       ROUND((norm - mu) / sigma, 4) AS z
+FROM norms CROSS JOIN stats
+WHERE ABS((norm - mu) / sigma) > 2.0
+""",
+)
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene: vectors whose L2 norm sits >2σ from the
+    corpus mean — the standard screen for truncated/zeroed/exploded
+    embeddings before they poison ANN indexes or cosine thresholds.
+    One scan computes norms; the 1-row (μ, σ) aggregate broadcasts
+    back onto the same frame (the norms subtree is tiny — vec_id +
+    one double — so the double evaluation Catalyst keeps is two scans
+    of two pruned columns, not a window over the corpus)."""
+    e = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                _as_double_array(F.col("embedding")),
+                _as_double_array(F.col("embedding")),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    norms = e.select("vec_id", norm.alias("norm"))
+    stats = norms.agg(
+        F.avg("norm").alias("mu"), F.stddev_samp("norm").alias("sigma")
+    )
+    z = (F.col("norm") - F.col("mu")) / F.col("sigma")
+    return (
+        norms.crossJoin(F.broadcast(stats))
+        .filter(F.abs(z) > 2.0)
+        .select("vec_id", F.round("norm", 6).alias("norm6"), F.round(z, 4).alias("z"))
+    )

@@ -917,3 +917,70 @@ def q_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bins_lower_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_source_vocab_overlap — pairwise domain redundancy matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_source_vocab_overlap",
+    oracle="""
+WITH st AS (
+  SELECT DISTINCT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS source_1, b.source AS source_2, COUNT(*) AS shared_terms
+  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_1, source_2, shared_terms,
+       ROUND(CAST(shared_terms AS DOUBLE)
+             / (s1.n + s2.n - shared_terms), 6) AS vocab_jaccard
+FROM inter
+JOIN sz s1 ON s1.source = source_1
+JOIN sz s2 ON s2.source = source_2
+""",
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard — the domain-redundancy
+    matrix mixture planning reads next to q_mixture_rates (two sources
+    with near-identical vocabularies add less diversity than their
+    row counts suggest). Same inverted-index shape as
+    q_neardup_jaccard, keyed by source instead of doc: the term
+    self-join emits at most C(n_sources, 2) rows per term, so the
+    shuffle is bounded by vocabulary × sources², never documents²."""
+    st = (
+        load(spark, sf_dir, "documents", columns=["source", "text"])
+        .select(
+            "source",
+            F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
+        )
+        .distinct()
+    )
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_1"), F.col("b.source").alias("source_2"))
+        .agg(F.count(F.lit(1)).alias("shared_terms"))
+    )
+    s1 = sz.select(F.col("source").alias("source_1"), F.col("n").alias("n1"))
+    s2 = sz.select(F.col("source").alias("source_2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "source_1")
+        .join(F.broadcast(s2), "source_2")
+        .select(
+            "source_1",
+            "source_2",
+            "shared_terms",
+            F.round(
+                F.col("shared_terms").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("shared_terms")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )
