@@ -570,3 +570,51 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= _COSINE_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_incremental_dedup — new-batch vs existing-corpus dedup (ingestion shape)
+# ---------------------------------------------------------------------------
+
+INCR_SPLIT = 400  # doc_id < INCR_SPLIT plays the existing corpus
+
+
+@query(
+    "q_incremental_dedup",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+existing AS (SELECT DISTINCT fp FROM fp WHERE doc_id < {INCR_SPLIT}),
+batch AS (SELECT * FROM fp WHERE doc_id >= {INCR_SPLIT})
+SELECT b.doc_id,
+       b.fp,
+       (e.fp IS NOT NULL) AS dup_of_corpus
+FROM batch b LEFT JOIN existing e ON b.fp = e.fp
+""",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup: label each NEW-batch document (doc_id ≥
+    {INCR_SPLIT} stands in for the arriving batch) by whether its
+    normalized fingerprint already exists in the corpus (doc_id <
+    {INCR_SPLIT}). This is the document-corpus twin of the event
+    store's idempotent append (plans/pipeline.py): the probe side
+    carries 16-byte fingerprints, never text, and at 100 TB the
+    existing-fingerprint set is a maintained table (the dedup ledger),
+    not a rescan — exactly how incremental corpus ingestion dedups
+    against history. Left join (not anti) so the query also reports
+    WHICH batch docs were dropped."""
+    fp = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"]).select(
+        "doc_id", fp.alias("fp")
+    )
+    existing = (
+        docs.filter(F.col("doc_id") < INCR_SPLIT).select("fp").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    batch = docs.filter(F.col("doc_id") >= INCR_SPLIT)
+    return batch.join(F.broadcast(existing), "fp", "left").select(
+        "doc_id", "fp", F.col("_hit").isNotNull().alias("dup_of_corpus")
+    )
