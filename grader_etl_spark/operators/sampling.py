@@ -115,3 +115,51 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test").alias("split"),
     )
+
+
+@query(
+    "q_split_balance",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, source,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY source), 6) AS frac_of_source
+FROM assigned
+GROUP BY source, split
+""",
+)
+def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-balance audit for the hash train/val/test split
+    (q_train_split): per (source, split) counts and each split's
+    observed fraction WITHIN its source. The check every leakage
+    review runs — a source whose val fraction drifts far from the
+    global target signals id-space structure correlating with the
+    hash. One aggregate plus a window over the aggregated (source,
+    split) grid (≤ sources×3 rows)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "source"])
+    split = (
+        F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "e6", "train")
+        .when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "f3", "val")
+        .otherwise("test")
+    )
+    counted = docs.select("source", split.alias("split")).groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("source")
+    return counted.select(
+        "source",
+        "split",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6).alias(
+            "frac_of_source"
+        ),
+    )

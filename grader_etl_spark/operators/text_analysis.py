@@ -984,3 +984,47 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_lang_confusion — labeled-vs-heuristic language confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion_oracle() -> str:
+    from grader_etl_spark.registry import REGISTRY
+
+    lang_id_sql = REGISTRY["q_lang_id"].oracle
+    return f"""
+WITH guessed AS ({lang_id_sql})
+SELECT d.lang, g.lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM guessed g JOIN documents d ON d.doc_id = g.doc_id
+GROUP BY d.lang, g.lang_guess
+"""
+
+
+@query("q_lang_confusion", oracle=None)  # oracle late-bound below (needs q_lang_id)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix between the corpus's lang labels and the
+    q_lang_id heuristic — the QA readout that decides whether the
+    cheap classifier is good enough to gate on (off-diagonal mass =
+    docs a lang filter would mis-route). Composes the registered
+    heuristic (one corpus pass) with a broadcast label join and a
+    sources×langs-sized aggregate."""
+    guessed = q_lang_id(spark, sf_dir)
+    labels = load(spark, sf_dir, "documents", columns=["doc_id", "lang"])
+    return (
+        guessed.join(labels, "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+from grader_etl_spark import registry as _registry  # noqa: E402
+
+_registry.REGISTRY["q_lang_confusion"] = _registry.QuerySpec(
+    name="q_lang_confusion",
+    fn=q_lang_confusion,
+    oracle=_lang_confusion_oracle(),
+    doc=q_lang_confusion.__doc__ or "",
+)
