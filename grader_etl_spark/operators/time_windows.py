@@ -229,3 +229,60 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.v").alias("v"),
         F.round("e.ewma", 6).alias("ewma"),
     )
+
+
+@query(
+    "q_active_users",
+    oracle="""
+WITH ev AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM ev),
+dau AS (SELECT d, COUNT(DISTINCT user_id) AS dau FROM ev GROUP BY d),
+wau AS (
+  SELECT days.d, COUNT(DISTINCT ev.user_id) AS wau
+  FROM days JOIN ev ON ev.d > days.d - 7 AND ev.d <= days.d
+  GROUP BY days.d
+)
+SELECT CAST(dau.d AS VARCHAR) AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+""",
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per active day — the
+    engagement staple. Exact window distincts WITHOUT a per-day
+    range self-join over raw events: events first collapse to the
+    distinct (day, user) grid (one shuffle, map-side partial), then
+    each grid row explodes into the ≤7 trailing report days it
+    supports, and one groupBy(day) counts distinct users. The explode
+    factor is a constant 7 on the already-collapsed grid — at 100 TB
+    the grid is |days| × |active users|, orders smaller than the event
+    stream. At larger windows (MAU) the same shape holds with factor
+    30, or the HLL sketch variant (q_approx_distinct) drops the
+    explode entirely."""
+    ev = (
+        load(spark, sf_dir, "events", columns=["ts", "user_id"])
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    days = ev.select("d").distinct()
+    dau = ev.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    # Trailing-window membership via a bounded explode: (day d, user)
+    # supports report days d .. d+6 — intersected with real days.
+    supported = ev.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("rd"),
+        "user_id",
+    ).join(days.select(F.col("d").alias("rd")), "rd")
+    wau = supported.groupBy("rd").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, dau.d == wau.rd)
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
