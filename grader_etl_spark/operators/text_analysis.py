@@ -1020,6 +1020,122 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q_zipf_slope — per-source Zipf exponent (corpus-health diagnostic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_zipf_slope",
+    oracle="""
+WITH tf AS (
+  SELECT source, t AS term, COUNT(*) AS c
+  FROM (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents)
+  GROUP BY source, t
+),
+ranked AS (
+  SELECT source, c,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, term) AS r
+  FROM tf
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(covar_pop(ln(c), ln(r)) / var_pop(ln(r)), 6) AS zipf_slope
+FROM ranked
+GROUP BY source
+""",
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf exponent: OLS slope of ln(freq) vs ln(rank) over
+    the term-frequency table — natural text sits near -1, and a source
+    that deviates hard (templated/boilerplate or synthetic spam) is a
+    mixture-planning red flag read next to q_source_vocab_overlap.
+
+    One corpus scan builds (source, term, count); ranks are a window
+    over the aggregated frequency table (vocabulary-sized, orders of
+    magnitude smaller than the corpus at 100 TB); the slope is a
+    closed-form covar_pop/var_pop aggregate per source — no fitting
+    loop, no driver collect. Rounded to 6 dp so last-ulp summation
+    order differences between engines can't flip the hash."""
+    docs = load(spark, sf_dir, "documents", columns=["source", "text"])
+    tf = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "term")
+    ranked = tf.withColumn("r", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(
+            F.covar_pop(F.log("c"), F.log("r")) / F.var_pop(F.log("r")), 6
+        ).alias("zipf_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_bpe_pairs — adjacent-character-pair counts (BPE merge round 0)
+# ---------------------------------------------------------------------------
+
+BPE_TOP_K = 30
+
+
+@query(
+    "q_bpe_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+),
+pairs AS (
+  SELECT substring(w, CAST(i AS INT), 2) AS pair
+  FROM toks, unnest(range(1, greatest(length(w), 1))) AS t(i)
+),
+counted AS (
+  SELECT pair, COUNT(*) AS freq,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS rk
+  FROM pairs GROUP BY pair
+)
+SELECT pair, freq, CAST(rk AS BIGINT) AS rank
+FROM counted WHERE rk <= {BPE_TOP_K}
+""",
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies inside tokens —
+    exactly the statistic the first BPE merge of tokenizer training
+    consumes (Sennrich et al. 2016 is public; the count table IS the
+    merge-candidate ranking). Top-{BPE_TOP_K} with deterministic
+    lexicographic tie-break.
+
+    Per document the pair array is assembled with higher-order
+    expressions (sequence → substr → flatten) so the whole extraction
+    is codegen'd, then ONE explode feeds a groupBy whose map-side
+    partial combine carries (pair, count) — the shuffle is bounded by
+    the alphabet squared (~a few thousand keys), never corpus bytes.
+    The rank window runs over the aggregated pair table only."""
+    docs = load(spark, sf_dir, "documents", columns=["text"])
+    empty = F.array().cast("array<string>")
+
+    def word_pairs(w: Column) -> Column:
+        return F.when(
+            F.length(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.length(w) - 1), lambda i: w.substr(i, F.lit(2))
+            ),
+        ).otherwise(empty)
+
+    pairs = docs.select(
+        F.explode(F.flatten(F.transform(tokens(F.col("text")), word_pairs))).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), "pair")
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BPE_TOP_K)
+        .select("pair", "freq", "rank")
+    )
+
+
 from grader_etl_spark import registry as _registry  # noqa: E402
 
 _registry.REGISTRY["q_lang_confusion"] = _registry.QuerySpec(

@@ -85,3 +85,53 @@ def test_vocab_overlap_bounds(spark, sf_dir):
         assert r["source_1"] < r["source_2"]  # canonical ordered pairs
         assert 0.0 < r["vocab_jaccard"] <= 1.0
         assert r["shared_terms"] >= 1
+
+
+def test_bpe_pairs_matches_python_reference(spark, monkeypatch):
+    import collections
+
+    import grader_etl_spark.operators.text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [(1, "abc ab a  xy"), (2, "abc abc zz")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(ta, "load", lambda spark, sf, t, columns=None: docs)
+    got = [(r["pair"], r["freq"], r["rank"]) for r in ta.q_bpe_pairs(spark, "x").collect()]
+
+    counts: collections.Counter = collections.Counter()
+    for text in ("abc ab a  xy", "abc abc zz"):
+        for w in text.split():
+            for i in range(len(w) - 1):
+                counts[w[i : i + 2]] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: ta.BPE_TOP_K]
+    assert got == [(p, c, i + 1) for i, (p, c) in enumerate(want)]
+
+
+def test_zipf_slope_matches_python_reference(spark, monkeypatch):
+    import collections
+    import math
+
+    import grader_etl_spark.operators.text_analysis as ta
+
+    rows = [
+        (1, "s1", "a a a a b b c d"),
+        (2, "s1", "a b b e"),
+        (3, "s2", "x y x z x y w v"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    monkeypatch.setattr(ta, "load", lambda spark, sf, t, columns=None: docs)
+    got = {r["source"]: r for r in ta.q_zipf_slope(spark, "x").collect()}
+
+    by_source: dict = {}
+    for _, s, text in rows:
+        by_source.setdefault(s, collections.Counter()).update(text.split())
+    for s, counter in by_source.items():
+        ranked = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))
+        lx = [math.log(i + 1) for i in range(len(ranked))]
+        ly = [math.log(c) for _, c in ranked]
+        mx, my = sum(lx) / len(lx), sum(ly) / len(ly)
+        cov = sum((x - mx) * (y - my) for x, y in zip(lx, ly)) / len(lx)
+        var = sum((x - mx) ** 2 for x in lx) / len(lx)
+        assert got[s]["n_terms"] == len(ranked)
+        assert abs(got[s]["zipf_slope"] - round(cov / var, 6)) < 1e-9
