@@ -187,8 +187,9 @@ def interval_join(
     right_ts: str = "event_timestamp",
     within: str = "1 hour",
     delay: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """(ext) stream-stream inner join with an event-time interval: each
+    """(ext) stream-stream join with an event-time interval: each
     left event pairs with right events for the same key that happen in
     [left_ts, left_ts + within]. Both sides carry watermarks AND the
     join condition bounds right_ts relative to left_ts — together they
@@ -197,6 +198,15 @@ def interval_join(
     history. This is the streaming form of the batch range join
     (operators/joins.q_join_range); same plan fragments run in both
     modes.
+
+    ``how="leftOuter"`` additionally emits null-padded rows for left
+    events that found no partner — but only once the watermark has
+    passed ``left_ts + within`` (before that, a partner could still
+    arrive). Consequence under an availableNow/terminating run: left
+    rows younger than (max event time − delay − within) are still
+    "awaiting partners" when the query ends and their null rows are
+    NOT emitted — the batch-parity test pins exactly this boundary.
+    Right/full outer follow the same rule on the other side.
 
     Output columns: key, l_ts, r_ts, plus non-key left/right columns
     prefixed l_/r_."""
@@ -214,7 +224,7 @@ def interval_join(
     keep += [
         F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns if c not in (key, right_ts)
     ]
-    return lw.join(rw, cond, "inner").select(*keep)
+    return lw.join(rw, cond, how).select(*keep)
 
 
 def enriched_stream(

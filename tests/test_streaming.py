@@ -193,3 +193,51 @@ def test_enriched_stream_static_broadcast(spark, tmp_path):
     run_to_memory_sink(enriched_stream(stream, dim, on="user_id"), "enriched")
     rows = {r.user_id: r.tier for r in spark.sql("SELECT * FROM enriched").collect()}
     assert rows == {"u1": "gold", "u2": "silver", "u3": None}
+
+
+def test_stream_stream_left_outer_interval_join_null_padding(spark, tmp_path):
+    """leftOuter interval join: unmatched left rows are null-padded
+    once the watermark passes left_ts + within; left rows still inside
+    the watermark horizon at termination are withheld (a partner could
+    still arrive) — the availableNow boundary the docstring pins."""
+    run_path = str(tmp_path / "runs")
+    check_path = str(tmp_path / "checks")
+    far = T0 + dt.timedelta(days=10)  # watermark pusher on both sides
+    runs = [
+        ("u1", T0, "run", True),    # matched
+        ("u3", T0, "run", False),   # unmatched, old -> null row
+        ("u5", far, "run", True),   # unmatched but too new -> withheld
+    ]
+    checks = [
+        ("u1", T0 + dt.timedelta(minutes=10), "check", False),
+        ("u4", T0, "check", True),  # right-only: ignored in LEFT outer
+        ("wm", far, "check", True),
+    ]
+    _land(spark, run_path, runs)
+    _land(spark, check_path, checks)
+
+    joined = interval_join(
+        file_stream(spark, run_path, SCHEMA),
+        file_stream(spark, check_path, SCHEMA),
+        how="leftOuter",
+    )
+    run_to_memory_sink(joined, "oj_out")
+    got = {
+        (r["user_id"], r["l_ts"], r["r_ts"])
+        for r in spark.sql("SELECT * FROM oj_out").collect()
+    }
+    assert got == {
+        ("u1", T0, T0 + dt.timedelta(minutes=10)),
+        ("u3", T0, None),
+    }
+
+    # Batch twin on identical inputs: every unmatched left appears
+    # (no watermark horizon in batch) — streaming output is exactly
+    # the batch output minus the withheld-by-horizon rows.
+    batch = interval_join(
+        spark.read.schema(SCHEMA).parquet(run_path),
+        spark.read.schema(SCHEMA).parquet(check_path),
+        how="leftOuter",
+    )
+    want = {(r["user_id"], r["l_ts"], r["r_ts"]) for r in batch.collect()}
+    assert want == got | {("u5", far, None)}
