@@ -75,6 +75,7 @@ def load_all_operators() -> None:
         setops,
         sharding,
         similarity,
+        sketches,
         statistics,
         text_analysis,
         time_windows,
