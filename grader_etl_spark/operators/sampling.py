@@ -73,17 +73,32 @@ WHERE rn <= 50
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced stratified sample: exactly 50 rows per l_returnflag
     stratum, chosen as the smallest md5 values within the stratum —
-    a deterministic per-group reservoir. One shuffle on the stratum
-    key; at scale, heavy strata are bounded by the windowed top-k
-    (rank over sort), never a full-group materialization. Class
-    rebalancing for training data is this exact shape."""
+    a deterministic per-group reservoir (class rebalancing for
+    training data is this exact shape).
+
+    Two-phase salted top-k: a single rank window per stratum would
+    shuffle the whole table into |strata| partitions — 3 tasks no
+    matter how many executors exist, the per-group twin of the global
+    orderBy bottleneck. Instead phase 1 ranks within (stratum, salt)
+    where salt is derived from the SAME row hash (pure row function →
+    deterministic under any partitioning, retries included): 3×64
+    parallel sorts, each group's top-50 a superset contributor. Phase
+    2 re-ranks the ≤ strata×64×50 survivors — driver-trivial at any
+    scale. Same output, sort parallelism |strata|×64 instead of
+    |strata|."""
     li = load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_orderkey", "l_linenumber"])
     h = F.md5(
         F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
     )
-    w = Window.partitionBy("l_returnflag").orderBy(h, "l_orderkey", "l_linenumber")
+    salt = F.conv(F.substring(h, 29, 4), 16, 10).cast("long") % 64
+    w1 = Window.partitionBy("l_returnflag", "salt").orderBy("h", "l_orderkey", "l_linenumber")
+    w2 = Window.partitionBy("l_returnflag").orderBy("h", "l_orderkey", "l_linenumber")
     return (
-        li.withColumn("rn", F.row_number().over(w))
+        li.withColumn("h", h)
+        .withColumn("salt", salt)
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= 50)
+        .withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= 50)
         .select("l_returnflag", "l_orderkey", "l_linenumber")
     )
