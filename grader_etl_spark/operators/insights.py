@@ -518,3 +518,57 @@ def q_anomaly_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d", "dow", "revenue", z.alias("z"))
         .filter(F.abs(F.col("z")) > 1.5)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_skyline_parts — Pareto frontier (skyline) via sorted running max
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_skyline_parts",
+    oracle="""
+SELECT a.p_partkey, a.p_retailprice, a.p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+""",
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): parts not dominated on
+    (p_retailprice min, p_size max) — the multi-criteria shortlist
+    query (Borzsony/Kossmann/Stocker, ICDE 2001 is public). The naive
+    form is the oracle's quadratic NOT-EXISTS self-join; here it
+    collapses to sort-order algebra:
+
+    * per-price aggregate: smax = max(size) within each price — any
+      same-price row below smax is dominated locally;
+    * one running max of smax over the DISTINCT-price frame in
+      ascending price order (rows frame, so "strictly cheaper" is
+      exact even with duplicate prices) — a row is dominated by a
+      cheaper one iff that running max reaches its size;
+    * join the verdict back on price.
+
+    Cost: one groupBy(price) whose output is distinct-price-sized,
+    one window over THAT frame, one shuffle join back. At extreme
+    price cardinality the single-partition window over distinct
+    prices becomes the bottleneck; the documented scale path is
+    range-partitioning by price, per-partition skylines, then the
+    running max of the partition maxima broadcast as prefix offsets —
+    same algebra, two levels (the q_sample_stratified two-phase
+    pattern applied to a prefix scan)."""
+    parts = load(spark, sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_size"])
+    g = parts.groupBy("p_retailprice").agg(F.max("p_size").alias("smax"))
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    g = g.withColumn("runmax", F.max("smax").over(w))
+    return (
+        parts.join(g, "p_retailprice")
+        .filter(
+            (F.col("runmax").isNull() | (F.col("runmax") < F.col("p_size")))
+            & (F.col("p_size") == F.col("smax"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

@@ -135,3 +135,33 @@ def test_zipf_slope_matches_python_reference(spark, monkeypatch):
         var = sum((x - mx) ** 2 for x in lx) / len(lx)
         assert got[s]["n_terms"] == len(ranked)
         assert abs(got[s]["zipf_slope"] - round(cov / var, 6)) < 1e-9
+
+
+def test_skyline_matches_quadratic_reference(spark, monkeypatch):
+    import grader_etl_spark.operators.insights as ins
+
+    # (key, price, size): exercises duplicate prices, duplicate
+    # points, and same-price domination.
+    rows = [
+        (1, 10.0, 5),   # frontier
+        (2, 10.0, 5),   # duplicate point -> both kept
+        (3, 10.0, 3),   # dominated by 1 (same price, smaller)
+        (4, 20.0, 7),   # frontier (pricier but bigger)
+        (5, 20.0, 5),   # dominated by 1 (cheaper, same size)
+        (6, 30.0, 7),   # dominated by 4 (cheaper, same size)
+        (7, 5.0, 1),    # frontier (cheapest)
+        (8, 40.0, 9),   # frontier (biggest)
+    ]
+    df = spark.createDataFrame(rows, "p_partkey long, p_retailprice double, p_size int")
+    monkeypatch.setattr(ins, "load", lambda spark, sf, t, columns=None: df)
+    got = sorted(r["p_partkey"] for r in ins.q_skyline_parts(spark, "x").collect())
+
+    def dominated(a, b):  # b dominates a
+        return (
+            b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2])
+        )
+
+    want = sorted(
+        k for (k, p, s) in rows if not any(dominated((k, p, s), b) for b in rows)
+    )
+    assert got == want == [1, 2, 4, 7, 8]
