@@ -234,3 +234,46 @@ def test_pmi_pair_join_is_hash_join(spark, sf_dir):
     # formatted plans print each operator twice (tree + detail)
     assert p.count("BroadcastNestedLoopJoin") <= 2
     assert "BroadcastHashJoin" in p
+
+
+def test_heavy_hitters_verify_phase_broadcasts_candidates(spark, sf_dir):
+    """Phase 2 of q_heavy_hitters must semi-join the token stream
+    against BROADCAST candidates (a shuffled join of the full token
+    stream on term is exactly the vocabulary-sized shuffle the sketch
+    exists to avoid), and phase 1's Python surface must be the single
+    mapInPandas kernel."""
+    p = plan_of(spark, sf_dir, "q_heavy_hitters")
+    assert "BroadcastHashJoin" in p
+    tree = p.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_stratified_sample_is_two_phase(spark, sf_dir):
+    """q_sample_stratified must rank twice — the salted phase-1 window
+    (parallel across strata×salt groups) feeding the stratum-level
+    re-rank — instead of one window keyed only by the 3-value stratum
+    column (a 3-task sort at any cluster size)."""
+    p = plan_of(spark, sf_dir, "q_sample_stratified")
+    tree = p.split("\n\n")[0]
+    # exactly two rank windows ("Window (" — not the WindowGroupLimit
+    # rank-pushdown nodes Spark 3.5 inserts around each)
+    assert tree.count("Window (") == 2
+    # phase-1 partition spec carries the salt column
+    detail = next(b for b in p.split("\n\n") if "Window" in b and "salt" in b)
+    assert "l_returnflag" in detail
+
+
+def test_new_corpus_ops_single_scan(spark, sf_dir):
+    """q_zipf_slope / q_bpe_pairs: one corpus scan each — the
+    rank/slope algebra must run over aggregated frames, never re-scan
+    the corpus. q_skyline_parts re-scans the (3-column, pruned) part
+    table once for the verdict join-back — two scans, and the frontier
+    side must arrive by broadcast."""
+    for name in ("q_zipf_slope", "q_bpe_pairs"):
+        tree = plan_of(spark, sf_dir, name).split("\n\n")[0]
+        assert tree.count("Scan parquet") == 1, name
+    p = plan_of(spark, sf_dir, "q_skyline_parts")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in p
