@@ -286,3 +286,101 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ohlc_daily — open/high/low/close bars (argmin/argmax by event time)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ohlc_daily",
+    oracle="""
+WITH keyed AS (
+  SELECT CAST(ts AS DATE) AS day, value,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
+         lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+  FROM events
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(min_by(value, k), 4) AS open,
+       round(max(value), 4)       AS high,
+       round(min(value), 4)       AS low,
+       round(max_by(value, k), 4) AS close,
+       CAST(COUNT(*) AS BIGINT)   AS volume
+FROM keyed GROUP BY day
+""",
+)
+def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars over the event value series — the canonical
+    downsampling shape for any metric/tick stream. open/close are
+    argmin/argmax over a composite (ts, event_id) key — built-in
+    min_by/max_by, so the whole bar is ONE mergeable aggregate state
+    per day (map-side partial, no window sort, no per-day
+    materialization). The tie-break key is encoded as a zero-padded
+    string because the oracle's min_by needs a scalar orderable key —
+    both engines compare the identical bytes, so bars are
+    deterministic even with equal-timestamp events."""
+    ev = load(spark, sf_dir, "events", columns=["event_id", "ts", "value"])
+    k = F.concat_ws(
+        "-",
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(F.to_date("ts").alias("day"), "value", k.alias("k"))
+        .groupBy("day")
+        .agg(
+            F.round(F.min_by("value", "k"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", "k"), 4).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(F.col("day").cast("string").alias("day"), "open", "high", "low", "close", "volume")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_twap — time-weighted average value per user (interval weighting)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_twap",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, value,
+         epoch_us(ts) AS t,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS t_next
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       ROUND(SUM(value * (t_next - t)) / SUM(t_next - t), 6) AS twap
+FROM ordered WHERE t_next IS NOT NULL
+GROUP BY user_id
+""",
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's value series: each
+    observation holds until the next one, so its weight is the
+    interval length (plain avg() over-weights bursts — the reason
+    TWAP/TWAvg exists in every metrics store). One per-user window
+    (lead over event time, event_id tie-break) sharing a single
+    shuffle with the final aggregate; the last observation of each
+    user has no holding interval and is excluded on both engines.
+    Weighted sums are double; the emitted ratio is rounded to 6 dp so
+    partial-sum association order can't flip the hash."""
+    ev = load(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    t = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(t, "event_id")
+    withnext = ev.select(
+        "user_id", "value", t.alias("t"), F.lead(t).over(w).alias("t_next")
+    ).filter(F.col("t_next").isNotNull())
+    dt = (F.col("t_next") - F.col("t")).cast("double")
+    return withnext.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twap"),
+    )

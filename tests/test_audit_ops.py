@@ -165,3 +165,33 @@ def test_skyline_matches_quadratic_reference(spark, monkeypatch):
         k for (k, p, s) in rows if not any(dominated((k, p, s), b) for b in rows)
     )
     assert got == want == [1, 2, 4, 7, 8]
+
+
+def test_ohlc_tiebreak_and_twap_weighting(spark, monkeypatch):
+    import datetime as _dt
+
+    import grader_etl_spark.operators.time_windows as tw
+
+    t = _dt.datetime(2024, 1, 5, 12, 0, 0)
+    rows = [
+        # same timestamp: event_id breaks the tie for open/close
+        (2, t, 7, 5.0),
+        (1, t, 7, 3.0),                                # open (lower id)
+        (3, t + _dt.timedelta(hours=1), 7, 9.0),       # high
+        (4, t + _dt.timedelta(hours=3), 7, 1.0),       # low + close
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    monkeypatch.setattr(tw, "load", lambda spark, sf, t, columns=None: df)
+
+    (bar,) = tw.q_ohlc_daily(spark, "x").collect()
+    assert (bar["open"], bar["high"], bar["low"], bar["close"], bar["volume"]) == (
+        3.0, 9.0, 1.0, 1.0, 4,
+    )
+
+    (got,) = tw.q_twap(spark, "x").collect()
+    # holding intervals: 3.0 for 0s (dropped: zero-length, but kept as
+    # an interval of 0 -> contributes nothing), 5.0 for 1h, 9.0 for 2h
+    # last point (1.0) excluded; weights 0 + 3600 + 7200
+    want = (5.0 * 3600 + 9.0 * 7200) / (3600 + 7200)
+    assert got["n_intervals"] == 3
+    assert abs(got["twap"] - round(want, 6)) < 1e-9
