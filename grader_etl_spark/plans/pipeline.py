@@ -47,13 +47,22 @@ DEDUP_KEYS = ["user_id", "event_timestamp"]  # main.py:202's composite key
 # ---------------------------------------------------------------------------
 
 
-def transform(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+def transform(raw: DataFrame, observation=None) -> tuple[DataFrame, DataFrame]:
     """Project/rename/extract/coerce the raw attempt records onto the
     statistics schema, returning (valid, quarantine).
 
     Input columns (the REST payload, main.py:134-141): lti_user_id,
     passback_params (serialized dict, either JSON or Python-literal
     syntax), is_correct, attempt_type, created_at.
+
+    ``observation``: optional ``pyspark.sql.Observation`` attached to
+    the shaped frame ABOVE the valid/quarantine split, recording
+    batch_rows / quarantined_rows / null_is_correct as a side effect
+    of whichever branch's action runs first. At 100 TB this is the
+    difference between free ingest counters and a second full scan —
+    ``.count()`` on the quarantine branch would re-read the batch;
+    observed metrics ride the write job's existing pass
+    (SparkListener-backed, exact, no sampling).
     """
     # Split-union parse: the literal-eval UDF only sees rows from_json
     # can't handle (functions/passback.py:with_passback_parsed).
@@ -83,6 +92,15 @@ def transform(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         & (F.col("user_id") != "")
         & F.col("event_timestamp").isNotNull()
     )
+    if observation is not None:
+        shaped = shaped.observe(
+            observation,
+            F.count(F.lit(1)).alias("batch_rows"),
+            F.count(F.when(~valid_pred | valid_pred.isNull(), 1)).alias(
+                "quarantined_rows"
+            ),
+            F.count(F.when(F.col("is_correct").isNull(), 1)).alias("null_is_correct"),
+        )
     return shaped.filter(valid_pred), shaped.filter(~valid_pred | valid_pred.isNull())
 
 
@@ -274,15 +292,28 @@ def run_pipeline(
     raw_mirror: Sink | None = None,
     report_sink: Sink | None = None,
     notify: Callable[[str], None] | None = None,
+    metrics_out: dict | None = None,
 ) -> Row:
     """The full job. Returns the report row (what the email carries).
 
     Sequencing parity: like the reference, the report runs even if the
     incoming batch is empty (main.py:441 sits outside `if data:`), and
     the zero-row guard inside daily_report yields the all-zero row.
-    """
-    valid, _quarantine = transform(raw)
+
+    ``metrics_out``: pass a dict to receive the observed ingest
+    counters (batch_rows / quarantined_rows / null_is_correct),
+    harvested from the append job itself — no extra scan (see
+    ``transform``). The reference logs these same drop counts row by
+    row at main.py:146-163."""
+    obs = None
+    if metrics_out is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation("ingest")
+    valid, _quarantine = transform(raw, observation=obs)
     store.idempotent_append(valid)
+    if obs is not None:
+        metrics_out.update(obs.get)
 
     stored = store.read()
     if raw_mirror is not None and stored is not None:

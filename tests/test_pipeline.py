@@ -159,3 +159,22 @@ def test_store_lock_times_out_on_stale_lock(spark, tmp_path):
         with pytest.raises(TimeoutError, match="stale lock"):
             with _store_lock(path, timeout=0.3):
                 pass
+
+
+def test_ingest_metrics_ride_the_append_job(spark, tmp_path):
+    """Observed ingest counters (batch_rows / quarantined_rows /
+    null_is_correct) come back exact from the append job itself — the
+    quarantine branch is never counted with a second scan."""
+    store = ParquetStore(spark, str(tmp_path / "obs_store"))
+    metrics: dict = {}
+    run_pipeline(
+        spark.createDataFrame(BATCH_1, RAW_SCHEMA),
+        store,
+        "2024-01-15",
+        metrics_out=metrics,
+    )
+    assert metrics == {
+        "batch_rows": 5,
+        "quarantined_rows": 2,
+        "null_is_correct": 1,
+    }
