@@ -178,3 +178,56 @@ def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_of_source"
         ),
     )
+
+
+@query(
+    "q_split_leakage",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+train_fp AS (SELECT DISTINCT fp FROM assigned WHERE split = 'train'),
+held AS (SELECT * FROM assigned WHERE split <> 'train')
+SELECT h.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(t.fp) AS BIGINT) AS n_leaked,
+       ROUND(CAST(COUNT(t.fp) AS DOUBLE) / COUNT(*), 6) AS leak_rate
+FROM held h LEFT JOIN train_fp t ON t.fp = h.fp
+GROUP BY h.split
+""",
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval leakage audit: for each held-out split, how many
+    docs' NORMALIZED content fingerprints (the exact-dedup key —
+    lower + whitespace-collapse + md5) also appear in train. This is
+    the check that catches the classic failure q_train_split's
+    docstring warns about — keying the split on doc_id while exact
+    duplicates straddle the boundary. Composes the registered split
+    rule with the 16-byte fingerprint ledger: the join carries
+    (fp, split) pairs only, never text, and the train side is a
+    distinct fingerprint set — at 100 TB both sides are hash-sized.
+    Zero leaked rows here does NOT clear near-duplicates; that is
+    q_decontaminate's n-gram job."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    assigned = docs.select(
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp"),
+        F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test").alias("split"),
+    )
+    train_fp = assigned.filter(F.col("split") == "train").select("fp").distinct()
+    held = assigned.filter(F.col("split") != "train")
+    t = train_fp.select(F.col("fp").alias("tfp"))
+    return (
+        held.join(t, held.fp == t.tfp, "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("tfp").alias("n_leaked"),
+            F.round(F.count("tfp").cast("double") / F.count(F.lit(1)), 6).alias("leak_rate"),
+        )
+    )
