@@ -100,10 +100,10 @@ def curate(docs: DataFrame, shingle_index: DataFrame | None = None) -> DataFrame
     return keepers.join(drop_ids, "doc_id", "left_anti").select("doc_id", "n_words")
 
 
-@query(
-    "q_curate_corpus",
-    oracle=f"""
-WITH toks AS (
+# The naive-SQL rendition of the three stages, shared by the curate
+# oracle and the funnel oracle below so both differential checks pin
+# the SAME semantics.
+_CURATE_CTES = f"""toks AS (
   SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS tk
   FROM documents
 ),
@@ -140,7 +140,13 @@ dropped AS (
   WHERE CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)
           / (length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)))
         >= {_JACCARD_THRESHOLD}
-)
+)"""
+
+
+@query(
+    "q_curate_corpus",
+    oracle=f"""
+WITH {_CURATE_CTES}
 SELECT k.doc_id, k.n_words
 FROM keepers k
 WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
@@ -157,4 +163,70 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(
         load(spark, sf_dir, "documents", columns=["doc_id", "text"]),
         shingle_index=shingled_docs(spark, sf_dir),
+    )
+
+
+@query(
+    "q_curation_funnel",
+    oracle=f"""
+WITH {_CURATE_CTES},
+final AS (
+  SELECT k.doc_id FROM keepers k
+  WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT)          AS n_total,
+       CAST(COUNT(g.doc_id) AS BIGINT)   AS n_gated,
+       CAST(COUNT(k.doc_id) AS BIGINT)   AS n_unique,
+       CAST(COUNT(f.doc_id) AS BIGINT)   AS n_final,
+       ROUND(CAST(COUNT(f.doc_id) AS DOUBLE) / COUNT(*), 6) AS keep_rate
+FROM documents d
+LEFT JOIN (SELECT doc_id FROM gated)   g ON g.doc_id = d.doc_id
+LEFT JOIN (SELECT doc_id FROM keepers) k ON k.doc_id = d.doc_id
+LEFT JOIN final                        f ON f.doc_id = d.doc_id
+GROUP BY d.source
+""",
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source attrition through the curation stages: how many docs
+    each source contributes at intake, past the quality gate, past
+    exact dedup, and into the final corpus — the report that tells a
+    data team WHICH source is paying for its storage (a source whose
+    keep_rate collapses at the dedup stage is re-crawling itself).
+
+    The stage id-sets are joined back as (doc_id)-only frames, so
+    every join carries keys, never text; the shingle stage reuses the
+    session-materialized index like q_curate_corpus. The funnel oracle
+    shares the exact CTE text with the curate oracle, so both
+    differential checks pin one semantics."""
+    from grader_etl_spark.operators.llm_dedup import shingled_docs
+
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
+    body = docs.select("doc_id", "text")
+    gated_ids = quality_gate(body).select("doc_id", F.lit(1).alias("g"))
+
+    fp = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    keeper_ids = (
+        quality_gate(body)
+        .select("doc_id", fp.alias("fp"))
+        .withColumn("rk", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.lit(1).alias("k"))
+    )
+    final_ids = curate(body, shingle_index=shingled_docs(spark, sf_dir)).select(
+        "doc_id", F.lit(1).alias("f")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(gated_ids, "doc_id", "left")
+        .join(keeper_ids, "doc_id", "left")
+        .join(final_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("g").alias("n_gated"),
+            F.count("k").alias("n_unique"),
+            F.count("f").alias("n_final"),
+            F.round(F.count("f").cast("double") / F.count(F.lit(1)), 6).alias("keep_rate"),
+        )
     )
