@@ -277,3 +277,42 @@ def test_new_corpus_ops_single_scan(spark, sf_dir):
     tree = p.split("\n\n")[0]
     assert tree.count("Scan parquet") == 2
     assert "BroadcastHashJoin" in p
+
+
+def test_parquet_aggregate_pushdown_min_max_count(spark, sf_dir):
+    """Footer-stats aggregate pushdown: with the v2 parquet source and
+    spark.sql.parquet.aggregatePushdown on, un-grouped MIN/MAX/COUNT
+    compile to PushedAggregation on the scan — the row groups' footer
+    statistics answer the query and the data pages are never decoded.
+    At 100 TB this turns a full-table min/max probe (e.g. the bounds
+    discovery q_histogram/compaction planning run first) into a
+    metadata-only operation. Confs restored so other tests see the
+    stock v1 profile."""
+    import contextlib as _ctx
+    import io as _io
+
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        import pyspark.sql.functions as F
+
+        agg = spark.read.parquet(f"{sf_dir}/part.parquet").agg(
+            F.min("p_retailprice").alias("mn"),
+            F.max("p_size").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        buf = _io.StringIO()
+        with _ctx.redirect_stdout(buf):
+            agg.explain("formatted")
+        p = buf.getvalue()
+        assert "PushedAggregation: [MIN(p_retailprice), MAX(p_size), COUNT(*)]" in p
+        row = agg.collect()[0]
+        assert row["n"] > 0 and row["mn"] is not None
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
