@@ -100,8 +100,34 @@ def deduplicated_stream(
     """Watermarked keyed dedup — the streaming ON CONFLICT DO NOTHING:
     first arrival per (user_id, event_timestamp) within the 7-day
     watermark wins; later duplicates are dropped from the stream, and
-    the state store evicts keys older than the watermark."""
+    the state store evicts keys older than the watermark.
+
+    Note the classic ``dropDuplicates`` constraint this inherits: the
+    event-time column must be PART of the key for state to be evicted
+    (it is, here — the reference's composite key includes the
+    timestamp, main.py:202). For business keys that do NOT include
+    event time, use :func:`deduplicated_stream_within_watermark`."""
     return _ensure_watermark(events, ts_col, delay).dropDuplicates(keys or DEDUP_KEYS)
+
+
+def deduplicated_stream_within_watermark(
+    events: DataFrame,
+    ts_col: str = "event_timestamp",
+    keys: list[str] | None = None,
+    delay: str = WATERMARK_DELAY,
+) -> DataFrame:
+    """Keyed dedup for keys that don't contain the event-time column
+    (``dropDuplicatesWithinWatermark``, Spark 3.5+): duplicates of a
+    key arriving within the watermark delay of each other collapse to
+    the first arrival, and key state is evicted once the watermark
+    passes — bounded state WITHOUT smuggling the timestamp into the
+    key. This is the right tool when upstream retries re-emit the same
+    business key with a slightly different timestamp (the case plain
+    dropDuplicates([key]) would hold state for forever, and
+    dropDuplicates([key, ts]) would NOT dedup at all)."""
+    return _ensure_watermark(events, ts_col, delay).dropDuplicatesWithinWatermark(
+        keys or ["user_id"]
+    )
 
 
 def daily_tumbling_report(

@@ -241,3 +241,34 @@ def test_stream_stream_left_outer_interval_join_null_padding(spark, tmp_path):
     )
     want = {(r["user_id"], r["l_ts"], r["r_ts"]) for r in batch.collect()}
     assert want == got | {("u5", far, None)}
+
+
+def test_dedup_within_watermark_collapses_retried_keys(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the same business key re-emitted
+    with DIFFERENT timestamps (an upstream retry) collapses to the
+    first arrival — the case dropDuplicates([key, ts]) cannot dedup
+    and dropDuplicates([key]) would hold state for forever."""
+    from grader_etl_spark.streaming.jobs import deduplicated_stream_within_watermark
+
+    path = str(tmp_path / "retries")
+    rows = [
+        ("u1", T0, "run", True),
+        ("u1", T0 + dt.timedelta(seconds=30), "run", True),   # retry, new ts
+        ("u2", T0 + dt.timedelta(hours=1), "check", False),
+        ("u2", T0 + dt.timedelta(hours=1, seconds=5), "check", False),  # retry
+        ("u3", T0, "run", False),
+    ]
+    _land(spark, path, rows)
+    stream = deduplicated_stream_within_watermark(
+        file_stream(spark, path, SCHEMA), keys=["user_id"]
+    )
+    run_to_memory_sink(stream, "wmdedup_out")
+    got = {
+        (r["user_id"], r["event_timestamp"])
+        for r in spark.sql("SELECT * FROM wmdedup_out").collect()
+    }
+    assert got == {
+        ("u1", T0),
+        ("u2", T0 + dt.timedelta(hours=1)),
+        ("u3", T0),
+    }
