@@ -111,6 +111,7 @@ _LITERAL_TABLE_OK = {
     "q_neardup_jaccard",
     "q_neardup_minhash",
     "q_curate_corpus",
+    "q_curation_funnel",
     "q_dedup_savings",
 }
 
