@@ -434,3 +434,75 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel")
         .agg(F.count("*").alias("conversions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_top_paths — most common initial event paths (ordered-sequence mining)
+# ---------------------------------------------------------------------------
+
+PATH_LEN = 5
+PATH_TOP_K = 20
+
+
+@query(
+    "q_top_paths",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ordered WHERE rn <= {PATH_LEN}
+  GROUP BY user_id
+),
+counted AS (
+  SELECT path, COUNT(*) AS n_users,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rk
+  FROM paths GROUP BY path
+)
+SELECT path, n_users, CAST(rk AS BIGINT) AS rank
+FROM counted WHERE rk <= {PATH_TOP_K}
+""",
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common initial journeys: each user's first {PATH_LEN}
+    events (event-time order, event_id tie-break) joined into a '>'
+    path string, counted and ranked — the sequence-mining readout that
+    sits beside the Markov matrix (B9 gives edge probabilities; this
+    gives the actual head paths product teams look at).
+
+    One user-key shuffle: the rank window and the path assembly share
+    it (row_number → filter ≤ {PATH_LEN} → sorted collect per user),
+    then the count/rank run over the path table, which is at most
+    |event_types|^{PATH_LEN} rows and in practice tiny. Paths are
+    assembled with array_sort on (rn, type) structs — deterministic
+    under any partitioning."""
+    ev = load(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_n = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PATH_LEN)
+        .select("user_id", "rn", "event_type")
+    )
+    paths = (
+        first_n.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s.getField("event_type"),
+                ),
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    wr = Window.orderBy(F.col("n_users").desc(), "path")
+    return (
+        counted.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= PATH_TOP_K)
+        .select("path", "n_users", "rank")
+    )
