@@ -384,3 +384,44 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_intervals"),
         F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_active_users_hll — the sketch-merge DAU/WAU variant (B12's scale path)
+# ---------------------------------------------------------------------------
+
+
+# No DuckDB oracle possible: Apache DataSketches HLL binaries are
+# Spark-specific. Accuracy is pytest-bounded against the exact
+# q_active_users (tests/test_audit_ops.py); at the fixture's
+# cardinalities the sketch is in sparse mode and typically exact.
+@query("q_active_users_hll", oracle=None)
+def q_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/stickiness via MERGEABLE HLL sketches — the 100 TB path
+    q_active_users' docstring promises: one pass builds a per-day
+    sketch (hll_sketch_agg, a few KB each regardless of user
+    cardinality), and the trailing-7-day WAU is a UNION of ≤7 sketches
+    (hll_union_agg over a calendar range window) — no factor-7 row
+    explode, no giant distinct. The per-day sketch table is exactly
+    what a production pipeline would PERSIST and maintain
+    incrementally: yesterday's sketches never recompute, today's batch
+    appends one sketch row, and any window (7/28/90-day) is a union
+    over the stored sketches. The window frame here is calendar-RANGE
+    on the day ordinal, so gaps in the date line shrink the union
+    correctly instead of grabbing 7 arbitrary rows."""
+    ev = load(spark, sf_dir, "events", columns=["ts", "user_id"])
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    dn = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(dn).rangeBetween(-6, 0)
+    return daily.select(
+        F.col("d").cast("string").alias("day"),
+        F.hll_sketch_estimate("sk").alias("dau"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("wau"),
+    ).select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+    )

@@ -195,3 +195,21 @@ def test_ohlc_tiebreak_and_twap_weighting(spark, monkeypatch):
     want = (5.0 * 3600 + 9.0 * 7200) / (3600 + 7200)
     assert got["n_intervals"] == 3
     assert abs(got["twap"] - round(want, 6)) < 1e-9
+
+
+def test_hll_active_users_tracks_exact(spark, sf_dir):
+    """The sketch-merge DAU/WAU must track the exact explode-based
+    computation within HLL error (lgK=12 -> ~2.5% at large
+    cardinalities; exact in sparse mode at fixture size)."""
+    from grader_etl_spark.operators.time_windows import (
+        q_active_users,
+        q_active_users_hll,
+    )
+
+    exact = {r["day"]: r for r in q_active_users(spark, sf_dir).collect()}
+    sketch = {r["day"]: r for r in q_active_users_hll(spark, sf_dir).collect()}
+    assert set(exact) == set(sketch)
+    for day, e in exact.items():
+        s = sketch[day]
+        assert abs(s["dau"] - e["dau"]) <= max(1, 0.05 * e["dau"]), day
+        assert abs(s["wau"] - e["wau"]) <= max(1, 0.05 * e["wau"]), day
