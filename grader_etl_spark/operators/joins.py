@@ -200,3 +200,97 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region", columns=["r_name"])
     segs = load(spark, sf_dir, "customer", columns=["c_mktsegment"]).distinct()
     return region.crossJoin(segs)
+
+
+# ---------------------------------------------------------------------------
+# J10 — interval-overlap join (bucketized, never a cross product)
+# ---------------------------------------------------------------------------
+
+_OVERLAP_GAP = "30 minutes"
+_BUCKET_S = 3600  # 1-hour overlap buckets
+
+
+@query(
+    "q_interval_overlap",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, MIN(ts) AS st, MAX(ts) + INTERVAL 30 MINUTE AS en
+  FROM numbered GROUP BY user_id, sid
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_overlaps
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id AND a.st < b.en AND b.st < a.en
+GROUP BY 1, 2
+""",
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join: pairs of different users whose activity
+    sessions overlap in time, with the overlapping-session-pair count
+    per user pair — the concurrency/collusion-screen shape (two
+    interval tables, predicate `a.st < b.en AND b.st < a.en`).
+
+    The naive plan is the oracle's quadratic theta-join — a cross
+    product at scale. Here each session explodes into the 1-hour
+    buckets it touches (bounded by session length / bucket width) and
+    candidates come from an EQUI-join on the bucket id: two intervals
+    can only overlap if they share a bucket, so pruning is lossless.
+    The exact predicate then filters, and a distinct on the session
+    pair collapses multi-bucket hits before the per-user-pair count.
+    Shuffle volume is (interval × touched-buckets) rows — linear in
+    total interval hours, never |sessions|². Same bucketization idiom
+    as the sliding window's Expand; bucket width trades index size
+    against candidate selectivity (tune to median interval length)."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "ts"])
+    sess = (
+        ev.groupBy(F.session_window("ts", _OVERLAP_GAP).alias("s"), "user_id")
+        .agg(F.lit(1).alias("_one"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("st"),
+            F.col("s.end").alias("en"),
+        )
+    )
+    b = sess.withColumn(
+        "hb",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("st") / _BUCKET_S),
+                F.floor((F.unix_timestamp("en") - 1) / _BUCKET_S),
+            )
+        ),
+    )
+    a, bb = b.alias("a"), b.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.hb") == F.col("b.hb"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.st") < F.col("b.en"))
+            & (F.col("b.st") < F.col("a.en")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.st").alias("st_a"),
+            F.col("b.st").alias("st_b"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_overlaps")
+    )

@@ -83,7 +83,13 @@ def test_passback_udf_sees_only_fallback_rows(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["q_neardup_jaccard", "q_neardup_minhash", "q_dedup_simhash", "q_neardup_embedding"],
+    [
+        "q_neardup_jaccard",
+        "q_neardup_minhash",
+        "q_dedup_simhash",
+        "q_neardup_embedding",
+        "q_interval_overlap",
+    ],
 )
 def test_pairwise_ops_never_nested_loop(spark, sf_dir, name):
     """The dedup operators must candidate-join on equi keys; a
