@@ -28,6 +28,13 @@ per-document token ARRAYS (one row per doc crosses Arrow, not one
 per token); counting inside a batch uses collections.Counter over
 chained arrays (C-speed), and the decrement step runs only when the
 counter table overflows k.
+
+Cost honesty: phase 1 does move ~1× corpus token bytes through
+Arrow — but strictly MAP-SIDE (no network, no disk spill), replacing
+the alternative's vocabulary-wide shuffle, which serializes a
+comparable volume AND crosses the network AND spills when the
+vocabulary exceeds memory. The sketch's win is what it deletes, not
+free Python.
 """
 
 from __future__ import annotations
