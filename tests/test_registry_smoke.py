@@ -16,6 +16,9 @@ ROWS_ONLY_BY_DESIGN = {
     "q_kmeans_embeddings",  # iterative Lloyd's; invariants in test_clustering.py
     "q_ann_lsh",  # hyperplane sign bits; recall in test_similarity.py
     "q_ann_ivf",  # k-means cell layout; recall in test_similarity.py
+    # DataSketches HLL binaries are Spark-specific (no DuckDB twin);
+    # accuracy bounded vs the exact q_active_users in test_audit_ops.py.
+    "q_active_users_hll",
 }
 
 
