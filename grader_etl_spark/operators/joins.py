@@ -273,7 +273,9 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor((F.unix_timestamp("en") - 1) / _BUCKET_S),
             )
         ),
-    )
+        # both self-join sides read this frame: materialize the
+        # sessionize+explode ONCE instead of twice
+    ).persist()
     a, bb = b.alias("a"), b.alias("b")
     pairs = (
         a.join(
@@ -293,4 +295,62 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy("user_a", "user_b").agg(
         F.count(F.lit(1)).alias("n_overlaps")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J11 — null-safe equi-join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+WITH keyed AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'view' THEN NULL ELSE event_type END AS k,
+         value
+  FROM events
+),
+dim AS (
+  SELECT * FROM (VALUES
+    ('click',    'engaged'),
+    ('purchase', 'converting'),
+    (NULL,       'anonymous')
+  ) AS t(k, segment)
+)
+SELECT d.segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM keyed e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
+GROUP BY d.segment
+""",
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics every
+    dimension lookup with an explicit 'unknown' bucket needs (a plain
+    equi-join silently drops the null-keyed rows; an outer join keeps
+    them but cannot route them to a chosen dim row). Physically
+    ``eqNullSafe`` still plans as a hash join (null hashes like any
+    key), so the broadcast-dim pattern carries over unchanged —
+    exactly the property a 100 TB fact scan needs when a fraction of
+    its keys are legitimately null."""
+    ev = load(spark, sf_dir, "events", columns=["event_id", "event_type", "value"])
+    keyed = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "view", F.lit(None)).otherwise(F.col("event_type")).alias("k"),
+        "value",
+    )
+    dim = ev.sparkSession.createDataFrame(
+        [("click", "engaged"), ("purchase", "converting"), (None, "anonymous")],
+        "k string, segment string",
+    )
+    return (
+        keyed.join(broadcast(dim), keyed.k.eqNullSafe(dim.k))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
     )
