@@ -267,3 +267,43 @@ def q_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.array_sort(toks), 1).alias("min_token"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P18 — VARIANT semi-structured extraction (Spark 4 open type)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_variant_extract",
+    oracle="""
+SELECT event_id,
+       json_valid(props)                         AS is_valid,
+       CAST(props->>'k' AS BIGINT)               AS k_long,
+       CAST(CAST(props->>'k' AS BIGINT) % 10 AS BIGINT) AS k_mod10
+FROM events
+""",
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``try_parse_json`` builds the binary variant once, typed fields
+    come out with ``try_variant_get`` path expressions. Versus the
+    P2/P3 from_json route, VARIANT needs NO schema up front (open
+    schema-on-read — new upstream fields are queryable immediately)
+    and the binary encoding makes repeated path reads cheaper than
+    re-parsing JSON text per extraction — the right default when the
+    payload schema drifts faster than the pipeline redeploys. Parse
+    failures surface as a null variant (is_valid=false), the same
+    quarantine contract as try_to_timestamp in the ingest transform.
+    The oracle reads the identical paths with DuckDB's JSON operators
+    — VARIANT is an encoding, not a semantics change, and the typed
+    results must agree exactly."""
+    ev = load(spark, sf_dir, "events", columns=["event_id", "props"])
+    v = F.try_parse_json("props")
+    k = F.try_variant_get(v, "$.k", "long")
+    return ev.select(
+        "event_id",
+        v.isNotNull().alias("is_valid"),
+        k.alias("k_long"),
+        (k % 10).cast("long").alias("k_mod10"),
+    )
