@@ -307,3 +307,42 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_long"),
         (k % 10).cast("long").alias("k_mod10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P19 — collation-aware comparison (Spark 4 collations)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_collation_distinct",
+    oracle="""
+SELECT p_brand,
+       CAST(COUNT(DISTINCT p_name) AS BIGINT)        AS names_cs,
+       CAST(COUNT(DISTINCT lower(p_name)) AS BIGINT) AS names_ci,
+       CAST(COUNT(DISTINCT p_name)
+            - COUNT(DISTINCT lower(p_name)) AS BIGINT) AS case_only_variants
+FROM part
+GROUP BY p_brand
+""",
+)
+def q_collation_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive distinct counting through Spark 4 COLLATIONS
+    (``collate(col, 'UTF8_LCASE')``) next to the binary-collation
+    count — the entity-normalization probe ("how much of this
+    dimension's cardinality is just casing?"). Collation beats the
+    lower() rewrite at scale because the comparison semantics live in
+    the TYPE: every downstream groupBy/join/sort on the collated
+    column is case-insensitive without re-wrapping each use, and
+    locale-correct for non-ASCII case pairs lower() mishandles
+    (Turkish dotless-i being the canonical example). On this ASCII
+    fixture the two agree exactly, which is what lets DuckDB's
+    lower() serve as the oracle."""
+    parts = load(spark, sf_dir, "part", columns=["p_brand", "p_name"])
+    ci = F.countDistinct(F.collate(F.col("p_name"), "UTF8_LCASE"))
+    cs = F.countDistinct("p_name")
+    return parts.groupBy("p_brand").agg(
+        cs.alias("names_cs"),
+        ci.alias("names_ci"),
+        (cs - ci).cast("long").alias("case_only_variants"),
+    )
