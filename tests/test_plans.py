@@ -110,6 +110,7 @@ def test_pairwise_ops_never_nested_loop(spark, sf_dir, name):
 # Python RDD fallback.
 _LITERAL_TABLE_OK = {
     "q_join_range",
+    "q_join_null_safe",  # 3-row literal 'unknown-bucket' dim, broadcast
     "q_dedup_components",
     "q_pagerank_nations",
     "q_entity_resolution",
