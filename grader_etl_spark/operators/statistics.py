@@ -761,3 +761,43 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "p", F.col("l_quantity").alias("qty_at_p"))
     )
+
+
+# ---------------------------------------------------------------------------
+# P20 — ANSI-safe try_* arithmetic (Spark 4 ANSI mode discipline)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_try_arithmetic",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchases,
+       CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)    AS clicks,
+       CASE WHEN COUNT(CASE WHEN event_type = 'click' THEN 1 END) = 0 THEN NULL
+            ELSE ROUND(CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+                       / COUNT(CASE WHEN event_type = 'click' THEN 1 END), 6)
+       END AS conv_rate
+FROM events
+GROUP BY user_id
+""",
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe ratio metrics via ``try_divide``: Spark 4 runs
+    with ANSI SQL semantics by default, where x/0 THROWS instead of
+    returning null — one user with zero clicks would kill a whole
+    100 TB conversion-rate job at the last stage. try_divide yields
+    NULL for that row and lets the rest commit; the oracle spells the
+    same contract as an explicit zero guard. This is the discipline
+    rule every ratio in this engine follows (guard or try_*), made
+    explicit as its own operator."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "event_type"])
+    purchases = F.count(F.when(F.col("event_type") == "purchase", 1))
+    clicks = F.count(F.when(F.col("event_type") == "click", 1))
+    return ev.groupBy("user_id").agg(
+        purchases.alias("purchases"),
+        clicks.alias("clicks"),
+        F.round(
+            F.try_divide(purchases.cast("double"), clicks.cast("double")), 6
+        ).alias("conv_rate"),
+    )

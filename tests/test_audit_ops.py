@@ -213,3 +213,15 @@ def test_hll_active_users_tracks_exact(spark, sf_dir):
         s = sketch[day]
         assert abs(s["dau"] - e["dau"]) <= max(1, 0.05 * e["dau"]), day
         assert abs(s["wau"] - e["wau"]) <= max(1, 0.05 * e["wau"]), day
+
+
+def test_try_arithmetic_null_on_zero_denominator(spark, monkeypatch):
+    import grader_etl_spark.operators.statistics as st
+
+    rows = [(1, "purchase"), (1, "click"), (2, "purchase")]  # u2: zero clicks
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    monkeypatch.setattr(st, "load", lambda spark, sf, t, columns=None: df)
+    got = {r["user_id"]: r for r in st.q_try_arithmetic(spark, "x").collect()}
+    assert got[1]["conv_rate"] == 1.0
+    assert got[2]["purchases"] == 1 and got[2]["clicks"] == 0
+    assert got[2]["conv_rate"] is None  # try_divide: NULL, not a crash
