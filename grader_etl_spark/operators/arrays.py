@@ -83,3 +83,70 @@ def q_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
         fold(sq_milli).alias("norm2_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P21 — map higher-order algebra (map_from_entries / map_zip_with / map_filter)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_map_algebra",
+    oracle="""
+SELECT user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+FROM events
+GROUP BY user_id, event_type
+HAVING COUNT(*) >= 3
+""",
+)
+def q_map_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed higher-order algebra, value-pinned end to end: per
+    user the (event_type → count) and (event_type → sum) maps are
+    built with map_from_entries over sorted collected entries, joined
+    key-wise with map_zip_with into per-type averages, pruned with
+    map_filter (count ≥ 3), and exploded back to rows. The oracle is
+    the plain grouped aggregate — proving the entire map pipeline
+    (construction, key-aligned zip, filter, explosion) loses and
+    invents nothing. This is the typed-metadata manipulation layer a
+    multimodal/training-data schema leans on (P15's construction
+    breadth, now with the map TRANSFORMATION half). All lambdas are
+    codegen'd JVM expressions; the only shuffle is the per-user
+    aggregate, and map sizes are bounded by |event_types|."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "event_type", "value"])
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+    maps = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("counts"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "total")))
+        ).alias("sums"),
+    )
+    stats = maps.select(
+        "user_id",
+        F.map_filter(
+            F.map_zip_with(
+                "counts",
+                "sums",
+                lambda k, n, s: F.struct(
+                    n.alias("n"), s.alias("total"), F.round(s / n, 6).alias("avg_value")
+                ),
+            ),
+            lambda k, v: v.getField("n") >= 3,
+        ).alias("m"),
+    )
+    return stats.select(
+        "user_id", F.explode("m").alias("event_type", "s")
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("s.n").alias("n"),
+        F.col("s.total").alias("total"),
+        F.col("s.avg_value").alias("avg_value"),
+    )
