@@ -110,3 +110,39 @@ def test_zorder_bounds_both_columns(spark, sf_dir, tmp_path):
     # Z-order: BOTH keys bounded well below the full range per file.
     assert mean_norm_range(z_path, "l_suppkey") < 0.6
     assert mean_norm_range(z_path, "l_partkey") < 0.6
+
+
+def test_dynamic_partition_pruning_fires_on_dim_join(spark, tmp_path):
+    """Dynamic partition pruning: joining the date-partitioned store
+    against a FILTERED dim must inject a dynamicpruningexpression into
+    the fact scan's PartitionFilters — at 100 TB this is the
+    difference between scanning one day's partitions and scanning the
+    table because the qualifying dates are only known at runtime."""
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as F
+
+    from grader_etl_spark.io import load
+
+    fact = str(tmp_path / "dpp_fact")
+    (
+        load(spark, "/root/testdata/sf0.001", "events", columns=["event_id", "ts", "value"])
+        .withColumn("event_date", F.to_date("ts"))
+        .write.partitionBy("event_date")
+        .parquet(fact)
+    )
+    dim = (
+        spark.createDataFrame([("2024-01-05", "special"), ("2024-01-06", "normal")],
+                              "d string, tag string")
+        .select(F.col("d").cast("date").alias("event_date"), "tag")
+        .filter(F.col("tag") == "special")
+    )
+    joined = spark.read.parquet(fact).join(dim, "event_date").groupBy("event_date").count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression" in plan
+    rows = joined.collect()
+    assert len(rows) == 1 and str(rows[0]["event_date"]) == "2024-01-05"
