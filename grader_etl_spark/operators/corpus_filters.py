@@ -12,7 +12,7 @@ benchmark set — the shapes that stay linear at 100 TB.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
@@ -443,4 +443,40 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.log((F.col("c_ab") * F.col("n_docs")) / (F.col("df_a") * F.col("df_b"))), 4
             ).alias("pmi"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L59 — cross-source score calibration (quantile normalization)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_score_calibration",
+    oracle="""
+SELECT doc_id, source,
+       CAST(n_chars AS BIGINT) AS raw_score,
+       ROUND(percent_rank() OVER (
+         PARTITION BY source ORDER BY n_chars, doc_id), 6) AS calibrated
+FROM documents
+""",
+)
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration: a raw quality score (n_chars as
+    the stand-in) is quantile-normalized WITHIN each source via
+    percent_rank, so 'top 10% of its source' means the same thing for
+    a verbose source and a terse one — gating on the raw score would
+    silently tilt the mixture toward whichever source scores high on
+    absolute numbers. doc_id tie-break keeps equal scores
+    deterministic. One per-source window sort; at extreme per-source
+    cardinality the documented variant is approx_percentile cutoffs
+    broadcast back (the q_rfm_segments note), trading exact ranks for
+    a sort-free two-pass plan."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("raw_score"),
+        F.round(F.percent_rank().over(w), 6).alias("calibrated"),
     )
