@@ -491,3 +491,42 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 2.0)
         .select("vec_id", F.round("norm", 6).alias("norm6"), F.round(z, 4).alias("z"))
     )
+
+
+# ---------------------------------------------------------------------------
+# L60 — label centroids (distributed element-wise mean pooling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_label_centroids",
+    oracle="""
+SELECT label,
+       CAST(i - 1 AS BIGINT) AS dim,
+       ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mean_val
+FROM (
+  SELECT label,
+         unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+GROUP BY label, i
+""",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean of embeddings per label — distributed mean
+    pooling, the centroid/prototype computation behind class-prototype
+    retrieval and cluster summarization. posexplode unrolls (label,
+    dim, value) triples MAP-SIDE and the hash aggregate's partial
+    combine collapses them to |labels|×dim running (sum, count) states
+    per task before any shuffle — so the exchange carries a
+    centroid-matrix-sized payload regardless of corpus row count. The
+    k-means trainer (clustering.py) keeps its bounded driver sample
+    because it needs ITERATED means; this one-shot pooling needs no
+    driver at all."""
+    emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_val"))
+    )
