@@ -530,3 +530,95 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", F.col("dim").cast("long").alias("dim"))
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_val"))
     )
+
+
+@query(
+    "q_nearest_centroid_confusion",
+    oracle="""
+WITH cent AS (
+  SELECT label, i - 1 AS dim, ROUND(avg(CAST(v AS DOUBLE)), 6) AS c
+  FROM (SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+  GROUP BY label, i - 1
+),
+dists AS (
+  SELECT x.vec_id, x.label AS true_label, cent.label AS cand,
+         ROUND(SUM((CAST(x.v AS DOUBLE) - cent.c)
+                   * (CAST(x.v AS DOUBLE) - cent.c)), 6) AS d
+  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) - 1 AS dim
+        FROM embeddings) x
+  JOIN cent ON cent.dim = x.dim
+  GROUP BY x.vec_id, x.label, cent.label
+),
+assigned AS (
+  SELECT vec_id, true_label,
+         min_by(cand, lpad(CAST(d AS VARCHAR), 24, '0') || '-' ||
+                      lpad(CAST(cand AS VARCHAR), 8, '0')) AS predicted
+  FROM dists GROUP BY vec_id, true_label
+)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       CAST(predicted AS BIGINT)  AS predicted,
+       CAST(COUNT(*) AS BIGINT)   AS n_vectors
+FROM assigned GROUP BY 1, 2
+""",
+)
+def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification eval: every embedding is
+    assigned to the closest label centroid (mean pooling per label —
+    the q_label_centroids computation) and the (true, predicted)
+    confusion matrix comes back — the separability probe run before
+    trusting embeddings for filtering/retrieval; diagonal mass =
+    classes the embedding space actually distinguishes.
+
+    Plan: centroids reduce to a |labels|-row frame (collected
+    dim-sorted, like the k-means trainer's bounded driver budget —
+    labels×dim doubles), broadcast against the corpus; the distance is
+    one codegen'd zip_with/aggregate fold per (vector, label); argmin
+    via min_by on the 6-dp-rounded distance with a label tie-break, so
+    boundary assignments are bit-stable across engines (the oracle
+    replays the identical rounding and tie-break through a sortable
+    string key). Output is |labels|²-sized."""
+    emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    cent = (
+        q_label_centroids(spark, sf_dir)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
+                lambda s: s.getField("mean_val"),
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cand"), "centroid")
+    )
+    vd = emb.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    d = F.round(
+        F.aggregate(
+            F.zip_with("v", "centroid", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    dists = vd.join(F.broadcast(cent)).select(
+        "vec_id", "true_label", "cand", d.alias("d")
+    )
+    assigned = dists.groupBy("vec_id", "true_label").agg(
+        F.min_by(
+            "cand",
+            F.concat_ws(
+                "-",
+                F.lpad(F.col("d").cast("string"), 24, "0"),
+                F.lpad(F.col("cand").cast("string"), 8, "0"),
+            ),
+        ).alias("predicted")
+    )
+    return assigned.groupBy(
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("predicted").cast("long").alias("predicted"),
+    ).agg(F.count(F.lit(1)).alias("n_vectors"))
