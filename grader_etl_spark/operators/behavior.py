@@ -506,3 +506,156 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PATH_TOP_K)
         .select("path", "n_users", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# B14 — longest daily-activity streak (gaps and islands)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_longest_streak",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+grp AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS g
+  FROM days
+),
+streaks AS (
+  SELECT user_id, COUNT(*) AS len, MIN(d) AS streak_start
+  FROM grp GROUP BY user_id, g
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       strftime(min_by(streak_start, lpad(CAST(10000 - len AS VARCHAR), 5, '0') ||
+                                     strftime(streak_start, '%Y-%m-%d')),
+                '%Y-%m-%d') AS streak_start
+FROM streaks
+GROUP BY user_id
+""",
+)
+def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands classic: distinct (user, day), then day minus
+    per-user row_number is CONSTANT within a consecutive run, so one
+    groupBy on that anchor yields streaks with zero self-joins. Ties
+    on length resolve to the EARLIEST streak via an order-encoding
+    min_by key (descending length, ascending date — the same
+    sortable-string idiom as the OHLC tie-break, since min_by takes
+    one scalar key on both engines). Two shuffles total (user-key
+    window + streak agg), both key-bounded."""
+    days = (
+        load(spark, sf_dir, "events", columns=["user_id", "ts"])
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn("g", F.date_sub("d", F.row_number().over(w)))
+    streaks = grp.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("streak_start")
+    )
+    key = F.concat(
+        F.lpad((F.lit(10000) - F.col("len")).cast("string"), 5, "0"),
+        F.date_format("streak_start", "yyyy-MM-dd"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.date_format(F.min_by("streak_start", key), "yyyy-MM-dd").alias("streak_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B15 — funnel latency percentiles (time-to-convert)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_funnel_latency",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+lat AS (
+  SELECT CAST(FLOOR(epoch(t_click)) AS BIGINT)
+           - CAST(FLOOR(epoch(t_view)) AS BIGINT)     AS view_to_click,
+         CAST(FLOOR(epoch(t_purchase)) AS BIGINT)
+           - CAST(FLOOR(epoch(t_click)) AS BIGINT)    AS click_to_purchase
+  FROM firsts
+),
+longform AS (
+  SELECT 'view_to_click' AS stage, view_to_click AS s FROM lat WHERE view_to_click >= 0
+  UNION ALL
+  SELECT 'click_to_purchase', click_to_purchase FROM lat WHERE click_to_purchase >= 0
+),
+ranked AS (
+  SELECT stage, s,
+         ROW_NUMBER() OVER (PARTITION BY stage ORDER BY s) AS rn,
+         COUNT(*) OVER (PARTITION BY stage) AS n
+  FROM longform
+)
+SELECT stage,
+       CAST(MAX(n) AS BIGINT) AS n_users,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.50 * n) AS BIGINT)) THEN s END) AS p50_s,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.90 * n) AS BIGINT)) THEN s END) AS p90_s
+FROM ranked GROUP BY stage
+""",
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert between funnel stages: first view→click and
+    click→purchase latencies per user, summarized as discrete p50/p90
+    — the 'HOW LONG does the funnel take' companion to q_funnel's
+    'how many make it'. Negative latencies (stage reached out of
+    order) are excluded, matching q_funnel's ordered semantics. One
+    user-key aggregate builds the first-touch timestamps (conditional
+    MIN — no per-stage scans); the discrete percentiles then ride
+    the ranked-window form (value at rank ceil(p·n) — the
+    q_percentile_disc idiom), so there is no collect_list state and
+    the plan survives arbitrarily many users per stage.
+    percentile_disc picks actual data values, so cross-engine
+    equality is exact integers, no interpolation floats."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    v2c = F.unix_timestamp("t_click") - F.unix_timestamp("t_view")
+    c2p = F.unix_timestamp("t_purchase") - F.unix_timestamp("t_click")
+    lat = firsts.select(v2c.alias("view_to_click"), c2p.alias("click_to_purchase"))
+    longform = (
+        lat.select(F.lit("view_to_click").alias("stage"), F.col("view_to_click").alias("s"))
+        .unionByName(
+            lat.select(
+                F.lit("click_to_purchase").alias("stage"),
+                F.col("click_to_purchase").alias("s"),
+            )
+        )
+        .filter(F.col("s") >= 0)
+    )
+    bystage = Window.partitionBy("stage")
+    ranked = longform.select(
+        "stage",
+        "s",
+        F.row_number().over(bystage.orderBy("s")).alias("rn"),
+        F.count(F.lit(1)).over(bystage).alias("n"),
+    )
+
+    def at(p: float):
+        return F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")))
+
+    return ranked.groupBy("stage").agg(
+        F.max("n").alias("n_users"),
+        F.max(F.when(F.col("rn") == at(0.50), F.col("s"))).alias("p50_s"),
+        F.max(F.when(F.col("rn") == at(0.90), F.col("s"))).alias("p90_s"),
+    )
