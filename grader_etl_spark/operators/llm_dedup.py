@@ -618,3 +618,63 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(F.broadcast(existing), "fp", "left").select(
         "doc_id", "fp", F.col("_hit").isNotNull().alias("dup_of_corpus")
     )
+
+
+# ---------------------------------------------------------------------------
+# L62 — cross-source near-dup matrix (doc-level redundancy between sources)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cross_source_dup",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {SHINGLE_K - 2}, 0)),
+           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+2]
+         )) AS sset
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)
+          / (length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)))
+        >= {_JACCARD_THRESHOLD}
+)
+SELECT LEAST(s1.source, s2.source)    AS source_1,
+       GREATEST(s1.source, s2.source) AS source_2,
+       CAST(COUNT(*) AS BIGINT)       AS n_pairs
+FROM pairs
+JOIN documents s1 ON s1.doc_id = pairs.d1
+JOIN documents s2 ON s2.doc_id = pairs.d2
+GROUP BY 1, 2
+""",
+)
+def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level near-dup counts BETWEEN sources — the companion
+    readout to q_source_vocab_overlap's term-level matrix: vocab
+    overlap says two sources talk about the same things; this says
+    they contain the same DOCUMENTS (the re-crawl / mirror-site
+    signal that changes a mixture plan immediately). Reuses the
+    session near-dup pair machinery (inverted-index candidates, exact
+    Jaccard verify) and attaches sources with two key-only broadcast
+    joins; pairs are canonicalized least/greatest so the matrix is
+    upper-triangular (diagonal = within-source duplication). Output
+    is ≤ C(sources+1, 2) rows at any corpus scale."""
+    pairs = q_neardup_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    src = load(spark, sf_dir, "documents", columns=["doc_id", "source"])
+    s1 = src.select(F.col("doc_id").alias("doc_id_1"), F.col("source").alias("src1"))
+    s2 = src.select(F.col("doc_id").alias("doc_id_2"), F.col("source").alias("src2"))
+    return (
+        pairs.join(F.broadcast(s1), "doc_id_1")
+        .join(F.broadcast(s2), "doc_id_2")
+        .groupBy(
+            F.least("src1", "src2").alias("source_1"),
+            F.greatest("src1", "src2").alias("source_2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
