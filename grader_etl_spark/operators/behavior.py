@@ -632,17 +632,16 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v2c = F.unix_timestamp("t_click") - F.unix_timestamp("t_view")
     c2p = F.unix_timestamp("t_purchase") - F.unix_timestamp("t_click")
-    lat = firsts.select(v2c.alias("view_to_click"), c2p.alias("click_to_purchase"))
-    longform = (
-        lat.select(F.lit("view_to_click").alias("stage"), F.col("view_to_click").alias("s"))
-        .unionByName(
-            lat.select(
-                F.lit("click_to_purchase").alias("stage"),
-                F.col("click_to_purchase").alias("s"),
+    # ONE explode instead of a self-union: a union of two selects over
+    # `firsts` would plan the events scan + user aggregate twice.
+    longform = firsts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("view_to_click").alias("stage"), v2c.alias("s")),
+                F.struct(F.lit("click_to_purchase").alias("stage"), c2p.alias("s")),
             )
-        )
-        .filter(F.col("s") >= 0)
-    )
+        ).alias("e")
+    ).select("e.stage", "e.s").filter(F.col("s") >= 0)
     bystage = Window.partitionBy("stage")
     ranked = longform.select(
         "stage",
