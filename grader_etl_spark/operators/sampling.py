@@ -218,7 +218,9 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = docs.select(
         F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp"),
         F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test").alias("split"),
-    )
+        # both the train-ledger branch and the held branch read this
+        # frame — materialize the text hashing ONCE, not per branch
+    ).persist()
     train_fp = assigned.filter(F.col("split") == "train").select("fp").distinct()
     held = assigned.filter(F.col("split") != "train")
     t = train_fp.select(F.col("fp").alias("tfp"))

@@ -203,11 +203,13 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
     body = docs.select("doc_id", "text")
-    gated_ids = quality_gate(body).select("doc_id", F.lit(1).alias("g"))
+    # the gate feeds both id branches — tokenize/score once
+    gated = quality_gate(body).persist()
+    gated_ids = gated.select("doc_id", F.lit(1).alias("g"))
 
     fp = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
     keeper_ids = (
-        quality_gate(body)
+        gated
         .select("doc_id", fp.alias("fp"))
         .withColumn("rk", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
         .filter(F.col("rk") == 1)
