@@ -82,3 +82,69 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact whole-row dedup — `distinct` compiles to a hash aggregate
     with map-side partials, so duplicates collapse before the shuffle."""
     return load(spark, sf_dir, "events", columns=["user_id", "event_type"]).distinct()
+
+
+# ---------------------------------------------------------------------------
+# K9 — snapshot reconciliation diff (added / changed / unchanged)
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_CUT = "2024-01-20"
+
+
+@query(
+    "q_snapshot_diff",
+    oracle=f"""
+WITH t1 AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events WHERE ts < TIMESTAMP '{SNAPSHOT_CUT} 00:00:00'
+  GROUP BY user_id
+),
+t2 AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY user_id
+)
+SELECT CASE WHEN t1.user_id IS NULL THEN 'added'
+            WHEN t1.n = t2.n AND t1.total = t2.total THEN 'unchanged'
+            ELSE 'changed' END AS change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM t2 LEFT JOIN t1 ON t1.user_id = t2.user_id
+GROUP BY 1
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff the per-user aggregate state of
+    the store at two versions (as-of {SNAPSHOT_CUT} vs now) into
+    added / changed / unchanged key counts — the migration-validation
+    / backfill-audit operator every 'did the rewrite preserve the
+    table' check reduces to. Both versions aggregate BEFORE the join,
+    so the diff join carries one row per key with a fixed-width state
+    (count + DECIMAL-exact sum — order-independent, no false
+    'changed' from partial-sum association), never raw rows; the
+    older snapshot's time predicate pushes into its scan. Deleted
+    keys would surface from the symmetric anti side — append-only
+    fixtures have none, so the left join keeps the output 3-state."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+
+    t1 = state(ev.filter(F.col("ts") < SNAPSHOT_CUT)).select(
+        F.col("user_id").alias("u1"), F.col("n").alias("n1"), F.col("total").alias("tot1")
+    )
+    t2 = state(ev)
+    change = (
+        F.when(F.col("u1").isNull(), "added")
+        .when((F.col("n1") == F.col("n")) & (F.col("tot1") == F.col("total")), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        t2.join(t1, t2.user_id == t1.u1, "left")
+        .select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )

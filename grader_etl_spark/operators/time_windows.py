@@ -425,3 +425,82 @@ def q_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W12 — event-time disorder profile (watermark planning input)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_disorder_profile",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+         MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS UNBOUNDED PRECEDING) AS seen_max,
+         CASE WHEN LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY event_id) > CAST(FLOOR(epoch(ts)) AS BIGINT)
+              THEN 1 ELSE 0 END AS inverted
+  FROM events
+),
+delays AS (SELECT seen_max - t AS delay, inverted FROM seq),
+ranked AS (
+  SELECT delay, ROW_NUMBER() OVER (ORDER BY delay) AS rn,
+         COUNT(*) OVER () AS n
+  FROM delays
+)
+SELECT CAST(MAX(n) AS BIGINT)                          AS n_events,
+       ROUND((SELECT AVG(CAST(inverted AS DOUBLE)) FROM delays), 6) AS out_of_order_ratio,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.50 * n) AS BIGINT)) THEN delay END) AS p50_delay_s,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.95 * n) AS BIGINT)) THEN delay END) AS p95_delay_s,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT)) THEN delay END) AS p99_delay_s,
+       CAST(MAX(delay) AS BIGINT)                      AS max_delay_s
+FROM ranked
+""",
+)
+def q_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder profile — THE input to choosing a watermark
+    delay: per user-keyed stream (event_id = ingest order), each
+    event's lateness is (running max event time so far) − (its event
+    time); the report gives the out-of-order fraction and discrete
+    p50/p95/p99/max lateness. A watermark at p99 bounds state while
+    dropping ≤1% of late rows — measured, not guessed (the streaming
+    jobs' 7-day delay came from exactly this readout's shape). The
+    running max and lag share one user-key window sort; percentiles
+    ride the ranked ceil(p·n) idiom over the delay column (a global
+    rank window over event-count rows — at extreme scale the
+    documented swap is approx_percentile on delay, one pass, no
+    sort)."""
+    ev = load(spark, sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    t = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        t.alias("t"),
+        F.max(t).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("seen_max"),
+        (F.lag(t).over(w) > t).cast("int").alias("inverted"),
+    ).select(
+        (F.col("seen_max") - F.col("t")).alias("delay"),
+        F.coalesce("inverted", F.lit(0)).alias("inverted"),
+    )
+    wr = Window.orderBy("delay")
+    ranked = seq.select(
+        "delay",
+        "inverted",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+
+    def at(p: float):
+        return F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")))
+
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.round(F.avg(F.col("inverted").cast("double")), 6).alias("out_of_order_ratio"),
+        F.max(F.when(F.col("rn") == at(0.50), F.col("delay"))).alias("p50_delay_s"),
+        F.max(F.when(F.col("rn") == at(0.95), F.col("delay"))).alias("p95_delay_s"),
+        F.max(F.when(F.col("rn") == at(0.99), F.col("delay"))).alias("p99_delay_s"),
+        F.max("delay").cast("long").alias("max_delay_s"),
+    )
