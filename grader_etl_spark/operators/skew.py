@@ -41,3 +41,47 @@ def salted_join(
     )
     out = big_s.join(small_s, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# V4 — salted join as an oracle-gated query
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from grader_etl_spark.io import load  # noqa: E402
+from grader_etl_spark.registry import query  # noqa: E402
+
+
+@query(
+    "q_salted_join_agg",
+    oracle="""
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted join, value-pinned in the driver gate: customer ⋈
+    nation through ``salted_join`` (small side exploded ×{salt},
+    big side scattered by a random-but-seeded salt), aggregated to
+    per-nation totals. The oracle is the PLAIN SQL join — salting may
+    only change the shuffle layout, never the result multiset, and
+    this query makes that invariant part of the hash-checked contract
+    rather than just a unit test. (The nondeterministic salt column
+    never reaches the output; the aggregate is salt-invariant by
+    construction, so the hash is stable across runs.) DECIMAL-exact
+    sum keeps partial-order effects out of the comparison.""".format(
+        salt=DEFAULT_SALT
+    )
+    cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    nat = load(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"]).select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    joined = salted_join(cust, nat, on="c_nationkey")
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+    )

@@ -76,6 +76,7 @@ def load_all_operators() -> None:
         sharding,
         similarity,
         sketches,
+        skew,
         statistics,
         text_analysis,
         time_windows,
