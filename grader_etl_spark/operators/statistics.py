@@ -801,3 +801,52 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(purchases.cast("double"), clicks.cast("double")), 6
         ).alias("conv_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G38 — log-scale histogram (heavy-tail profiling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_log_histogram",
+    oracle="""
+WITH b AS (
+  SELECT CASE WHEN o_totalprice < 1 THEN -1
+              ELSE CAST(FLOOR(LOG10(CAST(o_totalprice AS DOUBLE))) AS BIGINT)
+         END AS decade
+  FROM orders
+)
+SELECT decade,
+       CAST(POWER(10, decade) AS DOUBLE)     AS bin_lo,
+       CAST(POWER(10, decade + 1) AS DOUBLE) AS bin_hi,
+       CAST(COUNT(*) AS BIGINT)              AS n_orders
+FROM b GROUP BY decade
+""",
+)
+def q_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₁₀-bucketed histogram of order totals — the right binning
+    for heavy-tailed metrics (document lengths, payment amounts,
+    degree distributions), where G13's fixed-width bins put 99% of
+    mass in one bucket. Bucket = floor(log10(x)) computes map-side
+    into ≤ ~12 buckets, so the shuffle carries a handful of partial
+    counts no matter the row count. Boundary discipline: log10 of an
+    exact power of 10 is bit-identical in both engines (same libm
+    contract for exact powers), and fixture prices are cents-valued
+    doubles well away from decade edges; sub-1 values collapse to a
+    single -1 bucket rather than unbounded negative decades."""
+    od = load(spark, sf_dir, "orders", columns=["o_totalprice"])
+    decade = F.when(F.col("o_totalprice") < 1, F.lit(-1)).otherwise(
+        F.floor(F.log10(F.col("o_totalprice").cast("double")))
+    )
+    return (
+        od.select(decade.cast("long").alias("decade"))
+        .groupBy("decade")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "decade",
+            F.pow(F.lit(10.0), F.col("decade")).alias("bin_lo"),
+            F.pow(F.lit(10.0), F.col("decade") + 1).alias("bin_hi"),
+            "n_orders",
+        )
+    )
