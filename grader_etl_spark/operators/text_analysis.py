@@ -1144,3 +1144,65 @@ _registry.REGISTRY["q_lang_confusion"] = _registry.QuerySpec(
     oracle=_lang_confusion_oracle(),
     doc=q_lang_confusion.__doc__ or "",
 )
+
+
+# ---------------------------------------------------------------------------
+# q_ngram_novelty — per-doc novel-shingle fraction (collection ROI curve)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - 1, 0)),
+           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+2]
+         )) AS sset
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM ex GROUP BY s)
+SELECT ex.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(CASE WHEN firsts.first_doc = ex.doc_id THEN 1 END) AS BIGINT) AS novel,
+       ROUND(CAST(COUNT(CASE WHEN firsts.first_doc = ex.doc_id THEN 1 END) AS DOUBLE)
+             / COUNT(*), 6) AS novelty_ratio
+FROM ex JOIN firsts ON firsts.s = ex.s
+GROUP BY ex.doc_id
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 3-gram
+    shingles whose FIRST corpus occurrence (min doc_id) is this doc —
+    ingestion-order novelty, the diminishing-returns curve a data
+    team reads before paying for more of a source (novelty_ratio
+    trending to ~0 over doc_id = the source is re-saying itself).
+    Rides the session shingle index: one explode feeds both the
+    first-occurrence aggregate (shuffle carries (shingle, min-id),
+    never text) and the per-doc join-back; empty-shingle docs drop
+    out on both engines (no division guard needed)."""
+    from grader_etl_spark.operators.llm_dedup import shingled_docs
+
+    sh = shingled_docs(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("sset").alias("s"))
+    firsts = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ex.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias("novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "novel",
+            F.round(F.col("novel").cast("double") / F.col("n_shingles"), 6).alias(
+                "novelty_ratio"
+            ),
+        )
+    )

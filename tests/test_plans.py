@@ -117,6 +117,7 @@ _LITERAL_TABLE_OK = {
     "q_shortest_cost_paths",
     "q_neardup_jaccard",
     "q_neardup_minhash",
+    "q_ngram_novelty",
     "q_cross_source_dup",
     "q_curate_corpus",
     "q_curation_funnel",
