@@ -326,3 +326,28 @@ def test_parquet_aggregate_pushdown_min_max_count(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_round2_late_ops_plan_shapes(spark, sf_dir):
+    """Plan pins for the late round-2 operators: single corpus scans
+    where promised, broadcasts on small sides, no cartesian anywhere."""
+    # one-scan column-algebra ops
+    for name in ("q_variant_extract", "q_collation_distinct", "q_log_histogram",
+                 "q_ohlc_daily", "q_twap", "q_disorder_profile"):
+        tree = plan_of(spark, sf_dir, name).split("\n\n")[0]
+        assert tree.count("Scan parquet") == 1, name
+        assert "CartesianProduct" not in tree, name
+    # snapshot diff: exactly two scans (two version predicates), the
+    # older one with the pushed time filter
+    p = plan_of(spark, sf_dir, "q_snapshot_diff")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2
+    assert "LessThan(ts" in p
+    # centroid eval: centroid side arrives by broadcast, never shuffle
+    p = plan_of(spark, sf_dir, "q_nearest_centroid_confusion")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # salted join still hash-joins on the salted key
+    p = plan_of(spark, sf_dir, "q_salted_join_agg")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "CartesianProduct" not in p
