@@ -658,3 +658,79 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == at(0.50), F.col("s"))).alias("p50_s"),
         F.max(F.when(F.col("rn") == at(0.90), F.col("s"))).alias("p90_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B16 — windowed funnel (time-bounded stage conversion)
+# ---------------------------------------------------------------------------
+
+FUNNEL_WINDOW = "1 hour"
+
+
+@query(
+    "q_window_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_1h,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_1h
+""",
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED funnel (the windowFunnel analog): each stage must
+    follow the previous within {FUNNEL_WINDOW} — B3's ordered funnel
+    says users eventually converted; this says they converted while
+    the intent was live, which is what conversion-rate dashboards
+    actually mean. Stage anchors are first-qualifying-event times
+    (min after the previous anchor, inside the window), computed as a
+    cascade of key-only aggregate joins — each stage's frame is one
+    row per surviving user, so the two event re-scans join against
+    ever-shrinking broadcast-sized anchor sets, never event×event."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr(f"INTERVAL {FUNNEL_WINDOW}"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr(f"INTERVAL {FUNNEL_WINDOW}"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_1h")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_1h")))
+    )
