@@ -734,3 +734,64 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_1h")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_1h")))
     )
+
+
+# ---------------------------------------------------------------------------
+# B17 — cohort revenue (LTV) curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cohort_revenue",
+    oracle="""
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY user_id
+),
+rev AS (
+  SELECT f.cohort_date,
+         datediff('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_offset,
+         SUM(CAST(e.value AS DECIMAL(18,2))) AS revenue
+  FROM events e JOIN f ON e.user_id = f.user_id
+  WHERE datediff('day', f.cohort_date, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
+  GROUP BY 1, 2
+)
+SELECT strftime(cohort_date, '%Y-%m-%d') AS cohort_date,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(revenue AS DOUBLE) AS revenue,
+       CAST(SUM(revenue) OVER (
+         PARTITION BY cohort_date ORDER BY day_offset
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+FROM rev
+""",
+)
+def q_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort revenue (LTV) curve: per first-seen cohort, revenue at
+    each day offset 0..7 plus the running cumulative — the payback
+    readout next to q_cohort_retention's user counts (retention says
+    they came back; this says what coming back was worth). Same two
+    shuffles as retention; the cumulative window runs over the
+    cohort×offset grid (calendar-bounded, free at any event scale),
+    and sums stay DECIMAL through BOTH the aggregate and the running
+    window so the cumulative is order-independent before its final
+    double cast."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "ts", "value"])
+    cohort = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_date"))
+    off = F.datediff(F.to_date("ts"), F.col("cohort_date"))
+    rev = (
+        ev.join(cohort, "user_id")
+        .withColumn("day_offset", off)
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort_date")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return rev.select(
+        F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.sum("revenue").over(w).cast("double").alias("cum_revenue"),
+    )
