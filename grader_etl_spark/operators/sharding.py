@@ -141,3 +141,63 @@ def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") >= 0.2)
         .select("doc_id", "source", "n_chars", F.round("pr", 6).alias("len_pct_rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# L64 — shard balance audit (token-level imbalance of the shard plan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_shard_balance",
+    oracle=f"""
+WITH assigned AS (
+  SELECT {MD5_32_SQL.format(expr="CONCAT('shard:', doc_id)")} % {N_SHARDS} AS shard_id,
+         length(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+per AS (
+  SELECT shard_id,
+         CAST(COUNT(*) AS BIGINT)      AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM assigned GROUP BY shard_id
+)
+SELECT shard_id, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE)
+             / (SUM(n_tokens) OVER () / {N_SHARDS}), 6) AS balance_ratio
+FROM per
+""",
+)
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit for the training-shard assignment
+    (q_corpus_shards): per shard, doc and TOKEN counts plus each
+    shard's token volume relative to the perfectly-even share — the
+    check that the hash is balancing the unit that matters (a shard
+    plan can be doc-balanced and still token-skewed when lengths are
+    heavy-tailed, and the data-loader stalls on the fattest shard).
+    One corpus scan; the window runs over the {N_SHARDS}-row shard
+    table. Ratios far from 1.0 → shard on (doc, chunk) instead."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    from grader_etl_spark.operators.text_analysis import tokens
+
+    assigned = docs.select(
+        (md5_32(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))) % N_SHARDS).alias(
+            "shard_id"
+        ),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    per = assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / (total / N_SHARDS), 6).alias(
+            "balance_ratio"
+        ),
+    )
