@@ -572,3 +572,48 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# B18 — power-user curve (activity-depth distribution)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_power_user_curve",
+    oracle="""
+WITH depth AS (
+  SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+  FROM events GROUP BY user_id
+)
+SELECT CAST(active_days AS BIGINT) AS active_days,
+       CAST(COUNT(*) AS BIGINT)    AS n_users,
+       ROUND(CAST(SUM(COUNT(*)) OVER (
+         ORDER BY active_days DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / SUM(COUNT(*)) OVER (), 6) AS frac_at_least
+FROM depth GROUP BY active_days
+""",
+)
+def q_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user curve: distribution of per-user active-day counts
+    with the 'fraction of users at least this active' running share —
+    the engagement-depth histogram (L30/L7 curves in product
+    analytics) that separates a habit product from a drive-by one.
+    Per-user distinct-day agg (one shuffle), then all windows run over
+    the ≤|calendar| distinct-depth rows — free at any event volume."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "ts"])
+    depth = ev.groupBy("user_id").agg(
+        F.countDistinct(F.to_date("ts")).alias("active_days")
+    )
+    per = depth.groupBy("active_days").agg(F.count(F.lit(1)).alias("n_users"))
+    w_cum = Window.orderBy(F.col("active_days").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    return per.select(
+        F.col("active_days").cast("long").alias("active_days"),
+        "n_users",
+        F.round(
+            F.sum("n_users").over(w_cum).cast("double") / F.sum("n_users").over(w_all), 6
+        ).alias("frac_at_least"),
+    )

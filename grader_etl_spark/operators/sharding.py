@@ -201,3 +201,70 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balance_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# L65 — hashing-trick featurization (fixed-width sparse features)
+# ---------------------------------------------------------------------------
+
+FEATURE_DIM = 256
+
+
+@query(
+    "q_feature_hash",
+    oracle=f"""
+WITH feats AS (
+  SELECT {MD5_32_SQL.format(expr="CONCAT('type=', event_type)")} % {FEATURE_DIM} AS feature_idx,
+         CASE WHEN ({MD5_32_SQL.format(expr="CONCAT('sign:type=', event_type)")}) % 2 = 0
+              THEN 1 ELSE -1 END AS sign
+  FROM events
+  UNION ALL
+  SELECT {MD5_32_SQL.format(expr="CONCAT('dow=', CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS VARCHAR))")} % {FEATURE_DIM},
+         CASE WHEN ({MD5_32_SQL.format(expr="CONCAT('sign:dow=', CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS VARCHAR))")}) % 2 = 0
+              THEN 1 ELSE -1 END
+  FROM events
+)
+SELECT CAST(feature_idx AS BIGINT) AS feature_idx,
+       CAST(SUM(sign) AS BIGINT)   AS weight,
+       CAST(COUNT(*) AS BIGINT)    AS n_hits
+FROM feats GROUP BY feature_idx
+""",
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML 2009 — public):
+    categorical features ('type=click', 'dow=3') map to a FIXED
+    {FEATURE_DIM}-wide index space via the cross-engine md5_32 hash,
+    with a second hash supplying the ±1 sign that keeps collision
+    noise zero-mean. No vocabulary build, no fit step, no dictionary
+    to ship — the featurizer a 100 TB training pipeline can run
+    map-side on day one and NEVER re-fit as categories drift (new
+    category = new hash, same width). Output here is the corpus-level
+    feature activation profile (index, signed weight, hits); per-row
+    feature vectors are the same expressions before the aggregate.
+    Both feature families ride ONE scan via an in-plan explode, and
+    the shuffle carries ≤{FEATURE_DIM} partial rows per task."""
+    ev = load(spark, sf_dir, "events", columns=["event_type", "ts"])
+    # one scan: both feature families assembled per row, one explode
+    dow = (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 7).cast("string")
+    feats = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (md5_32(F.concat(F.lit("type="), F.col("event_type"))) % FEATURE_DIM).alias("feature_idx"),
+                    F.when(
+                        md5_32(F.concat(F.lit("sign:type="), F.col("event_type"))) % 2 == 0, 1
+                    ).otherwise(-1).alias("sign"),
+                ),
+                F.struct(
+                    (md5_32(F.concat(F.lit("dow="), dow)) % FEATURE_DIM).alias("feature_idx"),
+                    F.when(
+                        md5_32(F.concat(F.lit("sign:dow="), dow)) % 2 == 0, 1
+                    ).otherwise(-1).alias("sign"),
+                ),
+            )
+        ).alias("f")
+    ).select("f.feature_idx", "f.sign")
+    return feats.groupBy(F.col("feature_idx").cast("long").alias("feature_idx")).agg(
+        F.sum("sign").cast("long").alias("weight"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )
