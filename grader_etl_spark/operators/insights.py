@@ -617,3 +617,133 @@ def q_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_users").over(w_cum).cast("double") / F.sum("n_users").over(w_all), 6
         ).alias("frac_at_least"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G39 — market-basket brand affinity (support + lift)
+# ---------------------------------------------------------------------------
+
+AFFINITY_MIN_ORDERS = 50
+
+
+@query(
+    "q_brand_affinity",
+    oracle=f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM ob),
+brand_n AS (SELECT p_brand, COUNT(*) AS n_b FROM ob GROUP BY p_brand),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_both
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       ROUND(CAST(n_both AS DOUBLE) * n_orders.n
+             / (na.n_b * nb.n_b), 6) AS lift
+FROM pairs
+JOIN brand_n na ON na.p_brand = brand_a
+JOIN brand_n nb ON nb.p_brand = brand_b
+CROSS JOIN n_orders
+WHERE n_both >= {AFFINITY_MIN_ORDERS}
+""",
+)
+def q_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: brand pairs co-occurring in the same
+    order, with lift = P(a,b)/(P(a)·P(b)) — the association-rule
+    primitive behind 'bought together' and assortment planning
+    (Agrawal/Srikant's support-confidence framing is public). The
+    pair join is keyed on l_orderkey, so candidates are bounded by
+    Σ C(brands-per-order, 2) — basket-size-bounded, never brands² ×
+    orders and never a cartesian; brand marginals and the order total
+    broadcast back onto the pair table (≤ C(25,2) rows). A support
+    floor ({AFFINITY_MIN_ORDERS} co-orders) keeps noise pairs out,
+    the same reason the PMI operator floors its counts."""
+    li = load(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    part = load(spark, sf_dir, "part", columns=["p_partkey", "p_brand"])
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.select(F.countDistinct("l_orderkey").alias("n"))
+    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= AFFINITY_MIN_ORDERS)
+    )
+    na = brand_n.select(F.col("p_brand").alias("brand_a"), F.col("n_b").alias("na"))
+    nb = brand_n.select(F.col("p_brand").alias("brand_b"), F.col("n_b").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double") * F.col("n") / (F.col("na") * F.col("nb")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B19 — new vs returning daily actives
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_new_vs_returning",
+    oracle="""
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT DISTINCT CAST(e.ts AS DATE) AS day, e.user_id, f.first_day
+  FROM events e JOIN f ON f.user_id = e.user_id
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(COUNT(CASE WHEN first_day = day THEN 1 END) AS BIGINT) AS n_new,
+       CAST(COUNT(CASE WHEN first_day < day THEN 1 END) AS BIGINT) AS n_returning,
+       ROUND(CAST(COUNT(CASE WHEN first_day < day THEN 1 END) AS DOUBLE)
+             / COUNT(*), 6) AS returning_share
+FROM daily GROUP BY day
+""",
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives split into first-time vs returning users with the
+    returning share — the growth-accounting decomposition every DAU
+    chart hides (flat DAU can be healthy retention or a churn-for-
+    acquisition treadmill; this tells them apart). The (day, user)
+    grid collapses first (the q_active_users discipline), the
+    first-seen frame is user-keyed and narrow, and the final agg is
+    calendar-sized."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "ts"])
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .join(f, "user_id")
+    )
+    return daily.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.when(F.col("first_day") == F.col("day"), 1)).alias("n_new"),
+        F.count(F.when(F.col("first_day") < F.col("day"), 1)).alias("n_returning"),
+        F.round(
+            F.count(F.when(F.col("first_day") < F.col("day"), 1)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("returning_share"),
+    )
