@@ -747,3 +747,62 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("returning_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G40 — revenue decile concentration
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_revenue_deciles",
+    oracle="""
+WITH t AS (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile
+  FROM orders
+),
+d AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM t GROUP BY decile
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_orders,
+       CAST(revenue AS DOUBLE) AS revenue,
+       ROUND(CAST(revenue AS DOUBLE)
+             / CAST(SUM(revenue) OVER () AS DOUBLE), 6) AS revenue_share
+FROM d
+""",
+)
+def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by decile: orders ranked by value into
+    NTILE(10), each decile's revenue and share of total — the
+    'top 10% of orders is X% of revenue' readout that G19's Gini
+    compresses into one number, kept here as the full curve a pricing
+    team actually reads. NTILE over a (value, key) TOTAL order is
+    deterministic and engine-identical — without the key tie-break,
+    equal-value rows straddling a decile boundary would make the
+    split engine-dependent. The global sort is the cost; at extreme
+    scale the documented swap is approx_percentile decile cutoffs +
+    map-side bucketing (one pass, no sort), same output contract."""
+    od = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    d = (
+        od.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+    )
+    return d.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double")
+            / F.sum("revenue").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )
