@@ -169,3 +169,48 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_qty").cast("double").alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# G41 — supplier reliability scorecard (return rate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_supplier_reliability",
+    oracle="""
+WITH sc AS (
+  SELECT s.s_suppkey, s.s_name,
+         CAST(COUNT(*) AS BIGINT) AS n_shipments,
+         CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS BIGINT) AS n_returned,
+         ROUND(CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS DOUBLE)
+               / COUNT(*), 6) AS return_rate
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_suppkey, s.s_name
+)
+SELECT s_suppkey, s_name, n_shipments, n_returned, return_rate,
+       CAST(ROW_NUMBER() OVER (ORDER BY return_rate DESC, s_suppkey) AS BIGINT) AS worst_rank
+FROM sc
+""",
+)
+def q_supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier reliability scorecard: per-supplier shipment counts,
+    returned lineitems (l_returnflag = 'R' — the Q10 returned-item
+    predicate, scorecard form), return rate, and worst-first rank.
+    The supplier dim broadcasts onto the lineitem spine; the rank
+    window runs over the |suppliers|-sized scorecard, never facts;
+    the scan prunes to 2 fact columns."""
+    li = load(spark, sf_dir, "lineitem", columns=["l_suppkey", "l_returnflag"])
+    sup = load(spark, sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    ret = F.count(F.when(F.col("l_returnflag") == "R", 1))
+    sc = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            ret.alias("n_returned"),
+            F.round(ret.cast("double") / F.count(F.lit(1)), 6).alias("return_rate"),
+        )
+    )
+    w = Window.orderBy(F.col("return_rate").desc(), "s_suppkey")
+    return sc.withColumn("worst_rank", F.row_number().over(w).cast("long"))
