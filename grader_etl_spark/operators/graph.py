@@ -633,3 +633,50 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("savings_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# G42 — near-dup graph degree distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_graph_degree",
+    oracle=f"""
+WITH sh AS ({_SSET_SQL}),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)
+          / (length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)))
+        >= {_JACCARD_THRESHOLD}
+),
+deg AS (
+  SELECT doc_id, COUNT(*) AS degree
+  FROM (SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs)
+  GROUP BY doc_id
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree
+""",
+)
+def q_dedup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup pair graph — the
+    graph-shape diagnostic read BEFORE running component resolution:
+    a heavy tail (one doc near-dup to thousands) predicts a giant
+    component and motivates the star-fallback path in
+    connected_components; near-uniform low degrees mean min-hook
+    contraction converges in one or two rounds. Rides the shared pair
+    machinery; degrees are one union+agg over the (already tiny) pair
+    list, the distribution one more agg over the degree table."""
+    pairs = q_neardup_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    deg = (
+        pairs.select(F.col("doc_id_1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_id_2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

@@ -119,6 +119,7 @@ _LITERAL_TABLE_OK = {
     "q_neardup_minhash",
     "q_ngram_novelty",
     "q_cross_source_dup",
+    "q_dedup_graph_degree",
     "q_curate_corpus",
     "q_curation_funnel",
     "q_dedup_savings",
