@@ -806,3 +806,82 @@ def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("revenue_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G43 — ABC classification (cumulative revenue share classes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_abc_classification",
+    oracle="""
+WITH pr AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT l_partkey, revenue,
+         SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         SUM(revenue) OVER () AS total_rev
+  FROM pr
+),
+classed AS (
+  SELECT CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.8 THEN 'A'
+              WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         revenue
+  FROM ranked
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(revenue) AS DOUBLE) AS revenue,
+       ROUND(CAST(SUM(revenue) AS DOUBLE)
+             / CAST(SUM(SUM(revenue)) OVER () AS DOUBLE), 6) AS revenue_share
+FROM classed GROUP BY abc_class
+""",
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, classed
+    A/B/C at 80%/95% cumulative share — the Pareto workhorse of
+    assortment and stocking policy (G40's decile curve with the
+    standard industry cut points and per-class rollup). Revenue and
+    the running cumulative stay DECIMAL end-to-end (the A/B boundary
+    is a comparison on an exact cumulative, so class membership is
+    engine-identical; only the emitted share is a rounded double);
+    the rank window runs over the |parts|-sized revenue table, not
+    lineitems, and the per-key tie-break makes the cumulative a total
+    order. At extreme part cardinality the documented swap is the
+    same two-phase salted ranking as q_sample_stratified."""
+    li = load(spark, sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    w_cum = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    share = F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
+    classed = pr.select(
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+        F.sum("revenue").over(w_all).alias("total_rev"),
+    ).select(
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
+        "revenue",
+    )
+    agg = classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("revenue").alias("rev_dec"),
+    )
+    return agg.select(
+        "abc_class",
+        "n_parts",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )
