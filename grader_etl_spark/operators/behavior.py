@@ -795,3 +795,72 @@ def q_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").cast("double").alias("revenue"),
         F.sum("revenue").over(w).cast("double").alias("cum_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B20 — normalized retention curve (day-N retention rates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_retention_curve",
+    oracle="""
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY user_id
+),
+sizes AS (SELECT cohort_date, COUNT(*) AS cohort_size FROM f GROUP BY cohort_date),
+act AS (
+  SELECT DISTINCT f.cohort_date,
+         datediff('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_offset,
+         e.user_id
+  FROM events e JOIN f ON e.user_id = f.user_id
+  WHERE datediff('day', f.cohort_date, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
+),
+rates AS (
+  SELECT a.cohort_date, a.day_offset,
+         CAST(COUNT(*) AS DOUBLE) / s.cohort_size AS rate
+  FROM act a JOIN sizes s ON s.cohort_date = a.cohort_date
+  GROUP BY a.cohort_date, a.day_offset, s.cohort_size
+)
+SELECT CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT)   AS n_cohorts,
+       ROUND(AVG(rate), 6)        AS avg_retention
+FROM rates GROUP BY day_offset
+""",
+)
+def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized retention curve: per cohort, the fraction of its
+    users active at each day offset, then averaged ACROSS cohorts per
+    offset — the single D0..D7 curve product reviews quote, versus
+    B4's raw retention triangle (counts, not comparable across
+    cohort sizes). Cohort-size normalization happens before the
+    cross-cohort average so big cohorts don't dominate (the unweighted
+    mean-of-rates convention). All frames after the (day, user, cohort)
+    distinct are cohort×offset-sized; the rate average is one rounded
+    double at the very end."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "ts"])
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_date"))
+    sizes = f.groupBy("cohort_date").agg(F.count(F.lit(1)).alias("cohort_size"))
+    act = (
+        ev.join(f, "user_id")
+        .select(
+            "cohort_date",
+            F.datediff(F.to_date("ts"), F.col("cohort_date")).alias("day_offset"),
+            "user_id",
+        )
+        .filter(F.col("day_offset").between(0, 7))
+        .distinct()
+    )
+    rates = (
+        act.groupBy("cohort_date", "day_offset")
+        .agg(F.count(F.lit(1)).alias("active"))
+        .join(F.broadcast(sizes), "cohort_date")
+        .select(
+            "day_offset",
+            (F.col("active").cast("double") / F.col("cohort_size")).alias("rate"),
+        )
+    )
+    return rates.groupBy(F.col("day_offset").cast("long").alias("day_offset")).agg(
+        F.count(F.lit(1)).alias("n_cohorts"),
+        F.round(F.avg("rate"), 6).alias("avg_retention"),
+    )
