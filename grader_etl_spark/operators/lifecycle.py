@@ -1,0 +1,304 @@
+"""Lifecycle & distributional-dependence analytics: Kaplan-Meier
+survival over the customer order history, weighted quantiles, a
+Pearson correlation matrix, and categorical mutual information.
+
+These extend the reference's reporting layer (main.py:278-289 computes
+one daily aggregate) with the survival/dependence questions a grading
+pipeline's analysts ask next: how long do customers stay active, what
+price does the median *unit* ship at, which numeric columns co-move,
+and how much does knowing a document's source tell you about its
+language.
+
+Scale notes (100 TB discipline):
+- Kaplan-Meier reduces to one per-customer aggregate (key-partitioned
+  shuffle), then the life table is |distinct lifetimes| rows — tiny —
+  so the global-ordered cumulative windows run on an already-reduced
+  frame, never on the fact table.
+- Weighted quantiles use per-group window cumsums (partition-local
+  sorts AQE can split), integer-rescaled threshold tests (4*cum >= tot
+  etc.) so no engine divides, and exact BIGINT weights.
+- The correlation matrix is ONE pass over lineitem: all six corr
+  states accumulate in a single mergeable aggregate, unpivoted after.
+- Mutual information aggregates to |lang|x|source| cells before any
+  window math; marginals ride window sums over the cell frame.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+# Censoring rule for the survival curve: customers whose LAST order is
+# within this many days of the pinned as-of date are still active
+# (right-censored); everyone else churned at their last order.
+# Pinned just past the fixtures' order-date range (P6 determinism —
+# never current_date in an oracle-checked query).
+KM_ASOF = "2001-09-01"
+KM_CHURN_DAYS = 180
+
+
+@query(
+    "q_kaplan_meier",
+    oracle=f"""
+WITH cust AS (
+  SELECT o_custkey,
+         date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                          MAX(CAST(o_orderdate AS DATE))) AS t_days,
+         (date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                    DATE '{KM_ASOF}') > {KM_CHURN_DAYS}) AS churned
+  FROM orders GROUP BY 1
+), tbl AS (
+  SELECT t_days,
+         CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d_events,
+         CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS c_censored
+  FROM cust GROUP BY 1
+), risk AS (
+  SELECT *,
+         CAST(SUM(d_events + c_censored)
+           OVER (ORDER BY t_days DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_risk
+  FROM tbl
+)
+SELECT t_days, n_risk, d_events, c_censored,
+       CASE WHEN MAX(CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t_days ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            THEN 0.0
+            ELSE ROUND(EXP(SUM(CASE WHEN d_events < n_risk
+                                    THEN LN(1.0 - CAST(d_events AS DOUBLE) / n_risk)
+                                    ELSE 0.0 END)
+                       OVER (ORDER BY t_days ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                       6)
+       END AS survival
+FROM risk
+""",
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of customer tenure.
+
+    Tenure t = days between a customer's first and last order; the
+    customer is an EVENT (churn) at t if their last order predates the
+    pinned as-of date by more than KM_CHURN_DAYS, else right-censored.
+    Life table per distinct t: d (events), c (censored), n_risk
+    (customers with tenure >= t, via a descending cumulative sum), and
+    S(t) = prod over event times <= t of (1 - d/n) computed as
+    exp(cumsum(ln ...)) so the running product is a window sum.
+
+    Shape: one groupBy(o_custkey) partial-agg over orders is the only
+    fact-scale shuffle; the life table is |distinct tenures| rows
+    (bounded by the date-range span in days, ~2.4k max), so the two
+    single-partition ordered windows run on a frame that fits in one
+    task at ANY input scale. Censored rows contribute ln(1)=0 to the
+    product, matching the standard estimator."""
+    od = load(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    cust = od.groupBy("o_custkey").agg(
+        F.datediff(F.max(F.to_date("o_orderdate")), F.min(F.to_date("o_orderdate")))
+        .cast("long")
+        .alias("t_days"),
+        (
+            F.datediff(F.lit(KM_ASOF).cast("date"), F.max(F.to_date("o_orderdate")))
+            > KM_CHURN_DAYS
+        ).alias("churned"),
+    )
+    tbl = cust.groupBy("t_days").agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("d_events"),
+        F.sum(F.when(F.col("churned"), 0).otherwise(1)).alias("c_censored"),
+    )
+    w_desc = (
+        Window.orderBy(F.desc("t_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = tbl.withColumn("n_risk", F.sum(F.col("d_events") + F.col("c_censored")).over(w_desc))
+    w_asc = (
+        Window.orderBy(F.asc("t_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # When d == n at some event time the curve is exactly 0 from there
+    # on. That MUST be an explicit absorbing flag: ln(0) is where the
+    # engines diverge (Spark F.log(0) -> NULL, silently dropped from
+    # the sum; DuckDB LN(0) -> -inf), so the log-sum only ever sees
+    # d < n factors.
+    zeroed = F.max(F.when(F.col("d_events") >= F.col("n_risk"), 1).otherwise(0)).over(w_asc)
+    log_surv = F.sum(
+        F.when(
+            F.col("d_events") < F.col("n_risk"),
+            F.log(F.lit(1.0) - F.col("d_events").cast("double") / F.col("n_risk")),
+        ).otherwise(F.lit(0.0))
+    ).over(w_asc)
+    return risk.select(
+        "t_days",
+        "n_risk",
+        "d_events",
+        "c_censored",
+        F.when(zeroed == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(log_surv), 6))
+        .alias("survival"),
+    )
+
+
+@query(
+    "q_weighted_quantiles",
+    oracle="""
+WITH cw AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(CAST(l_quantity AS BIGINT))
+           OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(CAST(l_quantity AS BIGINT))
+           OVER (PARTITION BY l_returnflag) AS tot
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MIN(CASE WHEN 4 * cum >= tot     THEN l_extendedprice END) AS p25_w,
+       MIN(CASE WHEN 2 * cum >= tot     THEN l_extendedprice END) AS p50_w,
+       MIN(CASE WHEN 4 * cum >= 3 * tot THEN l_extendedprice END) AS p75_w,
+       CAST(MAX(tot) AS BIGINT) AS total_qty
+FROM cw
+GROUP BY 1
+""",
+)
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quantiles per return flag: the price at
+    which 25/50/75% of shipped UNITS (not line rows) clear. The
+    weighted p-quantile is the smallest price whose cumulative unit
+    weight reaches p of the group total — threshold tests are
+    integer-rescaled (4*cum >= tot, 2*cum >= tot, 4*cum >= 3*tot) on
+    exact BIGINT weights, so no division and no float compare; the
+    reported quantiles are actual data values, bit-equal across
+    engines.
+
+    Shape: one per-flag window cumsum (partition-local sort with a
+    deterministic (price, orderkey, linenumber) order) + the group
+    total as a frame-less window over the same partitioning — one
+    shuffle, two window passes, then a 3-row-per-group conditional-min
+    aggregate that partials map-side. At 100 TB the documented escape
+    for a single hot group is the two-phase variant: per-salt cumsums
+    merged by prefix offset (same plan shape as the stratified-sample
+    two-phase top-k, sampling.py)."""
+    li = load(
+        spark,
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"],
+    )
+    part = Window.partitionBy("l_returnflag")
+    cum_w = part.orderBy("l_extendedprice", "l_orderkey", "l_linenumber").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    cw = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(qty).over(cum_w).alias("cum"),
+        F.sum(qty).over(part).alias("tot"),
+    )
+    price = F.col("l_extendedprice")
+    return cw.groupBy("l_returnflag").agg(
+        F.min(F.when(4 * F.col("cum") >= F.col("tot"), price)).alias("p25_w"),
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), price)).alias("p50_w"),
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("tot"), price)).alias("p75_w"),
+        F.max("tot").alias("total_qty"),
+    )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "q_corr_matrix",
+    oracle="""
+SELECT var_x, var_y, ROUND(c, 6) AS corr, n FROM (
+  SELECT 'l_discount' AS var_x, 'l_extendedprice' AS var_y,
+         corr(l_discount, l_extendedprice) AS c, COUNT(*) AS n FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', 'l_quantity',
+         corr(l_discount, l_quantity), COUNT(*) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', 'l_tax',
+         corr(l_discount, l_tax), COUNT(*) FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_quantity',
+         corr(l_extendedprice, l_quantity), COUNT(*) FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', 'l_tax',
+         corr(l_extendedprice, l_tax), COUNT(*) FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', 'l_tax',
+         corr(l_quantity, l_tax), COUNT(*) FROM lineitem
+) t
+""",
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's four
+    numeric measures, long form (var_x < var_y lexicographically, 6
+    rows). All six correlation states accumulate in ONE aggregate pass
+    over the fact table — a single scan, map-side partials merging to
+    one row — then the 1-row frame is unpivoted driver-free with
+    stack(). Rounded to 6 dp (moment-merge order, spearman
+    precedent)."""
+    li = load(spark, sf_dir, "lineitem", columns=list(_CORR_COLS))
+    pairs = [
+        (a, b) for i, a in enumerate(sorted(_CORR_COLS)) for b in sorted(_CORR_COLS)[i + 1 :]
+    ]
+    aggs = [F.round(F.corr(a, b), 6).alias(f"c_{a}_{b}") for a, b in pairs]
+    one = li.agg(*aggs, F.count("*").alias("n"))
+    stack_args = ", ".join(f"'{a}', '{b}', c_{a}_{b}" for a, b in pairs)
+    return one.select(
+        F.expr(f"stack({len(pairs)}, {stack_args}) AS (var_x, var_y, corr)"), "n"
+    )
+
+
+@query(
+    "q_mutual_information",
+    oracle="""
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS n_xy FROM documents GROUP BY 1, 2
+), m AS (
+  SELECT *,
+         SUM(n_xy) OVER (PARTITION BY lang)   AS n_x,
+         SUM(n_xy) OVER (PARTITION BY source) AS n_y,
+         SUM(n_xy) OVER ()                    AS n
+  FROM cells
+)
+SELECT lang, source, n_xy,
+       ROUND(LN(CAST(n_xy AS DOUBLE) * n / (n_x * n_y)), 6) AS pmi,
+       ROUND(SUM(CAST(n_xy AS DOUBLE) / n
+                 * LN(CAST(n_xy AS DOUBLE) * n / (n_x * n_y)))
+             OVER (), 6) AS mi_nats
+FROM m
+""",
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document language and source: the
+    dependence audit behind sampling decisions (does source imply
+    language?). Per observed (lang, source) cell: the pointwise MI
+    ln(p_xy / (p_x p_y)), plus the corpus-level MI in nats (the
+    p_xy-weighted sum over cells) repeated on every row.
+
+    Shape: the fact table reduces to |lang| x |source| cells in one
+    partial-agg shuffle; marginals and the MI total are window sums
+    over that tiny cell frame (~100 rows at any corpus scale), so the
+    unpartitioned windows are free. Chi-square (q_chisq_lang_source)
+    tests the same pair for independence; MI quantifies the strength
+    in interpretable units. Rounded to 6 dp."""
+    docs = load(spark, sf_dir, "documents", columns=["lang", "source"])
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("n_xy"))
+    n_x = F.sum("n_xy").over(Window.partitionBy("lang"))
+    n_y = F.sum("n_xy").over(Window.partitionBy("source"))
+    n = F.sum("n_xy").over(Window.partitionBy())
+    m = cells.select("lang", "source", "n_xy", n_x.alias("n_x"), n_y.alias("n_y"), n.alias("n"))
+    pmi = F.log(F.col("n_xy").cast("double") * F.col("n") / (F.col("n_x") * F.col("n_y")))
+    contrib = F.col("n_xy").cast("double") / F.col("n") * pmi
+    return m.select(
+        "lang",
+        "source",
+        "n_xy",
+        F.round(pmi, 6).alias("pmi"),
+        F.round(F.sum(contrib).over(Window.partitionBy()), 6).alias("mi_nats"),
+    )

@@ -678,3 +678,82 @@ def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# L63 — asymmetric containment near-dup (doc-inside-doc detection)
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_THRESHOLD = 0.6
+
+
+@query(
+    "q_containment_dup",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {SHINGLE_K - 2}, 0)),
+           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+2]
+         )) AS sset
+  FROM documents
+)
+SELECT a.doc_id                                   AS src_doc,
+       b.doc_id                                   AS dst_doc,
+       CAST(length(list_intersect(a.sset, b.sset)) AS BIGINT) AS overlap,
+       CAST(length(a.sset) AS BIGINT)             AS src_sz,
+       CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)
+         / length(a.sset)                         AS containment
+FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE length(a.sset) > 0
+  AND CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE) / length(a.sset)
+      >= {_CONTAINMENT_THRESHOLD}
+""",
+)
+def q_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: directed pairs where
+    C(src→dst) = |sh(src) ∩ sh(dst)| / |sh(src)| ≥ 0.6 — the
+    quote/excerpt/boilerplate-wrapper case symmetric Jaccard MISSES
+    (a page embedding a whole smaller doc has low Jaccard when the
+    host is large, but src-side containment is ~1). This is the
+    Broder containment measure; dedup policy usually drops the
+    contained doc and keeps the superset.
+
+    Reuses the session shingle index and the SAME inverted-index
+    candidate machinery as q_neardup_jaccard: intersection sizes come
+    from undirected a<b join-hit counts computed ONCE, then both
+    directed readings are emitted from that one pair frame (a 2×
+    projection of the grouped counts, not a second join). Candidates
+    without shared shingles cannot qualify (containment > 0 needs
+    ≥ 1 shared shingle), so the pruning is lossless; the shuffle
+    carries (shingle, id) pairs once, never text. The DuckDB oracle
+    runs the naive directed all-pairs semantics, proving parity."""
+    sh = shingled_docs(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("sset").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_lo"),
+            F.col("b.doc_id").alias("id_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    sizes = sh.select("doc_id", F.size("sset").cast("bigint").alias("sz"))
+    directed = inter.select(
+        F.col("id_lo").alias("src_doc"), F.col("id_hi").alias("dst_doc"), "overlap"
+    ).unionByName(
+        inter.select(
+            F.col("id_hi").alias("src_doc"), F.col("id_lo").alias("dst_doc"), "overlap"
+        )
+    )
+    src_sz = sizes.select(F.col("doc_id").alias("src_doc"), F.col("sz").alias("src_sz"))
+    return (
+        directed.join(F.broadcast(src_sz), "src_doc")
+        .withColumn("containment", F.col("overlap").cast("double") / F.col("src_sz"))
+        .filter(F.col("containment") >= _CONTAINMENT_THRESHOLD)
+        .select("src_doc", "dst_doc", "overlap", "src_sz", "containment")
+    )

@@ -68,6 +68,7 @@ def load_all_operators() -> None:
         grouped_map,
         insights,
         joins,
+        lifecycle,
         llm_dedup,
         multimodal,
         projections,
