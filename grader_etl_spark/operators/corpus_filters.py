@@ -480,3 +480,60 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("raw_score"),
         F.round(F.percent_rank().over(w), 6).alias("calibrated"),
     )
+
+
+@query(
+    "q_quantile_normalize",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS raw,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n_s,
+         COUNT(*) OVER () AS n
+  FROM documents
+), g AS (
+  SELECT CAST(n_chars AS BIGINT) AS norm_value,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS g_r
+  FROM documents
+)
+SELECT s.doc_id, s.source, s.raw, g.norm_value
+FROM s JOIN g ON g.g_r = (s.r * s.n + s.n_s - 1) // s.n_s
+""",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources: each document's raw
+    score (n_chars proxy) is replaced by the GLOBAL score at the same
+    within-source quantile position — after this, every source has an
+    identical score distribution, so a single global threshold treats
+    a verbose source and a terse one the same. The full-distribution
+    upgrade of L59's percent_rank calibration (which normalizes ranks
+    but keeps no comparable VALUE scale).
+
+    Discrete, exact mapping: within-source rank r of n_s maps to
+    global rank ceil(r·N/n_s) via integer arithmetic (no float
+    quantiles), then one equi-join on the integer rank fetches the
+    global value — every output is an actual observed score,
+    bit-equal across engines. Shape: per-source windows share one
+    source-partitioned sort; the global row_number is the one global
+    sort (the documented 100 TB swap is an approx_percentile grid +
+    range join, trading exact ranks for a sort-free two-pass plan);
+    the rank join is integer-keyed and AQE-splittable."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    by_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    s = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("raw"),
+        F.row_number().over(by_src).cast("long").alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_s"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    g = docs.select(
+        F.col("n_chars").cast("long").alias("norm_value"),
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).cast("long").alias("g_r"),
+    )
+    # ceil(r*N/n_s) in pure integer arithmetic — Spark's `/` is double
+    # division, so `div` keeps the rank mapping exact.
+    target = F.expr("(r * n + n_s - 1) div n_s")
+    sel = s.select("doc_id", "source", "raw", target.alias("g_r"))
+    return sel.join(g, "g_r").select("doc_id", "source", "raw", "norm_value")

@@ -680,3 +680,102 @@ def q_dedup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# G47 — triangle counting + local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_triangle_count",
+    oracle=f"""
+WITH sh AS ({_SSET_SQL}),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)
+          / (length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)))
+        >= {_JACCARD_THRESHOLD}
+),
+tri AS (
+  SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.d1 = e1.d2
+  JOIN pairs e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+),
+node_tri AS (
+  SELECT doc_id, COUNT(*) AS triangles
+  FROM (SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY 1
+),
+deg AS (
+  SELECT doc_id, COUNT(*) AS degree
+  FROM (SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(d.degree AS BIGINT)                  AS degree,
+       CAST(COALESCE(t.triangles, 0) AS BIGINT)  AS triangles,
+       ROUND(CASE WHEN d.degree >= 2
+                  THEN 2.0 * COALESCE(t.triangles, 0)
+                       / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6)               AS local_cc
+FROM deg d LEFT JOIN node_tri t ON t.doc_id = d.doc_id
+""",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    the near-dup pair graph — the cohesion diagnostic beside G42's
+    degree distribution: high clustering means near-dup neighborhoods
+    are genuine CLIQUES (one canonical doc survives per group), while
+    high degree with low clustering means chain/star topology
+    (transitive merging may over-collapse distinct documents).
+
+    Compact-forward algorithm on the canonically-ordered edge list
+    (a < b): a triangle a<b<c is found exactly once by joining
+    e1=(a,b) with e2=(b,c) and closing via e3=(a,c) — two equi-joins
+    on an edge list that is already candidate-pruned and tiny relative
+    to the corpus. At adversarial skew the documented refinement is
+    degree-ordered ranking (each edge oriented low-degree→high-degree
+    before the wedge join, bounding wedges by arboricity) — same plan
+    shape, different orientation rule. local_cc = 2T/(d(d−1)) from
+    exact integers, rounded 6 dp; isolated-from-triangles nodes
+    left-join to 0."""
+    pairs = q_neardup_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    e1 = pairs.select(F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b"))
+    e2 = pairs.select(F.col("doc_id_1").alias("b2"), F.col("doc_id_2").alias("c"))
+    e3 = pairs.select(F.col("doc_id_1").alias("a3"), F.col("doc_id_2").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    node_tri = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionByName(tri.select(F.col("b").alias("doc_id")))
+        .unionByName(tri.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = (
+        pairs.select(F.col("doc_id_1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_id_2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    t = F.coalesce(F.col("triangles"), F.lit(0)).cast("long")
+    return deg.join(node_tri, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        t.alias("triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * t / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("local_cc"),
+    )

@@ -302,3 +302,139 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pmi, 6).alias("pmi"),
         F.round(F.sum(contrib).over(Window.partitionBy()), 6).alias("mi_nats"),
     )
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT *,
+         CAST(SUM(cents) OVER () AS BIGINT)              AS t_cents,
+         CAST(COUNT(*)   OVER () AS BIGINT)              AS n_days,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(SUM(cents) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents
+  FROM daily
+), scored AS (
+  SELECT day, cents,
+         n_days * cum_cents - t * t_cents AS cusum_scaled,
+         n_days
+  FROM tot
+)
+SELECT day, cents, cusum_scaled,
+       ROUND(CAST(cusum_scaled AS DOUBLE) / (n_days * 100.0), 2)
+         AS cusum_value,
+       (ABS(cusum_scaled) = MAX(ABS(cusum_scaled)) OVER ())
+         AS is_changepoint
+FROM scored
+""",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detection on the daily revenue series: the
+    cumulative deviation from the global mean, S_t = Σ_{i≤t}(x_i − μ),
+    peaks at the most likely changepoint (the classic offline CUSUM
+    argmax). All comparisons are EXACT integers: revenue in cents,
+    and S_t rescaled by n (n·cumsum_t − t·total is S_t·n with no
+    division), so the argmax flag is bit-identical across engines —
+    the double `cusum_value` is a rounded display column, never the
+    decision input. Overflow headroom: n·cum stays under 2^63 through
+    ~1e5× the fixture revenue volume; beyond that the documented swap
+    is DECIMAL(38,0) for the two products.
+
+    Shape: the fact table collapses to |days| rows in one partial-agg
+    shuffle; every window (global total, ordered cumsum, global max)
+    runs on that calendar-sized frame — single-partition windows on
+    ≤ a-few-thousand rows at ANY input scale."""
+    od = load(spark, sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+    # day kept as midnight TIMESTAMP (not DATE) so both engines land
+    # on the comparator's datetime64 dtype.
+    daily = od.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("cents")
+    )
+    wall = Window.partitionBy()
+    asc = Window.orderBy("day")
+    cum = asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(wall).alias("t_cents"),
+        F.count("*").over(wall).alias("n_days"),
+        F.row_number().over(asc).cast("long").alias("t"),
+        F.sum("cents").over(cum).alias("cum_cents"),
+    )
+    scored = tot.select(
+        "day",
+        "cents",
+        (F.col("n_days") * F.col("cum_cents") - F.col("t") * F.col("t_cents")).alias(
+            "cusum_scaled"
+        ),
+        "n_days",
+    )
+    return scored.select(
+        "day",
+        "cents",
+        "cusum_scaled",
+        F.round(F.col("cusum_scaled").cast("double") / (F.col("n_days") * 100.0), 2).alias(
+            "cusum_value"
+        ),
+        (F.abs("cusum_scaled") == F.max(F.abs("cusum_scaled")).over(wall)).alias(
+            "is_changepoint"
+        ),
+    )
+
+
+# Decay horizon for recency-weighted customer value: weight = e^(-age/τ).
+LTV_TAU_DAYS = 365.0
+
+
+@query(
+    "q_decay_ltv",
+    oracle=f"""
+WITH w AS (
+  SELECT o_custkey,
+         CAST(o_totalprice AS DECIMAL(20,2))
+           * CAST(ROUND(EXP(-date_diff('day', CAST(o_orderdate AS DATE),
+                                       DATE '{KM_ASOF}') / {LTV_TAU_DAYS}), 12)
+                  AS DECIMAL(14,12)) AS contrib,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS raw
+  FROM orders
+)
+SELECT o_custkey,
+       ROUND(CAST(SUM(contrib) AS DOUBLE), 4) AS decayed_value,
+       CAST(SUM(raw) AS DOUBLE)               AS raw_value,
+       COUNT(*)                               AS n_orders
+FROM w
+GROUP BY 1
+""",
+)
+def q_decay_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted customer value: Σ price·e^(−age/τ) with
+    τ = 1 year — the decayed-LTV score that ranks a recently-active
+    mid-spender above a long-gone big-spender (the live-value
+    counterpart to q_rfm_segments' quintile codes).
+
+    Exactness discipline: the per-row weight e^(−age/τ) is computed
+    once in double (same libm input both engines), QUANTIZED to
+    DECIMAL(14,12), and multiplied into the DECIMAL price — so the
+    per-customer SUM is decimal-exact and order-independent, with the
+    single double rounding at the end. Map-side: one projection + one
+    groupBy(o_custkey) partial-agg; no windows, no joins."""
+    od = load(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    age = F.datediff(F.lit(KM_ASOF).cast("date"), F.to_date("o_orderdate"))
+    weight = F.round(F.exp(-age / F.lit(LTV_TAU_DAYS)), 12).cast("decimal(14,12)")
+    w = od.select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * weight).alias("contrib"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("raw"),
+    )
+    return w.groupBy("o_custkey").agg(
+        F.round(F.sum("contrib").cast("double"), 4).alias("decayed_value"),
+        F.sum("raw").cast("double").alias("raw_value"),
+        F.count("*").alias("n_orders"),
+    )

@@ -681,7 +681,7 @@ def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L63 — asymmetric containment near-dup (doc-inside-doc detection)
+# L66 — asymmetric containment near-dup (doc-inside-doc detection)
 # ---------------------------------------------------------------------------
 
 _CONTAINMENT_THRESHOLD = 0.6

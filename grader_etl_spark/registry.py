@@ -59,6 +59,7 @@ def load_all_operators() -> None:
         arrays,
         asof,
         behavior,
+        bloom,
         clustering,
         corpus_filters,
         dedup,
