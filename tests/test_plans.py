@@ -352,3 +352,35 @@ def test_round2_late_ops_plan_shapes(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_salted_join_agg")
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_round2b_new_ops_plan_shapes(spark, sf_dir):
+    """Plan pins for the survival/dependence/scale batch: fact tables
+    reduce before tiny windows, the Bloom probe stays in the scan
+    stage (no shuffle before the filter), and the exact-integer ops
+    keep single scans."""
+    # one-scan reduce-then-window ops
+    for name in ("q_kaplan_meier", "q_cusum_changepoint", "q_decay_ltv",
+                 "q_mutual_information", "q_corr_matrix"):
+        tree = plan_of(spark, sf_dir, name).split("\n\n")[0]
+        assert tree.count("Scan parquet") == 1, name
+        assert "CartesianProduct" not in tree, name
+    # weighted quantiles: one scan, windows share the per-flag shuffle
+    tree = plan_of(spark, sf_dir, "q_weighted_quantiles").split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    # Bloom join: the bit-probe filter sits in the fact scan stage —
+    # the plan's first Exchange happens only at/after the join, and
+    # the probe compiles into a Filter over the parquet scan (the
+    # literal bitmap never joins).
+    p = plan_of(spark, sf_dir, "q_bloom_join")
+    tree = p.split("\n\n")[0]
+    assert "CartesianProduct" not in p
+    # the probe is a projection-level filter (element_at bit test), not
+    # a join: exactly the two real scans (fact + dim), and the bitmap
+    # literal introduces no third input or exchange of its own
+    assert tree.count("Scan parquet") == 2
+    assert "element_at" in p
+    # quantile normalization: the rank-keyed equi-join is a hash join
+    p = plan_of(spark, sf_dir, "q_quantile_normalize")
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p
