@@ -885,3 +885,62 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("revenue_share"),
     )
+
+
+@query(
+    "q_topn_with_other",
+    oracle="""
+WITH per_cust AS (
+  SELECT c_mktsegment, o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY rev DESC, o_custkey) AS rk
+  FROM per_cust
+)
+SELECT c_mktsegment,
+       CASE WHEN rk <= 5 THEN CAST(o_custkey AS VARCHAR) ELSE 'OTHER' END
+         AS entity,
+       CAST(SUM(rev) AS DOUBLE) AS revenue,
+       COUNT(*)                 AS n_customers
+FROM ranked
+GROUP BY 1, 2
+""",
+)
+def q_topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 customers per market segment by lifetime order value,
+    with everyone else rolled into one 'OTHER' row per segment — the
+    standard executive-report shape (named leaders + a remainder that
+    keeps the segment total honest). Deterministic rank tie-break on
+    custkey; revenue through DECIMAL sums so the rollup is
+    order-independent.
+
+    Shape: fact → per-(segment, customer) partial-agg (the one real
+    shuffle) → per-segment rank window on the customer-sized frame →
+    a second tiny aggregate (≤ 6 rows per segment). The rank window
+    sorts per segment, never globally; at extreme per-segment
+    cardinality the documented swap is a two-phase top-k (per-salt
+    leaders merged, remainder = segment total − leaders) with the
+    same output contract."""
+    od = load(spark, sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    per_cust = (
+        od.join(F.broadcast(cust), od.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("c_mktsegment").orderBy(F.desc("rev"), F.asc("o_custkey"))
+    )
+    ranked = per_cust.withColumn("rk", rk)
+    entity = F.when(F.col("rk") <= 5, F.col("o_custkey").cast("string")).otherwise("OTHER")
+    return (
+        ranked.groupBy("c_mktsegment", entity.alias("entity"))
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count("*").alias("n_customers"),
+        )
+    )

@@ -438,3 +438,72 @@ def q_decay_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("raw").cast("double").alias("raw_value"),
         F.count("*").alias("n_orders"),
     )
+
+
+# Inter-order gap buckets (days): label -> (lo inclusive, hi exclusive).
+GAP_BUCKETS = ((0, 7, "00-06d"), (7, 30, "07-29d"), (30, 90, "30-89d"),
+               (90, 365, "90-364d"), (365, 100_000, "365d+"))
+
+
+@query(
+    "q_order_gap_distribution",
+    oracle="""
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   LAG(CAST(o_orderdate AS DATE))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap
+  FROM orders
+), b AS (
+  SELECT CASE WHEN gap < 7 THEN '00-06d'
+              WHEN gap < 30 THEN '07-29d'
+              WHEN gap < 90 THEN '30-89d'
+              WHEN gap < 365 THEN '90-364d'
+              ELSE '365d+' END AS bucket,
+         gap
+  FROM gaps WHERE gap IS NOT NULL
+)
+SELECT bucket,
+       COUNT(*)            AS n_gaps,
+       CAST(MIN(gap) AS BIGINT) AS min_gap,
+       CAST(MAX(gap) AS BIGINT) AS max_gap,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (), 6) AS share
+FROM b GROUP BY 1
+""",
+)
+def q_order_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap distribution: days between a customer's
+    consecutive orders, bucketed into recency bands with counts,
+    exact min/max, and global share — the repurchase-cadence readout
+    that calibrates q_kaplan_meier's churn threshold (KM_CHURN_DAYS
+    should sit past the mass of this distribution) and q_decay_ltv's
+    τ.
+
+    Shape: one per-customer window (lag over the customer-partitioned
+    order sort — AQE-splittable, never a global sort) feeding a
+    |buckets|-row aggregate with map-side partials; the share window
+    runs over ≤ 5 rows. Gap math is integer days; only the share is
+    a rounded double."""
+    od = load(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = od.select(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+        ).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    bucket = F.when(F.col("gap") < 7, "00-06d")
+    for lo, hi, label in GAP_BUCKETS[1:-1]:
+        bucket = bucket.when(F.col("gap") < hi, label)
+    bucket = bucket.otherwise("365d+")
+    b = gaps.select(bucket.alias("bucket"), "gap")
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap").cast("long").alias("min_gap"),
+        F.max("gap").cast("long").alias("max_gap"),
+        F.round(
+            F.count("*").cast("double") / F.sum(F.count("*")).over(Window.partitionBy()), 6
+        ).alias("share"),
+    )

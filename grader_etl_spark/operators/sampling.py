@@ -233,3 +233,80 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("tfp").cast("double") / F.count(F.lit(1)), 6).alias("leak_rate"),
         )
     )
+
+
+# Total sample slots to allocate across sources (largest-remainder).
+ALLOC_TARGET = 10_000
+
+
+@query(
+    "q_sample_allocation",
+    oracle=f"""
+WITH cnt AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+), base AS (
+  SELECT source, n_docs,
+         CAST(SUM(n_docs) OVER () AS BIGINT)           AS total,
+         ({ALLOC_TARGET} * n_docs) // SUM(n_docs) OVER ()  AS floor_quota,
+         ({ALLOC_TARGET} * n_docs) %  SUM(n_docs) OVER ()  AS remainder
+  FROM cnt
+), ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS BIGINT)
+           AS rem_rank,
+         {ALLOC_TARGET} - CAST(SUM(floor_quota) OVER () AS BIGINT) AS leftover
+  FROM base
+)
+SELECT source, n_docs,
+       CAST(floor_quota + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM ranked
+""",
+)
+def q_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder quota allocation: split a fixed budget of
+    ALLOC_TARGET sample slots across sources proportional to size,
+    with integer quotas that sum EXACTLY to the budget (floor quotas
+    + one extra slot to the largest fractional remainders). This is
+    the apportionment step in front of stratified sampling
+    (q_sample_stratified): naive round() quotas can miss the budget
+    by ±|sources|/2; this never does, and every step is integer
+    arithmetic — div for floors, mod for remainders, a deterministic
+    (remainder desc, source) tie-break — so both engines allocate
+    identically.
+
+    Shape: the corpus reduces to |sources| rows in one partial-agg
+    shuffle; the total/rank windows run on that tiny frame."""
+    docs = load(spark, sf_dir, "documents", columns=["source"])
+    cnt = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    wall = Window.partitionBy()
+    base = cnt.select(
+        "source",
+        "n_docs",
+        F.sum("n_docs").over(wall).alias("total"),
+    ).select(
+        "source",
+        "n_docs",
+        F.expr(f"({ALLOC_TARGET} * n_docs) div total").alias("floor_quota"),
+        (F.lit(ALLOC_TARGET) * F.col("n_docs") % F.col("total")).alias("remainder"),
+    )
+    ranked = base.select(
+        "source",
+        "n_docs",
+        "floor_quota",
+        F.row_number()
+        .over(Window.orderBy(F.desc("remainder"), F.asc("source")))
+        .cast("long")
+        .alias("rem_rank"),
+        (F.lit(ALLOC_TARGET) - F.sum("floor_quota").over(wall)).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        (
+            F.col("floor_quota")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )

@@ -89,3 +89,55 @@ def test_decay_ltv_single_order_weight(spark, monkeypatch):
     assert r["decayed_value"] == expected
     assert r["raw_value"] == 1000.0
     assert r["n_orders"] == 1
+
+
+def test_sample_allocation_sums_exactly(spark, sf_dir, monkeypatch):
+    from grader_etl_spark.operators.sampling import ALLOC_TARGET, q_sample_allocation
+
+    rows = q_sample_allocation(spark, sf_dir).collect()
+    assert sum(r["quota"] for r in rows) == ALLOC_TARGET
+    # proportionality within 1 slot of the unrounded share
+    total = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        exact = ALLOC_TARGET * r["n_docs"] / total
+        assert abs(r["quota"] - exact) < 1.0
+
+
+def test_order_gap_buckets(spark, monkeypatch):
+    import datetime as dt
+
+    import grader_etl_spark.operators.lifecycle as lc
+
+    base = dt.datetime(2001, 1, 1)
+    rows = [
+        (1, base, 1), (1, base + dt.timedelta(days=3), 2),       # gap 3 -> 00-06d
+        (1, base + dt.timedelta(days=43), 3),                    # gap 40 -> 30-89d
+        (2, base, 4), (2, base + dt.timedelta(days=400), 5),     # gap 400 -> 365d+
+    ]
+    df = spark.createDataFrame(rows, "o_custkey long, o_orderdate timestamp, o_orderkey long")
+    monkeypatch.setattr(lc, "load", lambda spark, sf, t, columns=None: df)
+    got = {r["bucket"]: r for r in lc.q_order_gap_distribution(spark, "x").collect()}
+    assert got["00-06d"]["n_gaps"] == 1 and got["00-06d"]["min_gap"] == 3
+    assert got["30-89d"]["n_gaps"] == 1 and got["30-89d"]["max_gap"] == 40
+    assert got["365d+"]["n_gaps"] == 1
+    # shares are rounded to 6 dp each, so the sum can be off by up to
+    # |buckets| * 5e-7
+    assert abs(sum(r["share"] for r in got.values()) - 1.0) < 3e-6
+
+
+def test_topn_with_other_rollup(spark, sf_dir):
+    from grader_etl_spark.operators.insights import q_topn_with_other
+
+    rows = q_topn_with_other(spark, sf_dir).collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r)
+    for seg, rs in by_seg.items():
+        named = [r for r in rs if r["entity"] != "OTHER"]
+        other = [r for r in rs if r["entity"] == "OTHER"]
+        assert len(named) <= 5, seg
+        assert len(other) <= 1, seg
+        if other:
+            # every named leader beats the OTHER average member
+            avg_other = other[0]["revenue"] / other[0]["n_customers"]
+            assert all(r["revenue"] >= avg_other for r in named), seg
