@@ -72,6 +72,7 @@ def load_all_operators() -> None:
         lifecycle,
         llm_dedup,
         multimodal,
+        pca,
         projections,
         sampling,
         setops,
