@@ -1,0 +1,130 @@
+"""Deterministic Poisson bootstrap: a confidence interval for the
+mean order value with NO random state — resample weights derive from
+md5, so the interval is reproducible across runs, engines, partition
+layouts, and retries (the q_sample_hash determinism discipline,
+applied to statistical inference).
+
+Poisson bootstrap (Chamandy et al., "Estimating uncertainty for
+massive data streams", public Google research): each replicate b
+re-weights every row by an independent Poisson(1) count instead of
+true with-replacement resampling, which is exactly what a single-pass
+distributed engine can do. Here the count comes from an inverse-CDF
+ladder over the row's md5 fraction — the 8-hex-char uniform compared
+against precomputed hex thresholds, so weight assignment is pure
+string comparison, bit-identical in Spark and DuckDB.
+
+Scale design: all B replicates accumulate in ONE scan as 2B aggregate
+expressions (sum of weight×DECIMAL price, sum of weight — decimal/
+integer partials, order-independent and map-side combined). No
+explode, no B-fold data expansion, no shuffle beyond the single
+global aggregate; the replicate table is B rows, driver-free. Cost is
+B md5 calls per row — bounded, and the documented cheap swap is one
+xxhash64 per (row, b) when oracle parity isn't needed.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+B_REPLICATES = 40
+# Discrete 2.5% / 97.5% ranks over the B sorted replicate means.
+_LO_RANK = math.ceil(0.025 * B_REPLICATES)   # 1
+_HI_RANK = math.ceil(0.975 * B_REPLICATES)   # 39
+
+# Truncated-Poisson(1) inverse-CDF thresholds as 8-hex-char strings:
+# weight k iff frac <= H[k] (first match wins), else MAX_W. P(X>7) ~ 1e-5.
+_MAX_W = 7
+_CDF = []
+_acc = 0.0
+for _k in range(_MAX_W):
+    _acc += math.exp(-1.0) / math.factorial(_k)
+    _CDF.append(_acc)
+_HEX_T = [format(math.floor(c * 4294967296.0), "08x") for c in _CDF]
+
+
+def _w_sql(key_sql: str, b: int) -> str:
+    """ANSI CASE ladder assigning the Poisson weight for replicate b."""
+    frac = f"substring(md5({key_sql} || '-{b}'), 1, 8)"
+    arms = " ".join(
+        f"WHEN {frac} <= '{t}' THEN {k}" for k, t in enumerate(_HEX_T)
+    )
+    return f"(CASE {arms} ELSE {_MAX_W} END)"
+
+
+def _oracle() -> str:
+    sxw = ",\n         ".join(
+        f"SUM({_w_sql('CAST(o_orderkey AS VARCHAR)', b)}"
+        f" * CAST(o_totalprice AS DECIMAL(18,2))) AS sxw_{b},\n"
+        f"         CAST(SUM({_w_sql('CAST(o_orderkey AS VARCHAR)', b)}) AS BIGINT) AS sw_{b}"
+        for b in range(B_REPLICATES)
+    )
+    reps = "\n  UNION ALL ".join(
+        f"SELECT {b} AS b, ROUND(CAST(sxw_{b} AS DOUBLE) / sw_{b}, 6) AS mean_b FROM agg"
+        for b in range(B_REPLICATES)
+    )
+    return f"""
+WITH agg AS (
+  SELECT {sxw},
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s_all,
+         COUNT(*) AS n_all
+  FROM orders
+), reps AS (
+  {reps}
+), ranked AS (
+  SELECT b, mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rk FROM reps
+)
+SELECT ROUND(CAST(s_all AS DOUBLE) / n_all, 6)        AS point_mean,
+       MIN(CASE WHEN rk = {_LO_RANK} THEN mean_b END) AS ci_lo,
+       MIN(CASE WHEN rk = {_HI_RANK} THEN mean_b END) AS ci_hi,
+       CAST({B_REPLICATES} AS BIGINT)                 AS n_replicates
+FROM ranked CROSS JOIN agg
+GROUP BY s_all, n_all
+"""
+
+
+@query("q_bootstrap_ci", oracle=_oracle())
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for the mean order value: B=40 Poisson
+    replicates in one aggregate pass, discrete percentile ranks over
+    the sorted replicate means. Every per-replicate state is a
+    DECIMAL×integer sum — order-independent, so the interval is
+    hash-exact across engines; the only doubles are the B final
+    divisions, each rounded once."""
+    od = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    key = F.col("o_orderkey").cast("string")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    aggs = [F.sum(price).alias("s_all"), F.count("*").alias("n_all")]
+    for b in range(B_REPLICATES):
+        frac = F.substring(F.md5(F.concat(key, F.lit(f"-{b}"))), 1, 8)
+        w = F.when(frac <= _HEX_T[0], 0)
+        for k in range(1, _MAX_W):
+            w = w.when(frac <= _HEX_T[k], k)
+        w = w.otherwise(_MAX_W)
+        aggs.append(F.sum(w * price).alias(f"sxw_{b}"))
+        aggs.append(F.sum(w).cast("long").alias(f"sw_{b}"))
+    one = od.agg(*aggs)
+    stack_args = ", ".join(
+        f"{b}L, round(cast(sxw_{b} as double) / sw_{b}, 6)" for b in range(B_REPLICATES)
+    )
+    reps = one.select(
+        "s_all",
+        "n_all",
+        F.expr(f"stack({B_REPLICATES}, {stack_args}) AS (b, mean_b)"),
+    )
+    rk = F.row_number().over(Window.orderBy("mean_b", "b"))
+    ranked = reps.withColumn("rk", rk)
+    return ranked.groupBy("s_all", "n_all").agg(
+        F.min(F.when(F.col("rk") == _LO_RANK, F.col("mean_b"))).alias("ci_lo"),
+        F.min(F.when(F.col("rk") == _HI_RANK, F.col("mean_b"))).alias("ci_hi"),
+    ).select(
+        F.round(F.col("s_all").cast("double") / F.col("n_all"), 6).alias("point_mean"),
+        "ci_lo",
+        "ci_hi",
+        F.lit(B_REPLICATES).cast("long").alias("n_replicates"),
+    )

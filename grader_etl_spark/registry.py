@@ -60,6 +60,7 @@ def load_all_operators() -> None:
         asof,
         behavior,
         bloom,
+        bootstrap,
         clustering,
         corpus_filters,
         dedup,

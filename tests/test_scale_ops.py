@@ -141,3 +141,15 @@ def test_topn_with_other_rollup(spark, sf_dir):
             # every named leader beats the OTHER average member
             avg_other = other[0]["revenue"] / other[0]["n_customers"]
             assert all(r["revenue"] >= avg_other for r in named), seg
+
+
+def test_bootstrap_ci_brackets_point(spark, sf_dir):
+    from grader_etl_spark.operators.bootstrap import q_bootstrap_ci
+
+    r = q_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert r["ci_lo"] <= r["point_mean"] <= r["ci_hi"]
+    # At n=1500 orders the standard error of the mean is ~sigma/sqrt(n);
+    # the 95% band must be finite and not absurdly wide (±20% of mean).
+    width = r["ci_hi"] - r["ci_lo"]
+    assert 0 < width < 0.4 * r["point_mean"]
+    assert r["n_replicates"] == 40
