@@ -537,3 +537,74 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = F.expr("(r * n + n_s - 1) div n_s")
     sel = s.select("doc_id", "source", "raw", target.alias("g_r"))
     return sel.join(g, "g_r").select("doc_id", "source", "raw", "norm_value")
+
+
+@query(
+    "q_mix_drift_timeline",
+    oracle="""
+WITH cells AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         event_type, COUNT(*) AS n_dt
+  FROM events GROUP BY 1, 2
+), days AS (
+  SELECT day, SUM(n_dt) AS n_d FROM cells GROUP BY 1
+), types AS (
+  SELECT event_type, SUM(n_dt) AS n_t FROM cells GROUP BY 1
+), grid AS (
+  SELECT d.day, t.event_type, d.n_d, t.n_t,
+         COALESCE(c.n_dt, 0) AS n_dt,
+         (SELECT SUM(n_t) FROM types) AS n
+  FROM days d CROSS JOIN types t
+  LEFT JOIN cells c ON c.day = d.day AND c.event_type = t.event_type
+), terms AS (
+  SELECT day, n_d,
+         CAST(n_dt AS DOUBLE) / n_d AS p,
+         CAST(n_t  AS DOUBLE) / n   AS q
+  FROM grid
+)
+SELECT day,
+       CAST(MAX(n_d) AS BIGINT) AS n_events,
+       ROUND(SUM(CASE WHEN p > 0 THEN 0.5 * p * LN(p / ((p + q) / 2)) ELSE 0 END)
+             + SUM(0.5 * q * LN(q / ((p + q) / 2))), 6) AS js_nats
+FROM terms
+GROUP BY 1
+""",
+)
+def q_mix_drift_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-mix drift timeline: Jensen-Shannon divergence (nats)
+    between each day's event-type distribution and the overall mix —
+    the continuous-monitoring upgrade of q_psi_drift's two-snapshot
+    comparison (JS is symmetric, bounded by ln 2, and defined even
+    when a type is absent from a day, where PSI's log-ratio blows up).
+
+    Shape: the fact table reduces to |days|x|types| cells in one
+    partial-agg shuffle; the dense grid comes from a cross join of the
+    two PRE-REDUCED dims (the q_join_cross discipline — never a
+    fact-sized cartesian) with counts left-joined back; every sum runs
+    over the tiny grid. p=0 terms are exactly 0 (handled explicitly,
+    not via ln(0))."""
+    ev = load(spark, sf_dir, "events", columns=["ts", "event_type"])
+    cells = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n_dt"))
+    days = cells.groupBy("day").agg(F.sum("n_dt").alias("n_d"))
+    types = cells.groupBy("event_type").agg(F.sum("n_dt").alias("n_t"))
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(cells, ["day", "event_type"], "left")
+        .withColumn("n_dt", F.coalesce("n_dt", F.lit(0)))
+        .withColumn("n", F.sum("n_t").over(Window.partitionBy("day")))
+    )
+    p = F.col("n_dt").cast("double") / F.col("n_d")
+    q = F.col("n_t").cast("double") / F.col("n")
+    m = (p + q) / 2
+    terms = grid.select(
+        "day",
+        "n_d",
+        F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0)).alias("tp"),
+        (0.5 * q * F.log(q / m)).alias("tq"),
+    )
+    return terms.groupBy("day").agg(
+        F.max("n_d").cast("bigint").alias("n_events"),
+        F.round(F.sum("tp") + F.sum("tq"), 6).alias("js_nats"),
+    )

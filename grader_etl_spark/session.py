@@ -48,6 +48,10 @@ def get_spark(app_name: str = "grader-etl-spark", master: str | None = None) -> 
         # vectorized reader; read as long and convert in io.load.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- python interchange ------------------------------------------
+        # Lets Python Data Source readers (sources/rest_datasource.py)
+        # receive day-range predicates in pushFilters() and plan fewer
+        # fetch partitions.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- local-mode memory hygiene -----------------------------------

@@ -1,0 +1,273 @@
+"""Partition-parallel REST ingest as a Spark 4 Python Data Source.
+
+The reference fetches its API window with one single-threaded loop of
+HTTP GETs on the driver (main.py:103-125: one request per day, rows
+appended to a Python list). ``sources/rest.py`` reproduces those
+semantics driver-side for small windows; THIS module is the
+scale-honest form: a custom ``DataSource`` registered with
+``spark.dataSource.register`` whose reader emits ONE InputPartition
+PER DAY, so each executor task fetches and parses its own day
+independently — ingest bandwidth scales with the cluster instead of
+the driver's socket, and a failed day retries alone (task retry)
+instead of restarting the whole window.
+
+Filter pushdown: the reader implements ``pushFilters`` for >=/</=
+predicates on ``day``, narrowing WHICH partitions are generated —
+the Data-Source-level analogue of parquet partition pruning
+(a filtered read plans fewer HTTP fetch tasks, visible in
+``partitions()``).
+
+Transports (selected by options, all string-typed as the API
+requires):
+
+* ``mode=synthetic`` (default): deterministic per-day record
+  synthesis from md5 of (day, i) — no network, fully reproducible;
+  this is what tests and fixtures use.
+* ``mode=jsonl`` + ``path=DIR``: one ``<day>.jsonl`` file per day —
+  the landed-file twin, same schema.
+* A real HTTP transport belongs behind ``mode=http`` + ``url=``;
+  deliberately NOT implemented here (no network in this
+  environment) — the seam is the mode switch, one executor-side
+  function per transport.
+
+A ``simpleStreamReader`` exposes the same synthetic transport as a
+streaming source (offset = day index), giving the Structured
+Streaming jobs a custom-source twin of the rate/file sources in
+``streaming/jobs.py``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+
+SCHEMA = "day string, attempt_id string, user_id int, task string, is_correct boolean, score double"
+
+ATTEMPTS_PER_DAY = 24
+_TASKS = ("sql", "python", "regex", "spark")
+
+
+def _day_records(day: str) -> list[tuple]:
+    """Deterministic synthetic attempts for one day: every field is a
+    pure function of md5(day, i), so any engine/worker generates the
+    identical rows — the no-network stand-in for the reference's API
+    response."""
+    out = []
+    for i in range(ATTEMPTS_PER_DAY):
+        h = hashlib.md5(f"{day}-{i}".encode()).hexdigest()
+        out.append(
+            (
+                day,
+                h[:12],
+                int(h[12:16], 16) % 500,
+                _TASKS[int(h[16], 16) % len(_TASKS)],
+                int(h[17], 16) % 2 == 0,
+                round(int(h[18:22], 16) % 10000 / 100.0, 2),
+            )
+        )
+    return out
+
+
+def _jsonl_records(path: str, day: str) -> list[tuple]:
+    fp = os.path.join(path, f"{day}.jsonl")
+    if not os.path.exists(fp):
+        return []
+    rows = []
+    with open(fp) as f:
+        for line in f:
+            r = json.loads(line)
+            rows.append(
+                (day, r["attempt_id"], int(r["user_id"]), r["task"],
+                 bool(r["is_correct"]), float(r["score"]))
+            )
+    return rows
+
+
+def _date_range(start: str, end: str) -> list[str]:
+    d0 = dt.date.fromisoformat(start)
+    d1 = dt.date.fromisoformat(end)
+    return [(d0 + dt.timedelta(days=k)).isoformat() for k in range((d1 - d0).days)]
+
+
+class _DayPartition(InputPartition):
+    def __init__(self, day: str):
+        self.day = day
+
+
+class AttemptsRestReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.mode = options.get("mode", "synthetic")
+        self.path = options.get("path", "")
+        self.start = options.get("start", "2024-01-01")
+        self.end = options.get("end", "2024-01-08")
+        self._lo: str | None = None  # inclusive day bound from pushed filters
+        self._hi: str | None = None  # exclusive-ish upper bound (inclusive day)
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept day-range predicates; everything else stays in Spark.
+        Accepted filters shrink partitions() — fewer fetch tasks, the
+        source-level twin of partition pruning."""
+        for f in filters:
+            if isinstance(f, (GreaterThanOrEqual, GreaterThan, LessThan, LessThanOrEqual, EqualTo)) \
+                    and f.attribute == ("day",) and isinstance(f.value, str):
+                if isinstance(f, GreaterThanOrEqual):
+                    self._lo = max(self._lo or f.value, f.value)
+                elif isinstance(f, GreaterThan):
+                    nxt = (dt.date.fromisoformat(f.value) + dt.timedelta(days=1)).isoformat()
+                    self._lo = max(self._lo or nxt, nxt)
+                elif isinstance(f, LessThan):
+                    prev = (dt.date.fromisoformat(f.value) - dt.timedelta(days=1)).isoformat()
+                    self._hi = min(self._hi or prev, prev)
+                elif isinstance(f, LessThanOrEqual):
+                    self._hi = min(self._hi or f.value, f.value)
+                else:  # EqualTo
+                    self._lo = max(self._lo or f.value, f.value)
+                    self._hi = min(self._hi or f.value, f.value)
+                continue  # consumed — not yielded back
+            yield f  # unsupported: Spark keeps evaluating it
+
+    def partitions(self) -> Sequence[InputPartition]:
+        days = _date_range(self.start, self.end)
+        if self._lo:
+            days = [d for d in days if d >= self._lo]
+        if self._hi:
+            days = [d for d in days if d <= self._hi]
+        return [_DayPartition(d) for d in days]
+
+    def read(self, partition: _DayPartition) -> Iterator[tuple]:
+        if self.mode == "jsonl":
+            yield from _jsonl_records(self.path, partition.day)
+        else:
+            yield from _day_records(partition.day)
+
+
+class AttemptsRestStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin: offset = number of days already emitted past
+    ``start``. Each microbatch advances one day — the incremental
+    re-fetch loop of the reference, minus the overlapping-window
+    re-reads (offsets make delivery exactly-once downstream)."""
+
+    def __init__(self, options: dict):
+        self.start = options.get("start", "2024-01-01")
+
+    def initialOffset(self) -> dict:
+        return {"days": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        k = start["days"]
+        day = (dt.date.fromisoformat(self.start) + dt.timedelta(days=k)).isoformat()
+        return iter(_day_records(day)), {"days": k + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        for k in range(start["days"], end["days"]):
+            day = (dt.date.fromisoformat(self.start) + dt.timedelta(days=k)).isoformat()
+            yield from _day_records(day)
+
+
+class AttemptsRestDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "attempts_rest"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> AttemptsRestReader:
+        return AttemptsRestReader(self.options)
+
+    def simpleStreamReader(self, schema) -> AttemptsRestStreamReader:
+        return AttemptsRestStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return AttemptsJsonlWriter(self.options, overwrite)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(AttemptsRestDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Writer: day-partitioned JSONL sink with a two-phase commit protocol
+# ---------------------------------------------------------------------------
+
+
+class _FilesCommitMessage(WriterCommitMessage):
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class AttemptsJsonlWriter(DataSourceWriter):
+    """Executor tasks write one ``<day>.part-<pid>.jsonl`` per day into
+    a hidden staging directory; ``commit`` (driver, runs once, only
+    after EVERY task succeeded) publishes the staged files into the
+    target directory atomically-per-file and drops a ``_SUCCESS``
+    manifest listing them. ``abort`` removes the staging files. This
+    is the same task-stage → driver-publish protocol parquet
+    committers use — a half-failed job leaves nothing visible, and
+    speculative/retried tasks can't double-publish because only the
+    LAST commit's message set is moved."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, rows) -> _FilesCommitMessage:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        handles: dict[str, object] = {}
+        try:
+            for r in rows:
+                day = r["day"]
+                if day not in handles:
+                    handles[day] = open(
+                        os.path.join(staging, f"{day}.part-{pid}.jsonl"), "w"
+                    )
+                handles[day].write(json.dumps(r.asDict()) + "\n")
+        finally:
+            for h in handles.values():
+                h.close()
+        return _FilesCommitMessage([f"{day}.part-{pid}.jsonl" for day in handles])
+
+    def commit(self, messages) -> None:
+        staging = os.path.join(self.path, "_staging")
+        published = []
+        for m in messages:
+            for fname in m.files:
+                os.replace(os.path.join(staging, fname), os.path.join(self.path, fname))
+                published.append(fname)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write("\n".join(sorted(published)))
+        try:
+            os.rmdir(staging)
+        except OSError:
+            pass  # concurrent writer still staging
+
+    def abort(self, messages) -> None:
+        staging = os.path.join(self.path, "_staging")
+        for m in messages:
+            for fname in m.files:
+                try:
+                    os.remove(os.path.join(staging, fname))
+                except FileNotFoundError:
+                    pass

@@ -117,6 +117,8 @@ _LITERAL_TABLE_OK = {
     "q_shortest_cost_paths",
     "q_neardup_jaccard",
     "q_neardup_minhash",
+    "q_containment_dup",   # shingle-memo consumer (checkpointed index)
+    "q_triangle_count",    # rides q_neardup_jaccard's pair machinery
     "q_ngram_novelty",
     "q_cross_source_dup",
     "q_dedup_graph_degree",
