@@ -1,0 +1,274 @@
+"""Training-corpus preparation beyond measurement: operators that
+REWRITE the corpus the way a pretraining pipeline does before
+tokenization — substring-level dedup with document reconstruction
+(RefinedWeb-style), semantic dedup within embedding clusters
+(SemDeDup, Abbas et al. 2023, arXiv:2303.09540), and a distributed
+BPE tokenizer trainer (Sennrich et al. 2016, arXiv:1508.07909).
+
+The reference stops at row-level upsert dedup
+(/root/reference/main.py:196-204, ON CONFLICT DO NOTHING); these are
+the corpus-scale generalizations the north-star pipeline needs
+(SURVEY.md §2.9).
+
+Scale shapes:
+
+* chunk-dedup-rewrite moves the corpus text through exactly ONE
+  shuffle (the rebuild join); the global first-occurrence decision
+  rides a hash-only frame (doc_id, idx, md5) so the wide dedup
+  exchange never carries text.
+* SemDeDup is pairwise ONLY within a cluster: cost Σ|c|², never n².
+  Cluster size is capped by the upstream clusterer (here the fixture
+  ``label``), which is the published algorithm's own knob.
+* the BPE trainer's per-merge jobs run over the WORD VOCABULARY
+  (heavy-hitter compressed via one groupBy over the corpus), not the
+  corpus: each round is a pair-count partial-agg + one argmax row to
+  the driver + a codegen'd fold rewrite of the symbol arrays.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from grader_etl_spark.io import fan_out, load
+from grader_etl_spark.operators.llm_dedup import cosine
+from grader_etl_spark.registry import query
+
+CHUNK_WORDS = 8  # words per dedup chunk (non-overlapping)
+SEMDEDUP_TAU = 0.30  # cosine threshold within a cluster
+BPE_MERGES = 6  # merge rounds the trainer runs
+
+
+def _word_chunks(ws: Column) -> Column:
+    """Non-overlapping CHUNK_WORDS-word chunks of a word array, as an
+    array of space-joined strings (last chunk may be short)."""
+    n_chunks_minus1 = (F.size(ws) - F.lit(1)).cast("int") / F.lit(CHUNK_WORDS)
+    return F.transform(
+        F.sequence(F.lit(0), F.floor(n_chunks_minus1).cast("int")),
+        lambda i: F.array_join(F.slice(ws, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "),
+    )
+
+
+@query(
+    "q_chunk_dedup_rewrite",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE length(text) > 0
+), ch AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(ws[i*{CHUNK_WORDS}+1 : i*{CHUNK_WORDS}+{CHUNK_WORDS}], ' ') AS chunk
+  FROM (
+    SELECT doc_id, ws,
+           unnest(generate_series(0, (len(ws)-1)//{CHUNK_WORDS})) AS i
+    FROM w
+  )
+), ranked AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+  FROM ch
+), rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY idx) AS new_text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_chunks AS BIGINT)              AS n_chunks,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT)   AS n_kept,
+       COALESCE(r.new_text, '')                AS new_text
+FROM tot t LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def q_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup WITH corpus rewrite: split every
+    document into non-overlapping {CHUNK_WORDS}-word chunks, keep only
+    the globally-first occurrence of each chunk (first = lowest
+    (doc_id, position)), and reconstruct each document from its
+    surviving chunks in original order — the RefinedWeb/C4 rewrite
+    step, not just the q_chunk_dedup_ratio measurement.
+
+    Plan discipline (100 TB): the first-occurrence decision runs on a
+    PROJECTED frame of (doc_id, idx, md5(chunk)) — the window exchange
+    on the hash shuffles 16-byte digests, never text. Winning
+    positions then reduce to one int-array row per doc
+    (collect_set(idx), map-side combined), and the rebuild is a single
+    doc_id equi-join back to the original scan: the corpus text moves
+    through exactly one exchange, and the in-order reconstruction is a
+    codegen'd position filter + array_join, no second text shuffle
+    (pinned in tests/test_trainprep.py)."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        F.length("text") > 0
+    )
+    arr = docs.select("doc_id", _word_chunks(F.split("text", " ")).alias("chunks"))
+    ch = arr.select("doc_id", F.posexplode("chunks").alias("idx", "chunk"))
+    ids = ch.select("doc_id", "idx", F.md5("chunk").alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id", "idx")
+    keep = (
+        ids.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("keep_idx"))
+    )
+    kept_chunks = F.filter(
+        F.col("chunks"), lambda c, i: F.array_contains(F.coalesce("keep_idx", F.array()), i)
+    )
+    return arr.join(keep, "doc_id", "left").select(
+        "doc_id",
+        F.size("chunks").cast("long").alias("n_chunks"),
+        F.size(kept_chunks).cast("long").alias("n_kept"),
+        F.array_join(kept_chunks, " ").alias("new_text"),
+    )
+
+
+@query(
+    "q_semdedup",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dup AS (
+  SELECT DISTINCT b.label, b.vec_id
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        > {SEMDEDUP_TAU}
+)
+SELECT CAST(e.label AS BIGINT)                          AS label,
+       CAST(count(*) AS BIGINT)                         AS n_members,
+       CAST(count(dup.vec_id) AS BIGINT)                AS n_dup,
+       CAST(count(*) - count(dup.vec_id) AS BIGINT)     AS n_kept
+FROM e LEFT JOIN dup ON dup.label = e.label AND dup.vec_id = e.vec_id
+GROUP BY e.label
+""",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup restricted to
+    embedding clusters — a vector is a duplicate iff some
+    LOWER-vec_id member of its own cluster sits above cosine τ =
+    {SEMDEDUP_TAU} (keep-lowest-id is the paper's keep-one policy made
+    deterministic). Reports per-cluster members / duplicates / kept.
+
+    The fixture ``label`` plays the k-means cluster id (the trainer
+    lives in clustering.py; using the materialized assignment keeps
+    this op oracle-checkable). Pairwise work is confined within
+    clusters — Σ|c|² not n² — which is exactly the published
+    algorithm's scaling argument; the cluster-keyed self-join
+    shuffles each vector once, and AQE's skew split handles a jumbo
+    cluster. Cosine is the shared bit-compatible fold
+    (llm_dedup.cosine), so the τ comparison can't flip between
+    engines."""
+    e = fan_out(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cosine(F.col("a.v"), F.col("b.v")) > SEMDEDUP_TAU)
+        .select(F.col("b.label").alias("label"), F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        e.join(dup.withColumn("is_dup", F.lit(1)), ["label", "vec_id"], "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.count("is_dup").cast("long").alias("n_dup"),
+            (F.count(F.lit(1)) - F.count("is_dup")).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def _chars(word: Column) -> Column:
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word).cast("int")), lambda i: F.substring(word, i, 1)
+    )
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) symbol
+    pairs — the standard BPE apply — as one codegen'd array fold."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(vocab: DataFrame, n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Run ``n_merges`` BPE rounds over a (syms array<string>, cnt
+    long) word-frequency frame; returns [(rank, left, right, count)].
+
+    Every round is two small Spark jobs over the VOCABULARY (not the
+    corpus): (1) adjacent-pair counts via slice/zip explode +
+    partial-agg, argmax to the driver (one row — the k-means
+    centroid-collect class); (2) the fold rewrite of each symbol
+    array, localCheckpoint'd so the per-round lambda towers don't
+    stack into one giant expression tree. Ties break (count desc,
+    left, right) so the merge table is deterministic."""
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, F.size("syms") - 1).alias("l"),
+                        F.slice("syms", 2, F.size("syms") - 1).alias("r"),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        best = pairs[0]
+        merges.append((rank, best["l"], best["r"], int(best["n"])))
+        vocab = vocab.select(
+            _apply_merge(F.col("syms"), best["l"], best["r"]).alias("syms"), "cnt"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+@query("q_bpe_train")  # rows-only: each merge re-tokenizes on the previous
+# merge's data-dependent result — an iterative fixpoint no single SQL
+# query expresses; exact-match vs a pure-Python BPE reference on the
+# same word counts in tests/test_trainprep.py.
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016):
+    learn the first {BPE_MERGES} merge rules from the documents
+    corpus. One corpus pass builds the word-frequency vocabulary
+    (groupBy word — the heavy-hitter compression that makes BPE
+    trainable at 100 TB: every later round touches only the vocab);
+    each round counts adjacent symbol pairs weighted by word
+    frequency, promotes the argmax pair, and rewrites the symbol
+    arrays with a codegen'd fold (no Python UDFs anywhere).
+    Returns the merge table: rank, left, right, pair_count."""
+    docs = load(spark, sf_dir, "documents", columns=["text"])
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(_chars(F.col("word")).alias("syms"), "cnt")
+    )
+    merges = bpe_train(vocab, BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )

@@ -87,6 +87,7 @@ def load_all_operators() -> None:
         tpch_extra,
         tpch_final,
         tpch_more,
+        trainprep,
         unpivot,
         validation,
         windows,

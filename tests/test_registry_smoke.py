@@ -19,6 +19,13 @@ ROWS_ONLY_BY_DESIGN = {
     # DataSketches HLL binaries are Spark-specific (no DuckDB twin);
     # accuracy bounded vs the exact q_active_users in test_audit_ops.py.
     "q_active_users_hll",
+    # Driver-side eigh of the d×d covariance; eigendecomposition isn't
+    # SQL — semantics pinned vs numpy's full PCA in test_pca.py.
+    "q_pca_project",
+    # Iterative fixpoint (each merge re-tokenizes on the previous
+    # merge's result) — exact-match vs a pure-Python BPE reference in
+    # test_trainprep.py.
+    "q_bpe_train",
 }
 
 
