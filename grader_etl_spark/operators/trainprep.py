@@ -38,6 +38,18 @@ CHUNK_WORDS = 8  # words per dedup chunk (non-overlapping)
 SEMDEDUP_TAU = 0.30  # cosine threshold within a cluster
 BPE_MERGES = 6  # merge rounds the trainer runs
 
+# The "shipped tokenizer" q_bpe_encode applies: a FIXED merge table
+# (what bpe_train learns on the fixture corpus, pinned as literals so
+# the encode step — the part that actually runs at corpus scale — is
+# a pure function both engines can evaluate identically). Order
+# matters: rule 6 merges 'm' with the token rule 1 created.
+BPE_RULES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+]
+
+MIX_BUDGET_FRAC = 0.6  # fraction of available tokens the mixture may spend
+
 
 def _word_chunks(ws: Column) -> Column:
     """Non-overlapping CHUNK_WORDS-word chunks of a word array, as an
@@ -244,6 +256,164 @@ def bpe_train(vocab: DataFrame, n_merges: int) -> list[tuple[int, str, str, int]
             _apply_merge(F.col("syms"), best["l"], best["r"]).alias("syms"), "cnt"
         ).localCheckpoint(eager=True)
     return merges
+
+
+def _duck_encode(merges: list[tuple[str, str]]) -> str:
+    """DuckDB expression applying ``merges`` to word ``w`` — the exact
+    list_reduce twin of the Spark fold in _apply_merge."""
+    expr = "list_transform(generate_series(1, length(w)), i -> substr(w, i, 1))"
+    for l, r in merges:
+        expr = (
+            f"list_reduce(list_transform({expr}, t -> [t]), "
+            f"(acc, x) -> CASE WHEN acc[-1] = '{l}' AND x[1] = '{r}' "
+            f"THEN acc[1:len(acc)-1] || ['{l + r}'] ELSE acc || x END)"
+        )
+    return expr
+
+
+@query(
+    "q_bpe_encode",
+    oracle=f"""
+WITH wc AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+), enc AS (
+  SELECT {_duck_encode(BPE_RULES)} AS toks, c FROM wc
+)
+SELECT token, CAST(sum(c) AS BIGINT) AS cnt
+FROM (SELECT unnest(toks) AS token, c FROM enc)
+GROUP BY token
+""",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE at corpus scale: apply the fixed BPE_RULES
+    merge table to every word and report corpus token frequencies —
+    the online half of BPE (training is offline, q_bpe_train;
+    encoding is what touches all 100 TB).
+
+    Plan: one groupBy compresses the corpus to its word vocabulary
+    first, the {len(BPE_RULES)}-rule merge cascade then folds each
+    DISTINCT word once (codegen'd array fold, no Python), and token
+    counts re-weight by word frequency — per-round work is bounded by
+    |vocab|, not corpus size. The DuckDB oracle applies the identical
+    fold via nested list_reduce, so the greedy left-to-right merge
+    semantics are value-checked, not just row-counted."""
+    docs = load(spark, sf_dir, "documents", columns=["text"])
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    syms = _chars(F.col("word"))
+    for l, r in BPE_RULES:
+        syms = _apply_merge(syms, l, r)
+    return (
+        vocab.select(F.explode(syms).alias("token"), "c")
+        .groupBy("token")
+        .agg(F.sum("c").alias("cnt"))
+    )
+
+
+@query(
+    "q_mixture_waterfill",
+    oracle=f"""
+WITH avail AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail,
+         CAST(CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 4 + 1 AS BIGINT) AS weight
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(avail) AS tot_avail, sum(weight) AS tot_w,
+         floor({MIX_BUDGET_FRAC} * sum(avail)) AS budget
+  FROM avail
+), ranked AS (
+  SELECT a.*, t.tot_w, t.budget,
+         CAST(avail AS DOUBLE) / weight AS ratio,
+         sum(avail)  OVER win AS cum_avail,
+         sum(weight) OVER win AS cum_w,
+         lead(CAST(avail AS DOUBLE) / weight) OVER win AS next_ratio
+  FROM avail a, tot t
+  WINDOW win AS (ORDER BY CAST(avail AS DOUBLE) / weight, source)
+), lam AS (
+  SELECT coalesce(
+           max(CASE WHEN ratio <= (budget - cum_avail) / (tot_w - cum_w)
+                     AND (next_ratio IS NULL
+                          OR next_ratio > (budget - cum_avail) / (tot_w - cum_w))
+                    THEN (budget - cum_avail) / (tot_w - cum_w) END),
+           max(budget / tot_w)) AS lam
+  FROM ranked
+)
+SELECT r.source, r.avail, r.weight,
+       round(least(CAST(r.avail AS DOUBLE), l.lam * r.weight), 6) AS alloc,
+       r.avail <= l.lam * r.weight AS saturated
+FROM ranked r, lam l
+""",
+)
+def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture budgeting by waterfilling: given per-source
+    token availability and target mixture weights, spend a token
+    budget (= {MIX_BUDGET_FRAC} of what's available) so every source
+    gets min(available, λ·weight) with one global water level λ — the
+    DoReMi/Pile-style domain-mixing allocation, solved exactly.
+
+    λ is found closed-form: sort sources by avail/weight, λ(k) =
+    (budget − Σ_{{saturated}} avail) / Σ_{{unsaturated}} weight, and the
+    unique k where ratio_k ≤ λ(k) < ratio_{{k+1}} wins (λ(0) fallback
+    when nothing saturates). One corpus pass reduces to a
+    |sources|-row frame; the sort/λ search is window algebra on that
+    tiny frame (the single-partition window is post-aggregation — 20
+    rows here, domains-not-documents at any scale), and every formula
+    is written with identical operation order in both engines so the
+    float comparisons can't flip."""
+    docs = load(spark, sf_dir, "documents", columns=["source", "text"])
+    avail = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("avail")
+    ).withColumn(
+        "weight",
+        (F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 4 + 1).cast("long"),
+    )
+    tot = avail.agg(
+        F.sum("avail").alias("tot_avail"),
+        F.sum("weight").alias("tot_w"),
+        F.floor(F.lit(MIX_BUDGET_FRAC) * F.sum("avail")).alias("budget"),
+    )
+    ratio = F.col("avail").cast("double") / F.col("weight")
+    win = Window.orderBy(ratio, "source")
+    ranked = (
+        avail.crossJoin(F.broadcast(tot))
+        .withColumn("ratio", ratio)
+        .withColumn("cum_avail", F.sum("avail").over(win))
+        .withColumn("cum_w", F.sum("weight").over(win))
+        .withColumn("next_ratio", F.lead("ratio").over(win))
+    )
+    # try_divide: the final ranked row has tot_w == cum_w; NULL there
+    # (matching DuckDB's x/0 => NULL) drops it from the max() search.
+    lam_k = F.try_divide(
+        F.col("budget") - F.col("cum_avail"), F.col("tot_w") - F.col("cum_w")
+    )
+    lam = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("ratio") <= lam_k)
+                    & (F.col("next_ratio").isNull() | (F.col("next_ratio") > lam_k)),
+                    lam_k,
+                )
+            ),
+            F.max(F.col("budget") / F.col("tot_w")),
+        ).alias("lam")
+    )
+    return ranked.crossJoin(F.broadcast(lam)).select(
+        "source",
+        "avail",
+        "weight",
+        F.round(
+            F.least(F.col("avail").cast("double"), F.col("lam") * F.col("weight")), 6
+        ).alias("alloc"),
+        (F.col("avail") <= F.col("lam") * F.col("weight")).alias("saturated"),
+    )
 
 
 @query("q_bpe_train")  # rows-only: each merge re-tokenizes on the previous

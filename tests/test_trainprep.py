@@ -12,9 +12,12 @@ import pyspark.sql.functions as F
 from grader_etl_spark.operators.trainprep import (
     BPE_MERGES,
     CHUNK_WORDS,
+    MIX_BUDGET_FRAC,
     bpe_train,
+    q_bpe_encode,
     q_bpe_train,
     q_chunk_dedup_rewrite,
+    q_mixture_waterfill,
     q_semdedup,
 )
 
@@ -105,6 +108,33 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
                 counts[w] = counts.get(w, 0) + 1
     assert got == _python_bpe(counts, BPE_MERGES)
     assert len(got) == BPE_MERGES
+
+
+def test_bpe_encode_preserves_characters(spark, sf_dir):
+    """Merging never creates or destroys characters: Σ cnt·len(token)
+    over the encoded corpus equals the corpus's non-space length."""
+    toks = q_bpe_encode(spark, sf_dir).collect()
+    total_chars = duckdb.sql(
+        f"""SELECT sum(len(w) * c) FROM (
+              SELECT w, count(*) c FROM (SELECT unnest(string_split(text,' ')) w
+              FROM read_parquet('{sf_dir}/documents.parquet')) WHERE w<>'' GROUP BY w)"""
+    ).fetchone()[0]
+    assert sum(r["cnt"] * len(r["token"]) for r in toks) == total_chars
+    assert any(len(r["token"]) > 1 for r in toks)  # merges actually fired
+
+
+def test_waterfill_invariants(spark, sf_dir):
+    rows = q_mixture_waterfill(spark, sf_dir).collect()
+    budget = int(MIX_BUDGET_FRAC * sum(r["avail"] for r in rows))
+    assert abs(sum(r["alloc"] for r in rows) - budget) < 1e-3 * len(rows)
+    lams = set()
+    for r in rows:
+        assert r["alloc"] <= r["avail"] + 1e-9
+        if r["saturated"]:
+            assert r["alloc"] == r["avail"]
+        else:
+            lams.add(round(r["alloc"] / r["weight"], 6))
+    assert len(lams) <= 1  # one global water level for all unsaturated sources
 
 
 def test_bpe_train_merged_tokens_grow(spark, sf_dir):
