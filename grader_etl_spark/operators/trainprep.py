@@ -368,11 +368,18 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     is written with identical operation order in both engines so the
     float comparisons can't flip."""
     docs = load(spark, sf_dir, "documents", columns=["source", "text"])
-    avail = docs.groupBy("source").agg(
-        F.sum(F.size(F.split("text", " "))).cast("long").alias("avail")
-    ).withColumn(
-        "weight",
-        (F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 4 + 1).cast("long"),
+    # localCheckpoint: the |sources|-row aggregate feeds four separate
+    # subtrees (totals, ranking, λ search, final projection) — without
+    # it each one re-runs the corpus scan+agg (plan audit showed 8
+    # parquet scans; with the memo, 1).
+    avail = (
+        docs.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("long").alias("avail"))
+        .withColumn(
+            "weight",
+            (F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 4 + 1).cast("long"),
+        )
+        .localCheckpoint(eager=True)
     )
     tot = avail.agg(
         F.sum("avail").alias("tot_avail"),
