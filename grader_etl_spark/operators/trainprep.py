@@ -31,7 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import fan_out, load
-from grader_etl_spark.operators.llm_dedup import cosine
+from grader_etl_spark.operators.llm_dedup import dot, with_norm
 from grader_etl_spark.registry import query
 
 CHUNK_WORDS = 8  # words per dedup chunk (non-overlapping)
@@ -167,13 +167,17 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters — Σ|c|² not n² — which is exactly the published
     algorithm's scaling argument; the cluster-keyed self-join
     shuffles each vector once, and AQE's skew split handles a jumbo
-    cluster. Cosine is the shared bit-compatible fold
-    (llm_dedup.cosine), so the τ comparison can't flip between
+    cluster. Norms attach ONCE per vector (with_norm) so each pair
+    pays one dot-product fold, not three; dot is the shared
+    bit-compatible fold (llm_dedup.dot), and sqrt/multiply order
+    matches the oracle, so the τ comparison can't flip between
     engines."""
-    e = fan_out(load(spark, sf_dir, "embeddings")).select(
-        "vec_id",
-        F.col("label").cast("long").alias("label"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    e = with_norm(
+        fan_out(load(spark, sf_dir, "embeddings")).select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
     )
     a, b = e.alias("a"), e.alias("b")
     dup = (
@@ -181,7 +185,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cosine(F.col("a.v"), F.col("b.v")) > SEMDEDUP_TAU)
+        .filter(
+            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+            > SEMDEDUP_TAU
+        )
         .select(F.col("b.label").alias("label"), F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )
