@@ -1,0 +1,313 @@
+"""Corpus selection & release operators: DSIR importance selection,
+duplicated-span detection, Wilson-bound source ranking, and
+differentially-private release counts.
+
+These extend the LLM-data-pipeline family (SURVEY.md §2.9) with the
+selection half of curation: the existing filters decide what is
+*junk*; these decide what is *valuable* (DSIR), what is *partially
+copied* (duplicate spans, the per-document view that complements the
+whole-doc near-dup family in llm_dedup.py), which *sources* to trust
+(Wilson lower bound), and how to *publish* corpus statistics without
+leaking membership (DP counts).
+
+Reference parity: the reference has no analogs (it is a 456-line
+ingest/report script, /root/reference/main.py:1-456); these are the
+north-star pipeline extensions BASELINE.json mandates.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from grader_etl_spark.io import load
+from grader_etl_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# q_dsir_select — data selection via importance resampling (unigram proxy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dsir_select",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+model AS (
+  SELECT term,
+         CAST(count(*) AS DOUBLE) AS cr,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS ct
+  FROM toks GROUP BY term
+),
+tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, CAST(count(*) AS DOUBLE) AS v FROM model)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(tf * (ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v))))
+             / sum(tf), 4) AS dsir_weight
+FROM tf JOIN model USING (term) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY dsir_weight DESC, doc_id
+LIMIT 100
+""",
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by its mean per-token log importance ratio between a
+    *target* unigram model (here the English subset stands in for the
+    curated target corpus) and the *raw* corpus model, both
+    Laplace-smoothed over the joint vocabulary, and keep the top 100.
+    Docs that look like the target score high; off-target docs score
+    negative.
+
+    Scale shape: one tokenize pass → (doc,term) counts; both models
+    live in ONE vocab-sized table (raw count + conditional target
+    count computed in the same partial aggregate — one shuffle, not
+    two) that broadcasts back onto the term frequencies; the three
+    totals ride a 1-row broadcast. The per-doc score is a single
+    grouped sum rounded 4 dp against summation-order ulps (the
+    q_unigram_logprob precedent), and the top-100 is
+    TakeOrderedAndProject — per-partition heaps, no global sort. At
+    100 TB the only corpus-sized shuffles are the two doc/term-keyed
+    partial aggregates; the production variant swaps the in-query
+    target model for a trained one (hashed n-gram buckets), keeping
+    the join shape identical."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    model = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double").alias("ct"),
+    )
+    tot = model.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt"), F.count(F.lit(1)).cast("double").alias("v")
+    )
+    ratio = F.log((F.col("ct") + 1.0) / (F.col("nt") + F.col("v"))) - F.log(
+        (F.col("cr") + 1.0) / (F.col("nr") + F.col("v"))
+    )
+    return (
+        tf.join(F.broadcast(model), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * ratio) / F.sum("tf"), 4).alias("dsir_weight"),
+        )
+        .orderBy(F.desc("dsir_weight"), "doc_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dup_span — per-document duplicated-span profile (exact-substring view)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dup_span",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+4], ' ')) AS h
+  FROM toks, unnest(range(1, len(t) - 3)) AS r(i)
+  WHERE len(t) >= 5
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+hits AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM sh JOIN dup USING (h)
+),
+runs AS (SELECT doc_id, grp, count(*) AS run FROM hits GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(run) AS BIGINT) AS n_dup_shingles,
+       CAST(max(run) + 4 AS BIGINT) AS max_dup_token_span
+FROM runs GROUP BY doc_id
+""",
+)
+def q_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-SPAN profile — the bounded, SQL-exact
+    core of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for every document,
+    how many of its 5-token shingles also occur in some other
+    document, and the longest run of consecutive duplicated shingles
+    (a run of R shingles = a copied span of R+4 tokens). Whole-doc
+    near-dup (llm_dedup.py) misses a unique article that embeds a
+    copied boilerplate paragraph; this operator is the per-position
+    view that catches it, and its output feeds q_chunk_dedup_rewrite
+    style span-trimming.
+
+    Scale shape: shingles shuffle as 16-byte md5 keys, never text
+    (the same trick q_dedup_exact_docs uses for whole docs); the
+    dup-shingle set comes from one count-distinct-docs partial
+    aggregate and joins back position-side. Run detection is the
+    classic islands trick — pos − row_number() per doc — riding a
+    doc_id-partitioned window, then two doc-keyed partial aggregates.
+    No all-pairs comparison anywhere: cost is linear in total shingle
+    positions, exactly the inverted-index bound documented for
+    q_neardup_jaccard."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.select(
+        "doc_id", F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0).alias("t")
+    ).filter(F.size("t") >= 5)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 4), i -> struct(i AS pos, md5(array_join(slice(t, i, 5), ' ')) AS h))")
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    dup = sh.groupBy("h").agg(F.count_distinct("doc_id").alias("nd")).filter(F.col("nd") >= 2).select("h")
+    hits = sh.join(dup, "h").withColumn(
+        "grp", F.col("pos") - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+    )
+    runs = hits.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("run"))
+    return runs.groupBy("doc_id").agg(
+        F.sum("run").cast("long").alias("n_dup_shingles"),
+        (F.max("run") + F.lit(4)).cast("long").alias("max_dup_token_span"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_wilson_quality — Wilson lower-bound source quality ranking
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_wilson_quality",
+    oracle="""
+WITH cells AS (
+  SELECT lang, source,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN n_chars >= 280 THEN 1 ELSE 0 END) AS DOUBLE) AS k
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(k AS BIGINT) AS n_good,
+       round(((k / n) + 1.9208 / n
+              - 1.96 * sqrt(((k / n) * (1.0 - (k / n)) + 0.9604 / n) / n))
+             / (1.0 + 3.8416 / n), 6) AS wilson_lb
+FROM cells
+""",
+)
+def q_wilson_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) quality score as the Wilson lower confidence
+    bound (95%) on the proportion of good documents (n_chars ≥ 280, a
+    stand-in for any boolean quality gate). The Wilson bound is the
+    right source-ranking statistic because it shrinks small samples
+    toward zero: a source with 2/2 good docs ranks below one with
+    180/200 — exactly the behavior a crawl-source allowlist needs.
+
+    Exactness note: the formula uses only +,−,×,÷,√ — all correctly
+    rounded under IEEE-754 — written with identical association on
+    both engines (z=1.96 folded to literals: z²=3.8416, z²/2=1.9208,
+    z²/4=0.9604), so the pre-rounding doubles are bit-equal; the 6 dp
+    round is belt-and-braces. Scale shape: one partial-aggregating
+    groupBy over integer counts; the float algebra runs on the
+    |lang×source| result rows only."""
+    docs = load(spark, sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(F.col("n_chars") >= 280, 1).otherwise(0)).cast("double").alias("k"),
+    )
+    p = F.col("k") / F.col("n")
+    n = F.col("n")
+    wilson = (p + 1.9208 / n - 1.96 * F.sqrt((p * (1.0 - p) + 0.9604 / n) / n)) / (
+        1.0 + 3.8416 / n
+    )
+    return cells.select(
+        "lang",
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("k").cast("long").alias("n_good"),
+        F.round(wilson, 6).alias("wilson_lb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dp_counts — ε-differentially-private corpus release counts
+# ---------------------------------------------------------------------------
+
+# Two-sided geometric mechanism, ε = 1 (α = e^-ε): P(K = k) ∝ α^|k|,
+# truncated at |k| ≤ 12 (tail mass < 1e-5). The inverse-CDF thresholds
+# are computed ONCE here in Python and embedded as 8-hex-char string
+# literals in BOTH the Spark plan and the DuckDB oracle, so neither
+# engine evaluates a transcendental at query time — the noise lookup
+# is fixed-width lowercase-hex string compares (lexicographic ==
+# numeric) on the md5-derived uniform, identical across engines by
+# construction (the q_train_split hex-threshold idiom).
+_DP_ALPHA = math.exp(-1.0)
+
+
+def _dp_thresholds() -> list[tuple[int, str]]:
+    ks = list(range(-12, 13))
+    mass = [(1 - _DP_ALPHA) / (1 + _DP_ALPHA) * _DP_ALPHA ** abs(k) for k in ks]
+    total = sum(mass)
+    out, cum = [], 0.0
+    for k, m in zip(ks, mass):
+        cum += m / total
+        out.append((k, format(min(int(cum * 2**32), 2**32 - 1), "08x")))
+    out[-1] = (ks[-1], "g")  # 'g' > any hex char: guaranteed catch-all
+    return out
+
+
+_DP_TABLE = _dp_thresholds()
+
+_DP_U_SQL = "substr(md5(lang || '|' || source || '|dp-salt-7'), 1, 8)"
+_DP_CASE_SQL = "CASE " + " ".join(
+    f"WHEN {_DP_U_SQL} < '{t}' THEN {k}" for k, t in _DP_TABLE
+) + " END"
+
+
+@query(
+    "q_dp_counts",
+    oracle=f"""
+WITH cells AS (SELECT lang, source, count(*) AS n_true FROM documents GROUP BY 1, 2)
+SELECT lang, source, CAST(n_true AS BIGINT) AS n_true,
+       CAST({_DP_CASE_SQL} AS BIGINT) AS noise,
+       CAST(greatest(n_true + {_DP_CASE_SQL}, 0) AS BIGINT) AS n_released
+FROM cells
+""",
+)
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private corpus statistics release (ε = 1):
+    per-(lang, source) document counts perturbed by the two-sided
+    geometric mechanism — the discrete Laplace analog that is the
+    standard mechanism for integer count queries (sensitivity 1).
+    This is what a responsible corpus card publishes instead of raw
+    counts when sources map to identifiable contributors.
+
+    Determinism across engines: the per-cell uniform comes from the
+    first 8 hex chars of md5(cell ‖ salt) (the q_sample_hash
+    pattern), and the inverse CDF is a precomputed 25-branch integer
+    CASE table generated once in Python — no runtime transcendentals,
+    so Spark and DuckDB agree bit-for-bit. (A production release
+    would draw real randomness; the hash-seeded twin exists so the
+    mechanism's plumbing is oracle-testable.) Scale shape: integer
+    partial-aggregating groupBy; noise is O(1) per released cell."""
+    docs = load(spark, sf_dir, "documents", columns=["lang", "source"])
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_true"))
+    u = F.substring(F.md5(F.concat_ws("|", "lang", "source", F.lit("dp-salt-7"))), 1, 8)
+    expr = F.when(u < _DP_TABLE[0][1], F.lit(_DP_TABLE[0][0]))
+    for k, t in _DP_TABLE[1:]:
+        expr = expr.when(u < t, F.lit(k))
+    noised = cells.withColumn("noise", expr.cast("long"))
+    return noised.select(
+        "lang",
+        "source",
+        F.col("n_true").cast("long").alias("n_true"),
+        "noise",
+        F.greatest(F.col("n_true") + F.col("noise"), F.lit(0)).cast("long").alias("n_released"),
+    )

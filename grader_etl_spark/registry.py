@@ -76,6 +76,7 @@ def load_all_operators() -> None:
         pca,
         projections,
         sampling,
+        selection,
         setops,
         sharding,
         similarity,

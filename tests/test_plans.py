@@ -125,6 +125,7 @@ _LITERAL_TABLE_OK = {
     "q_curate_corpus",
     "q_curation_funnel",
     "q_dedup_savings",
+    "q_fuzzy_match",  # serves the session pair memo (checkpointed blocked join)
 }
 
 
