@@ -25,6 +25,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
 
+MMR_K = 10          # final diverse picks
+MMR_C = 50          # bounded candidate pool (top-C by relevance)
+MMR_QUERY_ID = 0    # the query vector
+MMR_LAMBDA = 0.7    # relevance weight; 1-λ penalizes redundancy
+
 # ---------------------------------------------------------------------------
 # q_dsir_select — data selection via importance resampling (unigram proxy)
 # ---------------------------------------------------------------------------
@@ -311,3 +316,114 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "noise",
         F.greatest(F.col("n_true") + F.col("noise"), F.lit(0)).cast("long").alias("n_released"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_mmr_select — maximal-marginal-relevance diverse selection
+# ---------------------------------------------------------------------------
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as materialized CTEs (the _pr_oracle /
+    shortest-paths precedent for iterative algorithms): step i picks
+    the argmax of λ·rel − (1−λ)·max-sim-to-selected over the remaining
+    candidates. Cosines use list_dot_product — bit-compatible with the
+    Spark sequential fold (llm_dedup.cosine)."""
+    cos = (
+        "list_dot_product({a}.v, {b}.v) / "
+        "(sqrt(list_dot_product({a}.v, {a}.v)) * sqrt(list_dot_product({b}.v, {b}.v)))"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        f"qv AS (SELECT v FROM e WHERE vec_id = {MMR_QUERY_ID}),",
+        "cand AS MATERIALIZED (",
+        f"  SELECT c.vec_id, c.v, {cos.format(a='qv', b='c')} AS rel",
+        f"  FROM e c, qv WHERE c.vec_id != {MMR_QUERY_ID}",
+        f"  ORDER BY rel DESC, c.vec_id LIMIT {MMR_C}),",
+        "pairs AS MATERIALIZED (",
+        f"  SELECT a.vec_id AS ida, b.vec_id AS idb, {cos.format(a='a', b='b')} AS sim",
+        "  FROM cand a JOIN cand b ON a.vec_id != b.vec_id),",
+        "s1 AS MATERIALIZED (SELECT vec_id, rel AS score FROM cand ORDER BY rel DESC, vec_id LIMIT 1),",
+        "sel1 AS MATERIALIZED (SELECT vec_id FROM s1),",
+    ]
+    for i in range(2, MMR_K + 1):
+        parts += [
+            f"s{i} AS MATERIALIZED (",
+            f"  SELECT c.vec_id, {MMR_LAMBDA} * c.rel - {round(1 - MMR_LAMBDA, 10)} * max(p.sim) AS score",
+            "  FROM cand c JOIN pairs p ON p.ida = c.vec_id",
+            f"    AND p.idb IN (SELECT vec_id FROM sel{i - 1})",
+            f"  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})",
+            "  GROUP BY c.vec_id, c.rel ORDER BY score DESC, c.vec_id LIMIT 1),",
+            f"sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM s{i}),",
+        ]
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id, score AS mmr_score FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return "\n".join(parts)[:-1] + f"\n{selects}"
+
+
+@query("q_mmr_select", oracle=_mmr_oracle())
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance (Carbonell & Goldstein 1998) diverse
+    top-k: pick MMR_K vectors that are relevant to the query vector
+    but not redundant with each other — the selection step of RAG
+    retrieval and of diverse few-shot example picking, and the
+    row-level complement of SemDeDup (which removes redundancy;
+    MMR *budgets* it against relevance).
+
+    Scale shape — the standard two-phase rerank: phase 1 is
+    DISTRIBUTED candidate generation, exact cosine top-C via
+    TakeOrderedAndProject per-partition heaps (C=50 bounds all later
+    work; at 100 TB this phase rides q_ann_ivf's cell pruning
+    instead of brute force — same contract, top-C candidates). Phase
+    2 computes the C×C pairwise-similarity matrix ONCE (bounded:
+    2450 rows), then runs the inherently-sequential greedy argmax as
+    MMR_K tiny jobs over that checkpointed frame, collecting one
+    (id, score) row per round — the bounded driver-scalar pattern of
+    kmeans/graph convergence, never a corpus-sized collect. Cosines
+    are sequential left-to-right folds (llm_dedup.cosine), bit-equal
+    with the oracle's list_dot_product, so the greedy argmax cannot
+    diverge between engines; ties break on vec_id both sides."""
+    from grader_etl_spark.operators.llm_dedup import cosine
+
+    e = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == MMR_QUERY_ID).select(F.col("v").alias("qv"))
+    cand = (
+        e.filter(F.col("vec_id") != MMR_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "v", cosine(F.col("qv"), F.col("v")).alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_C)
+        .localCheckpoint()
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ida"),
+            F.col("b.vec_id").alias("idb"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    first = cand.orderBy(F.desc("rel"), "vec_id").select("vec_id", F.col("rel").alias("score")).first()
+    picked: list[tuple[int, int, float]] = [(1, first["vec_id"], first["score"])]
+    for i in range(2, MMR_K + 1):
+        sel_ids = [p[1] for p in picked]
+        row = (
+            pairs.filter(F.col("idb").isin(sel_ids) & ~F.col("ida").isin(sel_ids))
+            .groupBy("ida")
+            .agg(F.max("sim").alias("maxsim"))
+            .join(cand.select(F.col("vec_id").alias("ida"), "rel"), "ida")
+            .select(
+                "ida",
+                (F.lit(MMR_LAMBDA) * F.col("rel") - F.lit(round(1 - MMR_LAMBDA, 10)) * F.col("maxsim")).alias("score"),
+            )
+            .orderBy(F.desc("score"), "ida")
+            .first()
+        )
+        picked.append((i, row["ida"], row["score"]))
+    return spark.createDataFrame(picked, "rank long, vec_id long, mmr_score double")

@@ -126,6 +126,9 @@ _LITERAL_TABLE_OK = {
     "q_curation_funnel",
     "q_dedup_savings",
     "q_fuzzy_match",  # serves the session pair memo (checkpointed blocked join)
+    "q_mmr_select",   # checkpointed bounded candidate set + k-row literal result
+    "q_mixture_waterfill",  # serves the memoized per-source aggregate
+    "q_bpe_train",    # localCheckpoints the word-count frame between merge rounds
 }
 
 

@@ -134,3 +134,48 @@ def test_dp_counts_noise_bounded_and_deterministic(spark, sf_dir):
         assert -12 <= r["noise"] <= 12
         assert r["n_released"] == max(r["n_true"] + r["noise"], 0)
         assert b[key]["noise"] == r["noise"]  # hash-seeded: stable across runs
+
+
+def test_mmr_matches_python_greedy(spark, monkeypatch):
+    import grader_etl_spark.operators.selection as sel
+
+    # 2-D unit vectors by angle from the query: a tight cluster at
+    # 10-12° and a diverse point at -30°. At λ=0.5 the redundancy
+    # penalty (1-cos1° vs 1-cos40°) must beat the small relevance gap,
+    # so the second pick is the -30° point, not a cluster near-dup.
+    import math as m
+
+    angles = {0: 0.0, 1: 10.0, 2: 11.0, 3: -30.0, 4: 12.0, 5: 85.0}
+    vecs = {k: (m.cos(m.radians(a)), m.sin(m.radians(a))) for k, a in angles.items()}
+    rows = [(k, list(v), 0) for k, v in vecs.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    monkeypatch.setattr(sel, "load", lambda spark, sf, t, columns=None: df.select(columns))
+    monkeypatch.setattr(sel, "MMR_K", 3)
+    monkeypatch.setattr(sel, "MMR_LAMBDA", 0.5)
+
+    got = [(r["rank"], r["vec_id"]) for r in sel.q_mmr_select(spark, "x").collect()]
+
+    # Python greedy reference (float32 inputs widened to float64,
+    # sequential dot like the Spark fold — tiny dims, so exact).
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (m.sqrt(sum(x * x for x in a)) * m.sqrt(sum(x * x for x in b)))
+
+    q = vecs[0]
+    cand = sorted(
+        ((cos(q, v), k) for k, v in vecs.items() if k != 0), key=lambda t: (-t[0], t[1])
+    )
+    rel = {k: c for c, k in cand}
+    sel_ids = [cand[0][1]]
+    while len(sel_ids) < 3:
+        best = max(
+            (
+                (0.5 * rel[k] - 0.5 * max(cos(vecs[k], vecs[s]) for s in sel_ids), -k, k)
+                for k in rel
+                if k not in sel_ids
+            ),
+        )
+        sel_ids.append(best[2])
+    assert [v for _, v in got] == sel_ids
+    assert got[0][1] == 1  # most relevant first
+    assert got[1][1] == 3  # diversity beats cluster redundancy at λ=0.5
