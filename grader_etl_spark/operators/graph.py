@@ -26,6 +26,7 @@ same join/agg primitives, O(log² n) rounds regardless of diameter
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 
 from grader_etl_spark.io import load
@@ -116,16 +117,45 @@ def components_from_pairs(
     edge-touched ids only; callers anti-join for singletons (which
     they already do). Duplicate pairs would not break correctness,
     only inflate round-0 work."""
-    e = (
-        pairs.select(
-            F.greatest(col_a, col_b).alias("u"), F.least(col_a, col_b).alias("v")
+    e = pairs.select(
+        F.greatest(col_a, col_b).alias("u"), F.least(col_a, col_b).alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    n = e.count()  # one scan of the (usually session-memoized) pair frame
+    if n <= tail_threshold:
+        # Tail-sized from the start: skip the distributed scaffolding
+        # entirely (edge checkpoint + ids-distinct + identity-mapping
+        # checkpoint + compose join cost ~4 small jobs that measured
+        # ~4 s of pure overhead on a 10k-edge graph). The union-find
+        # roots at the min id, so the root IS the component label.
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        touched: set = set()
+        for row in e.collect():
+            touched.add(row[0])
+            touched.add(row[1])
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        id_type = e.schema["u"].dataType
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("component", id_type)]
         )
-        .filter(F.col("u") != F.col("v"))
-        .localCheckpoint()
-    )
+        return pairs.sparkSession.createDataFrame(
+            [(x, find(x)) for x in sorted(touched)], schema
+        )
+    e = e.localCheckpoint()
     ids = e.select(F.col("u").alias("id")).unionByName(e.select(F.col("v").alias("id"))).distinct()
     mapping = ids.select("id", F.col("id").alias("label")).localCheckpoint()
-    return _contract_loop(mapping, e, max_rounds, tail_threshold)
+    return _contract_loop(mapping, e, max_rounds, tail_threshold, prev_n=n)
 
 
 def _driver_union_find(edge_rows: list, mapping: DataFrame) -> DataFrame:
@@ -157,11 +187,13 @@ def _driver_union_find(edge_rows: list, mapping: DataFrame) -> DataFrame:
 
 
 def _contract_loop(
-    mapping: DataFrame, e: DataFrame, max_rounds: int, tail_threshold: int
+    mapping: DataFrame, e: DataFrame, max_rounds: int, tail_threshold: int,
+    prev_n: int | None = None,
 ) -> DataFrame:
     """Shared contraction loop: ``mapping`` (id, label) composed hook
     mapping, ``e`` canonical (u > v) edge frame, both checkpointed."""
-    prev_n = e.count()
+    if prev_n is None:
+        prev_n = e.count()
     for _ in range(max_rounds):
         if prev_n == 0:
             return mapping.select("id", F.col("label").alias("component"))

@@ -400,30 +400,36 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     a, b = cand.alias("a"), cand.alias("b")
-    pairs = (
+    pair_rows = (
         a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("ida"),
             F.col("b.vec_id").alias("idb"),
             cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
         )
-        .localCheckpoint()
+        .collect()
     )
-    first = cand.orderBy(F.desc("rel"), "vec_id").select("vec_id", F.col("rel").alias("score")).first()
-    picked: list[tuple[int, int, float]] = [(1, first["vec_id"], first["score"])]
+    # The greedy itself runs driver-side on the BOUNDED collected
+    # matrix (C² = 2450 rows — the k×dim-centroid collect precedent):
+    # running it as MMR_K tiny Spark jobs measured ~10×0.25 s of pure
+    # job-scheduling overhead on frames this small. The arithmetic is
+    # the same IEEE ops on the same Spark-computed doubles (λ·rel −
+    # (1−λ)·max sim), so the oracle argmax cannot diverge.
+    rel = {r["vec_id"]: r["rel"] for r in cand.select("vec_id", "rel").collect()}
+    sim: dict[int, dict[int, float]] = {}
+    for r in pair_rows:
+        sim.setdefault(r["ida"], {})[r["idb"]] = r["sim"]
+    first_id = min(rel, key=lambda k: (-rel[k], k))
+    picked: list[tuple[int, int, float]] = [(1, first_id, rel[first_id])]
+    lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 10)
     for i in range(2, MMR_K + 1):
         sel_ids = [p[1] for p in picked]
-        row = (
-            pairs.filter(F.col("idb").isin(sel_ids) & ~F.col("ida").isin(sel_ids))
-            .groupBy("ida")
-            .agg(F.max("sim").alias("maxsim"))
-            .join(cand.select(F.col("vec_id").alias("ida"), "rel"), "ida")
-            .select(
-                "ida",
-                (F.lit(MMR_LAMBDA) * F.col("rel") - F.lit(round(1 - MMR_LAMBDA, 10)) * F.col("maxsim")).alias("score"),
+        best = min(
+            (
+                (-(lam * rel[k] - mu * max(sim[k][s] for s in sel_ids)), k)
+                for k in rel
+                if k not in sel_ids
             )
-            .orderBy(F.desc("score"), "ida")
-            .first()
         )
-        picked.append((i, row["ida"], row["score"]))
+        picked.append((i, best[1], -best[0]))
     return spark.createDataFrame(picked, "rank long, vec_id long, mmr_score double")
