@@ -139,12 +139,47 @@ def lsh_buckets(v: Column) -> Column:
     return F.array(*[_table_signature(v, t) for t in range(LSH_TABLES)])
 
 
-# No oracle possible: bucket membership is the SIGN of float
-# hyperplane dot products — a single ulp of cross-engine float-sum
-# difference flips a bucket bit and legally changes the candidate
-# set. Recall vs the exact brute-force twin is bounded in
-# tests/test_similarity.py instead.
-@query("q_ann_lsh", oracle=None)
+def _lsh_oracle() -> str:
+    """Value oracle that replays the full LSH pipeline in DuckDB: the
+    24 hyperplanes are embedded as double literals (exact — LCG values
+    are dyadic rationals x/2³⁰−1, and repr round-trips doubles), the
+    bucket bit is the sign of the same sequential-fold dot product
+    (list_dot_product ≡ the Spark zip_with/aggregate fold, the
+    q_ann_cosine precedent), so the candidate sets — and therefore the
+    re-ranked top-k — agree exactly. A sign flip would need a dot
+    product to land WITHIN one ulp of 0.0 across engines computing
+    identical op sequences — not a legal divergence, unlike the
+    float-iterative k-means layout that keeps q_ann_ivf rows-only."""
+    sigs = []
+    for t in range(LSH_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_PLANES[t][p]!r}) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(LSH_PLANES_PER_TABLE)
+        )
+        sigs.append(f"{t << LSH_PLANES_PER_TABLE} + {bits}")
+    buckets = ", ".join(sigs)
+    cos = (
+        "list_dot_product(qe.v, ce.v) / "
+        "(sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, bucket FROM e, unnest([{buckets}]) AS u(bucket)),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT query_id, neighbor_id, {cos} AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY {cos} DESC, neighbor_id) AS rank
+  FROM cand JOIN e qe ON qe.vec_id = query_id JOIN e ce ON ce.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM scored WHERE rank <= {TOP_K}
+"""
+
+
+@query("q_ann_lsh", oracle=_lsh_oracle())
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane LSH ANN: candidates = pairs
     colliding in ANY of the {LSH_TABLES} tables (equi-join on bucket id

@@ -430,10 +430,44 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_bpe_train")  # rows-only: each merge re-tokenizes on the previous
-# merge's data-dependent result — an iterative fixpoint no single SQL
-# query expresses; exact-match vs a pure-Python BPE reference on the
-# same word counts in tests/test_trainprep.py.
+def _bpe_train_oracle() -> str:
+    """Value oracle that replays the full {BPE_MERGES}-round trainer as
+    unrolled MATERIALIZED CTEs (the MMR / PageRank precedent for
+    iterative algorithms): round i's argmax runs on round i-1's
+    rewritten vocabulary, the rewrite being the same greedy fold as
+    _duck_encode but with the (l, r) pair captured from the 1-row p_i
+    CTE inside the lambda. Everything is integer counts and string
+    tie-breaks — no floats anywhere — so the learned merge table is
+    exactly reproducible cross-engine."""
+    parts = [
+        "WITH wc AS MATERIALIZED (",
+        "  SELECT word, count(*) AS cnt FROM (",
+        "    SELECT unnest(string_split(text, ' ')) AS word FROM documents",
+        "  ) WHERE length(word) > 0 GROUP BY word),",
+        "v0 AS MATERIALIZED (SELECT list_transform(generate_series(1, length(word)),"
+        " i -> substr(word, i, 1)) AS syms, cnt FROM wc),",
+    ]
+    for i in range(1, BPE_MERGES + 1):
+        parts += [
+            f"p{i} AS MATERIALIZED (",
+            "  SELECT syms[i] AS l, syms[i+1] AS r, sum(cnt) AS n",
+            f"  FROM v{i - 1}, unnest(generate_series(1, len(syms) - 1)) AS t(i)",
+            "  GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),",
+            f"v{i} AS MATERIALIZED (",
+            "  SELECT list_reduce(list_transform(syms, t -> [t]),",
+            f"    (acc, x) -> CASE WHEN acc[-1] = p{i}.l AND x[1] = p{i}.r",
+            f"    THEN acc[1:len(acc)-1] || [p{i}.l || p{i}.r] ELSE acc || x END) AS syms, cnt",
+            f"  FROM v{i - 1}, p{i}),",
+        ]
+    sel = " UNION ALL ".join(
+        f'SELECT CAST({i} AS BIGINT) AS rank, l AS "left", r AS "right",'
+        f" CAST(n AS BIGINT) AS pair_count FROM p{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return "\n".join(parts)[:-1] + f"\n{sel}"
+
+
+@query("q_bpe_train", oracle=_bpe_train_oracle())
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016):
     learn the first {BPE_MERGES} merge rules from the documents
