@@ -490,3 +490,126 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_count long"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_tokenizer_fertility — per-language tokens-per-word under the tokenizer
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle=f"""
+WITH wc AS (
+  SELECT lang, w, count(*) AS c
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1, 2
+), enc AS (
+  SELECT lang, c, len({_duck_encode(BPE_RULES)}) AS ntok, length(w) AS nchars FROM wc
+)
+SELECT lang,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(sum(c * ntok) AS BIGINT) AS n_tokens,
+       CAST(sum(c * nchars) AS BIGINT) AS n_chars,
+       round(CAST(sum(c * ntok) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS fertility,
+       round(CAST(sum(c * nchars) AS DOUBLE) / CAST(sum(c * ntok) AS DOUBLE), 4)
+         AS chars_per_token
+FROM enc GROUP BY lang
+""",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — tokens emitted per word and
+    characters absorbed per token under the shipped BPE_RULES merge
+    table. Fertility is the standard multilingual-tokenizer equity
+    metric: a tokenizer trained on one language fragments the others
+    (fertility ≫ 1 there), which inflates their effective sequence
+    lengths and training cost; this query is the corpus-wide audit
+    that exposes it.
+
+    Plan: same vocabulary compression as q_bpe_encode (groupBy (lang,
+    word) — per-round fold work bounded by |vocab|, corpus weight
+    re-attached via the counts), then ONE grouped sum over exact
+    integers; the two float divisions happen per output row (|langs|),
+    rounded 4 dp. Cites q_bpe_encode's oracle fold (_duck_encode) so
+    the greedy merge semantics stay value-checked here too."""
+    docs = load(spark, sf_dir, "documents", columns=["lang", "text"])
+    vocab = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    syms = _chars(F.col("word"))
+    for l, r in BPE_RULES:
+        syms = _apply_merge(syms, l, r)
+    per_word = vocab.select(
+        "lang",
+        "c",
+        F.size(syms).cast("long").alias("ntok"),
+        F.length("word").cast("long").alias("nchars"),
+    )
+    n_tok = F.sum(F.col("c") * F.col("ntok"))
+    n_chr = F.sum(F.col("c") * F.col("nchars"))
+    return per_word.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        n_tok.cast("long").alias("n_tokens"),
+        n_chr.cast("long").alias("n_chars"),
+        F.round(n_tok.cast("double") / F.sum("c").cast("double"), 4).alias("fertility"),
+        F.round(n_chr.cast("double") / n_tok.cast("double"), 4).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_mixture_temperature — temperature-scaled source sampling weights
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mixture_temperature",
+    oracle="""
+WITH avail AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), scaled AS (
+  SELECT source, n_tokens,
+         CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,10)) AS s
+  FROM avail
+), tot AS (SELECT sum(n_tokens) AS tn, sum(s) AS ts FROM scaled)
+SELECT source, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS raw_share,
+       round(CAST(s AS DOUBLE) / CAST(ts AS DOUBLE), 6) AS temp_share
+FROM scaled CROSS JOIN tot
+""",
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual-sampling
+    rule of mBERT/XLM-R, p_i ∝ n_i^τ): flattens the source
+    distribution so heavy domains stop drowning small ones while
+    still respecting size. τ = 1/2 here, deliberately: n^0.5 is
+    sqrt — IEEE-correctly-rounded, so the scaled weights are
+    bit-identical cross-engine with no transcendental-rounding
+    caveat (general τ would use pow() under the 6-dp rounding
+    discipline of q_math_funcs). Complements q_mixture_waterfill
+    (hard budget) with the soft-reweighting alternative.
+
+    Plan: one corpus pass partial-aggregates token counts per source;
+    the scaled weights are |sources| rows; Σsqrt goes through
+    DECIMAL(28,10) so the total is order-independent (the repo's
+    standard float-sum discipline); shares are one rounded division
+    per output row against a 1-row broadcast total."""
+    docs = load(spark, sf_dir, "documents", columns=["source", "text"])
+    avail = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    scaled = avail.select(
+        "source",
+        "n_tokens",
+        F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(28,10)").alias("s"),
+    )
+    tot = scaled.agg(F.sum("n_tokens").alias("tn"), F.sum("s").alias("ts"))
+    return scaled.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("tn").cast("double"), 6).alias("raw_share"),
+        F.round(F.col("s").cast("double") / F.col("ts").cast("double"), 6).alias("temp_share"),
+    )

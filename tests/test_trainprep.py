@@ -146,3 +146,38 @@ def test_bpe_train_merged_tokens_grow(spark, sf_dir):
     # 'a b' occurs 3+3+2 = 8 times, merges first; then 'ab ab' (3).
     assert merges[0][1:] == ("a", "b", 8)
     assert merges[1][1:] == ("ab", "ab", 3)
+
+
+def test_tokenizer_fertility_invariants(spark, monkeypatch):
+    import grader_etl_spark.operators.trainprep as tp
+
+    # 'er' merges to one token (rule 1); 'xq' never merges (2 tokens).
+    rows = [
+        (1, "merged", "s", "er er er", 0),
+        (2, "split", "s", "xq xq xq", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string, n_chars long"
+    )
+    monkeypatch.setattr(tp, "load", lambda spark, sf, t, columns=None: docs.select(columns))
+    got = {r["lang"]: r for r in tp.q_tokenizer_fertility(spark, "x").collect()}
+    assert got["merged"]["fertility"] == 1.0          # 'er' -> ['er']
+    assert got["split"]["fertility"] == 2.0           # 'xq' -> ['x','q']
+    assert got["merged"]["n_words"] == 3 and got["merged"]["n_tokens"] == 3
+    assert got["split"]["chars_per_token"] == 1.0
+    assert got["merged"]["chars_per_token"] == 2.0
+
+
+def test_mixture_temperature_flattens(spark, sf_dir):
+    from grader_etl_spark.operators.trainprep import q_mixture_temperature
+
+    rows = q_mixture_temperature(spark, sf_dir).collect()
+    raw = {r["source"]: r["raw_share"] for r in rows}
+    temp = {r["source"]: r["temp_share"] for r in rows}
+    assert abs(sum(raw.values()) - 1.0) < 1e-4
+    assert abs(sum(temp.values()) - 1.0) < 1e-4
+    # τ=0.5 flattens: the biggest source loses share, the smallest gains.
+    big = max(raw, key=raw.get)
+    small = min(raw, key=raw.get)
+    assert temp[big] < raw[big]
+    assert temp[small] > raw[small]
