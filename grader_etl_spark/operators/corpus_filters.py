@@ -608,3 +608,95 @@ def q_mix_drift_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_d").cast("bigint").alias("n_events"),
         F.round(F.sum("tp") + F.sum("tq"), 6).alias("js_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_filter_overlap — quality-filter ensemble redundancy audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_filter_overlap",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_toks,
+         len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS n_distinct,
+         length(array_to_string(regexp_extract_all(lower(text), '[a-z]+'), '')) AS n_alpha,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         length(text) AS n_chars
+  FROM documents
+),
+flags AS (
+  SELECT doc_id,
+         list_filter([
+           CASE WHEN n_toks < 40 THEN 'short' END,
+           CASE WHEN n_toks > 80 THEN 'long' END,
+           CASE WHEN 2 * n_distinct < n_toks THEN 'repetitive' END,
+           CASE WHEN 5 * n_alpha < 4 * n_chars THEN 'nonalpha' END,
+           CASE WHEN 5 * n_digit > n_chars THEN 'digit' END
+         ], x -> x IS NOT NULL) AS fails
+  FROM feats
+),
+pairs AS (
+  SELECT unnest(flatten(list_transform(fails,
+           a -> list_transform(list_filter(fails, b -> b >= a), b -> [a, b])))) AS p
+  FROM flags
+)
+SELECT p[1] AS rule_a, p[2] AS rule_b, CAST(count(*) AS BIGINT) AS n_docs
+FROM pairs GROUP BY 1, 2
+""",
+)
+def q_filter_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ENSEMBLE audit: the co-failure matrix of five
+    cheap gibberish rules (short/long/repetitive/non-alpha/
+    digit-heavy). The diagonal is each rule's kill count; off-diagonal
+    cells measure redundancy — a rule whose failures are a subset of
+    another's adds review burden without recall, which is exactly what
+    this audit exposes before a pipeline ships a filter ensemble
+    (the Gopher/Dolma rule-set tuning workflow).
+
+    Plan + portability: every feature and threshold is INTEGER (token
+    counts, char counts, scaled comparisons — no float ratios), so the
+    matrix is exact cross-engine. Flags are map-side column algebra;
+    each doc contributes ≤ |rules|² pair rows (≤ 25) pre-aggregated
+    map-side to a ≤ 15-row result — one corpus scan, one tiny
+    shuffle, any corpus size."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    feats = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(F.array_join(toks, "")).alias("n_alpha"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0)).alias("n_digit"),
+        F.length("text").alias("n_chars"),
+    )
+    flags = feats.select(
+        "doc_id",
+        F.filter(
+            F.array(
+                F.when(F.col("n_toks") < 40, "short"),
+                F.when(F.col("n_toks") > 80, "long"),
+                F.when(2 * F.col("n_distinct") < F.col("n_toks"), "repetitive"),
+                F.when(5 * F.col("n_alpha") < 4 * F.col("n_chars"), "nonalpha"),
+                F.when(5 * F.col("n_digit") > F.col("n_chars"), "digit"),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("fails"),
+    )
+    pairs = flags.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("fails"),
+                    lambda a: F.transform(
+                        F.filter(F.col("fails"), lambda b: b >= a), lambda b: F.array(a, b)
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p").getItem(0).alias("rule_a"), F.col("p").getItem(1).alias("rule_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))

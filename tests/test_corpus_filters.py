@@ -73,3 +73,16 @@ def test_gap_fill_is_dense_and_monotone(spark, sf_dir):
         if not r.observed and r.user_id in prev:
             assert r.v_filled == prev[r.user_id], r
         prev[r.user_id] = r.v_filled
+
+
+def test_filter_overlap_matrix_consistency(spark, sf_dir):
+    from grader_etl_spark.operators.corpus_filters import q_filter_overlap
+
+    rows = {(r["rule_a"], r["rule_b"]): r["n_docs"] for r in q_filter_overlap(spark, sf_dir).collect()}
+    diag = {a: n for (a, b), n in rows.items() if a == b}
+    for (a, b), n in rows.items():
+        assert a <= b  # canonical ordering, no mirrored duplicates
+        if a != b:
+            # co-failures can never exceed either rule's own kill count
+            assert n <= diag[a] and n <= diag[b]
+    assert diag  # at least one rule fires on the fixture corpus
