@@ -14,7 +14,6 @@ ROWS_ONLY_BY_DESIGN = {
     # order) — every integer-deterministic pipeline is value-oracled
     # via the md5_32 cross-engine hash (functions/hashing.py).
     "q_kmeans_embeddings",  # iterative Lloyd's; invariants in test_clustering.py
-    "q_ann_lsh",  # hyperplane sign bits; recall in test_similarity.py
     "q_ann_ivf",  # k-means cell layout; recall in test_similarity.py
     # DataSketches HLL binaries are Spark-specific (no DuckDB twin);
     # accuracy bounded vs the exact q_active_users in test_audit_ops.py.
@@ -22,10 +21,8 @@ ROWS_ONLY_BY_DESIGN = {
     # Driver-side eigh of the d×d covariance; eigendecomposition isn't
     # SQL — semantics pinned vs numpy's full PCA in test_pca.py.
     "q_pca_project",
-    # Iterative fixpoint (each merge re-tokenizes on the previous
-    # merge's result) — exact-match vs a pure-Python BPE reference in
-    # test_trainprep.py.
-    "q_bpe_train",
+    # (q_ann_lsh and q_bpe_train graduated to value oracles: exact
+    # dyadic plane literals / unrolled integer merge rounds.)
 }
 
 
