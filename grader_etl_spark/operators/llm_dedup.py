@@ -757,3 +757,121 @@ def q_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= _CONTAINMENT_THRESHOLD)
         .select("src_doc", "dst_doc", "overlap", "src_sz", "containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_minhash_calibration — sketch-vs-ground-truth accuracy audit
+# ---------------------------------------------------------------------------
+
+
+def _calibration_oracle() -> str:
+    """Same integer pipeline as _minhash_oracle, but instead of
+    thresholding it reports, per LSH candidate pair, the signature
+    agreement next to the exact Jaccard — the estimator audit."""
+    rows = MINHASH_PERMS // LSH_BANDS
+    h = MD5_32_SQL.format(expr="s")
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {_MERSENNE_P}) AS mh{j}"
+        for j, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    )
+    bands = ",\n      ".join(
+        f"CONCAT_WS(',', '{i}', "
+        + ", ".join(f"mh{i * rows + r}" for r in range(rows))
+        + ")"
+        for i in range(LSH_BANDS)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(MINHASH_PERMS)
+    )
+    jac = (
+        "CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)"
+        " / (length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)))"
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {SHINGLE_K - 2}, 0)),
+           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+2]
+         )) AS sset
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, {h} AS h
+  FROM (SELECT doc_id, unnest(sset) AS s FROM sh)
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+buckets AS (
+  SELECT doc_id, unnest([
+      {bands}
+  ]) AS bucket
+  FROM sig
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.doc_id_1, c.doc_id_2,
+       CAST({agree} AS BIGINT) AS n_agree,
+       CAST({agree} AS DOUBLE) / {MINHASH_PERMS} AS est_jaccard,
+       {jac} AS exact_jaccard,
+       abs(CAST({agree} AS DOUBLE) / {MINHASH_PERMS} - ({jac})) AS abs_err
+FROM cands c
+JOIN sig sa ON sa.doc_id = c.doc_id_1
+JOIN sig sb ON sb.doc_id = c.doc_id_2
+JOIN sh a ON a.doc_id = c.doc_id_1
+JOIN sh b ON b.doc_id = c.doc_id_2
+"""
+
+
+@query("q_minhash_calibration", oracle=_calibration_oracle())
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch CALIBRATION audit: for every LSH candidate pair, the
+    MinHash estimate (signature agreement / {MINHASH_PERMS}) next to
+    the exact shingle Jaccard and the absolute error. This is how a
+    pipeline owner validates the (perms, bands) operating point
+    before trusting the sketch at a scale where exact verification is
+    unaffordable — E[agreement/n] = J, and the audit shows the
+    realized spread on THIS corpus rather than the textbook bound.
+
+    Cost shape: rides the session shingle index and the same
+    signature/banding aggregates as q_neardup_minhash (64 longs per
+    doc through the shuffle); the audit join adds one signature
+    lookup per side of each candidate pair. Exactness: agreement is
+    an integer count, est = n/{MINHASH_PERMS} is dyadic, the exact
+    Jaccard is one integer division — every output column bit-equal
+    cross-engine."""
+    sh = shingled_docs(spark, sf_dir)
+    sig = minhash_signatures(sh)
+    cands = lsh_candidate_pairs(sig)
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_1"), F.col("sig_2"), lambda x, y: x == y), lambda b: b
+        )
+    ).cast("long")
+    sa = sig.select(F.col("doc_id").alias("doc_id_1"), F.col("sig").alias("sig_1"))
+    sb = sig.select(F.col("doc_id").alias("doc_id_2"), F.col("sig").alias("sig_2"))
+    a = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sset").alias("sset_1"))
+    b = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sset").alias("sset_2"))
+    est = agree.cast("double") / F.lit(MINHASH_PERMS)
+    jac = _jaccard(F.col("sset_1"), F.col("sset_2"))
+    return (
+        cands.join(sa, "doc_id_1")
+        .join(sb, "doc_id_2")
+        .join(a, "doc_id_1")
+        .join(b, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            agree.alias("n_agree"),
+            est.alias("est_jaccard"),
+            jac.alias("exact_jaccard"),
+            F.abs(est - jac).alias("abs_err"),
+        )
+    )

@@ -77,3 +77,19 @@ def test_shingles_edge_cases(spark):
     assert got[2] == []
     assert got[3] == ["a b c"]
     assert got[4] == ["a a a"]
+
+
+def test_minhash_calibration_estimator_properties(spark, sf_dir):
+    from grader_etl_spark.operators.llm_dedup import MINHASH_PERMS, q_minhash_calibration
+
+    rows = q_minhash_calibration(spark, sf_dir).collect()
+    assert rows  # LSH surfaces candidates on the fixture corpus
+    for r in rows:
+        assert 0 <= r["n_agree"] <= MINHASH_PERMS
+        assert r["est_jaccard"] == r["n_agree"] / MINHASH_PERMS
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 1e-12
+    # The estimator is unbiased; on candidate pairs the MEAN absolute
+    # error should sit well inside the 1/sqrt(64) standard error.
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err < 0.125
