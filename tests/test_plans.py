@@ -390,3 +390,30 @@ def test_round2b_new_ops_plan_shapes(spark, sf_dir):
     p = plan_of(spark, sf_dir, "q_quantile_normalize")
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_selection_ops_plan_shapes(spark, sf_dir):
+    """Scale promises of the selection/audit batch: DSIR broadcasts
+    its vocab-sized model and takes the top-100 without a global sort;
+    the dup-span and calibration pair generators never fall back to
+    nested-loop; the filter-overlap audit is ONE corpus scan."""
+    p = plan_of(spark, sf_dir, "q_dsir_select")
+    assert "BroadcastHashJoin" in p          # model + totals ride broadcasts
+    assert "TakeOrderedAndProject" in p      # top-100 via per-partition heaps
+    for name in ("q_dup_span", "q_minhash_calibration"):
+        p = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    tree = plan_of(spark, sf_dir, "q_filter_overlap").split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    tree = plan_of(spark, sf_dir, "q_wilson_quality").split("\n\n")[0]
+    assert tree.count("Exchange") == 1       # one partial-agg shuffle, float tail on top
+
+
+def test_mixture_temperature_single_scan(spark, sf_dir):
+    """One corpus pass: the per-source aggregate is computed once and
+    the 1-row total rides a broadcast back onto it."""
+    p = plan_of(spark, sf_dir, "q_mixture_temperature")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan parquet") <= 2   # avail + total derive from one agg chain
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
