@@ -504,3 +504,95 @@ def q_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == at(0.99), F.col("delay"))).alias("p99_delay_s"),
         F.max("delay").cast("long").alias("max_delay_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_holt_trend — Holt's linear (double exponential) smoothing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_holt_trend",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day, round(sum(value), 4) AS v
+  FROM events GROUP BY 1
+),
+ordered AS (
+  SELECT day, v, row_number() OVER (ORDER BY day) AS rn FROM daily
+),
+holt AS (
+  SELECT day, v, rn, CAST(v AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.day, o.v, o.rn,
+         0.5 * o.v + 0.5 * (h.l + h.b),
+         0.5 * ((0.5 * o.v + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
+  FROM holt h JOIN ordered o ON o.rn = h.rn + 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, v,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(l + b, 6) AS forecast_next
+FROM holt
+""",
+)
+def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's LINEAR smoothing (level + trend, α = β = 1/2) over the
+    global daily-revenue series — the trend-aware upgrade of q_ewma
+    and the adaptive alternative to q_forecast_revenue's one-shot OLS:
+    the one-step forecast (level + trend) tracks drift instead of
+    assuming a fixed slope. Two coupled order-dependent recursions,
+    which windows can't express — so, as with EWMA, the day-sorted
+    series folds through ONE JVM-side F.aggregate whose accumulator
+    carries (level, trend, emitted-array); no Python anywhere.
+
+    Scale shape: the corpus collapses to |days| rows in one
+    partial-aggregating pass BEFORE any ordering (the
+    q_forecast_revenue discipline); the fold's state is the bounded
+    calendar series. The oracle replays the identical recursion as a
+    recursive CTE with the same literal halves and op order, so the
+    smoothed path is IEEE-identical cross-engine; 6-dp rounding is
+    belt-and-suspenders."""
+    ev = load(spark, sf_dir, "events", columns=["ts", "value"])
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 4).alias("v")
+    )
+    series = daily.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")
+    )
+    out_t = "array<struct<day:date,v:double,l:double,b:double>>"
+    init = F.struct(
+        F.lit(None).cast("double").alias("l"),
+        F.lit(None).cast("double").alias("b"),
+        F.array().cast(out_t).alias("out"),
+    )
+
+    def step(acc, x):
+        first = acc.getField("l").isNull()
+        l_new = F.when(first, x.getField("v")).otherwise(
+            F.lit(0.5) * x.getField("v")
+            + F.lit(0.5) * (acc.getField("l") + acc.getField("b"))
+        )
+        b_new = F.when(first, F.lit(0.0)).otherwise(
+            F.lit(0.5) * (l_new - acc.getField("l")) + F.lit(0.5) * acc.getField("b")
+        )
+        emitted = F.struct(
+            x.getField("day").alias("day"),
+            x.getField("v").alias("v"),
+            l_new.alias("l"),
+            b_new.alias("b"),
+        )
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(acc.getField("out"), F.array(emitted)).alias("out"),
+        )
+
+    folded = series.select(F.explode(F.aggregate("s", init, step).getField("out")).alias("e"))
+    return folded.select(
+        F.date_format(F.col("e.day"), "yyyy-MM-dd").alias("day"),
+        F.col("e.v").alias("v"),
+        F.round("e.l", 6).alias("level"),
+        F.round("e.b", 6).alias("trend"),
+        F.round(F.col("e.l") + F.col("e.b"), 6).alias("forecast_next"),
+    )

@@ -153,3 +153,31 @@ def test_bootstrap_ci_brackets_point(spark, sf_dir):
     width = r["ci_hi"] - r["ci_lo"]
     assert 0 < width < 0.4 * r["point_mean"]
     assert r["n_replicates"] == 40
+
+
+def test_holt_trend_matches_python_recursion(spark, sf_dir):
+    from grader_etl_spark.operators.time_windows import q_holt_trend
+    import pyspark.sql.functions as F
+    from grader_etl_spark.io import load
+
+    daily = (
+        load(spark, sf_dir, "events", columns=["ts", "value"])
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+        .orderBy("day")
+        .collect()
+    )
+    l = b = None
+    expect = {}
+    for r in daily:
+        v = r["v"]
+        if l is None:
+            l, b = v, 0.0
+        else:
+            l_new = 0.5 * v + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+        expect[str(r["day"])] = (round(l, 6), round(b, 6))
+
+    got = {r["day"]: (r["level"], r["trend"]) for r in q_holt_trend(spark, sf_dir).collect()}
+    assert got == expect
