@@ -864,3 +864,86 @@ def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cohorts"),
         F.round(F.avg("rate"), 6).alias("avg_retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_attribution_linear — multi-touch attribution with exact integer credit
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_DAYS = 7
+
+
+@query(
+    "q_attribution_linear",
+    oracle=f"""
+WITH purchases AS (
+  SELECT user_id, event_id AS p_id, ts AS p_ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+touches AS (
+  SELECT user_id, event_id AS t_id, ts AS t_ts, event_type AS channel
+  FROM events WHERE event_type <> 'purchase'
+),
+pairs AS (
+  SELECT p.p_id, p.cents, t.channel
+  FROM purchases p JOIN touches t ON t.user_id = p.user_id
+  WHERE (t.t_ts < p.p_ts OR (t.t_ts = p.p_ts AND t.t_id < p.p_id))
+    AND t.t_ts >= p.p_ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+),
+per_purchase AS (
+  SELECT p_id, cents, channel, count(*) AS k,
+         sum(count(*)) OVER (PARTITION BY p_id) AS n
+  FROM pairs GROUP BY p_id, cents, channel
+)
+SELECT channel,
+       CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+       CAST(sum((cents * 1000000 * k) // n) AS BIGINT) AS credit_microcents
+FROM per_purchase GROUP BY channel
+""",
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR (multi-touch) attribution: every purchase splits its
+    revenue equally across ALL of the user's touch events in the
+    {ATTR_WINDOW_DAYS}-day window before it — the fairness-motivated
+    complement of q_attribution_last_touch, which hands full credit
+    to one event. Credit is computed in INTEGER MICRO-CENTS with
+    floor division (cents·10⁶·k // n), so the per-channel totals are
+    exact integers no summation order or decimal-division rule can
+    perturb — the same discipline as q_benford's integer cents
+    (truncation loses < 1 micro-cent per purchase-channel, stated
+    rather than hidden).
+
+    Scale shape: the purchase↔touch pairing is an equi-join on
+    user_id with a time-range residual — per-user work is bounded by
+    activity inside the window (the q_join_range/q_point_in_time
+    class, never event×event global); per-purchase shares reduce to
+    (purchase, channel) rows before the final |channels|-sized
+    aggregate. The (ts, event_id) tiebreak matches the last-touch
+    total order."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "event_id", "event_type", "ts", "value"])
+    purchases = ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull()).select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    before = (F.col("t_ts") < F.col("p_ts")) | (
+        (F.col("t_ts") == F.col("p_ts")) & (F.col("t_id") < F.col("p_id"))
+    )
+    in_window = F.col("t_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAY")
+    pairs = purchases.join(touches, "user_id").filter(before & in_window)
+    per_purchase = pairs.groupBy("p_id", "cents", "channel").agg(F.count(F.lit(1)).alias("k"))
+    shared = per_purchase.withColumn(
+        "n", F.sum("k").over(Window.partitionBy("p_id"))
+    ).selectExpr("p_id", "channel", "(cents * 1000000 * k) div n AS credit")
+    return shared.groupBy("channel").agg(
+        F.count_distinct("p_id").cast("long").alias("n_purchases"),
+        F.sum("credit").cast("long").alias("credit_microcents"),
+    )

@@ -225,3 +225,34 @@ def test_try_arithmetic_null_on_zero_denominator(spark, monkeypatch):
     assert got[1]["conv_rate"] == 1.0
     assert got[2]["purchases"] == 1 and got[2]["clicks"] == 0
     assert got[2]["conv_rate"] is None  # try_divide: NULL, not a crash
+
+
+def test_linear_attribution_splits_credit_exactly(spark, monkeypatch):
+    import datetime as dt
+
+    import grader_etl_spark.operators.behavior as bh
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # u1: view(t0), click(t1), purchase 10.00 at t2 -> 5.00 each
+        (1, base, 7, "view", None),
+        (2, base + dt.timedelta(hours=1), 7, "click", None),
+        (3, base + dt.timedelta(hours=2), 7, "purchase", 10.0),
+        # u2: one view 10 days before purchase -> OUTSIDE window, no credit
+        (4, base - dt.timedelta(days=10), 8, "view", None),
+        (5, base, 8, "purchase", 4.0),
+        # u3: two views, one click before purchase 9.00 -> 6.00 view, 3.00 click
+        (6, base, 9, "view", None),
+        (7, base + dt.timedelta(minutes=1), 9, "view", None),
+        (8, base + dt.timedelta(minutes=2), 9, "click", None),
+        (9, base + dt.timedelta(minutes=3), 9, "purchase", 9.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    monkeypatch.setattr(bh, "load", lambda spark, sf, t, columns=None: ev.select(columns))
+    got = {r["channel"]: r for r in bh.q_attribution_linear(spark, "x").collect()}
+    micro = 100 * 1_000_000  # cents * 1e6 per currency unit
+    assert got["view"]["credit_microcents"] == 5 * micro + 6 * micro
+    assert got["click"]["credit_microcents"] == 5 * micro + 3 * micro
+    assert got["view"]["n_purchases"] == 2 and got["click"]["n_purchases"] == 2
