@@ -944,3 +944,92 @@ def q_topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_did_lift — difference-in-differences lift estimate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_did_lift",
+    oracle="""
+WITH assigned AS (
+  SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'treat' ELSE 'control' END AS grp,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'pre' ELSE 'post' END AS period,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE value IS NOT NULL
+),
+cells AS (
+  SELECT grp, period,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS DOUBLE) / count(*) AS mean_v
+  FROM assigned GROUP BY 1, 2
+),
+wide AS (
+  SELECT
+    max(CASE WHEN grp = 'treat'   AND period = 'pre'  THEN mean_v END) AS treat_pre,
+    max(CASE WHEN grp = 'treat'   AND period = 'post' THEN mean_v END) AS treat_post,
+    max(CASE WHEN grp = 'control' AND period = 'pre'  THEN mean_v END) AS control_pre,
+    max(CASE WHEN grp = 'control' AND period = 'post' THEN mean_v END) AS control_post,
+    CAST(sum(n) AS BIGINT) AS n_events
+  FROM cells
+)
+SELECT round(treat_pre, 6) AS treat_pre,
+       round(treat_post, 6) AS treat_post,
+       round(control_pre, 6) AS control_pre,
+       round(control_post, 6) AS control_post,
+       round((treat_post - treat_pre) - (control_post - control_pre), 6) AS did_lift,
+       n_events
+FROM wide
+""",
+)
+def q_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences lift: the causal-inference workhorse
+    for launches without a clean holdout — compare the treated
+    group's pre→post change against the control group's, so shared
+    time trends cancel. Treatment assignment is the deterministic
+    md5 hash split (q_ab_test's scheme), the period cut a pinned
+    date; the 2×2 cell means go through DECIMAL sums (order-exact)
+    with ONE double division per cell, and the DiD arithmetic runs
+    on the unrounded doubles in identical op order both engines.
+
+    Scale shape: one corpus pass → 4-cell partial aggregate →
+    constant-size pivot; nothing downstream of the scan is larger
+    than 4 rows at any input size."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "ts", "value"]).filter(
+        F.col("value").isNotNull()
+    )
+    assigned = ev.select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "treat"
+        ).otherwise("control").alias("grp"),
+        F.when(F.to_date("ts") < F.lit("2024-01-16").cast("date"), "pre")
+        .otherwise("post")
+        .alias("period"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    cells = assigned.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_v"),
+    )
+
+    def cell(g: str, p: str):
+        return F.max(F.when((F.col("grp") == g) & (F.col("period") == p), F.col("mean_v")))
+
+    wide = cells.agg(
+        cell("treat", "pre").alias("tp"),
+        cell("treat", "post").alias("tq"),
+        cell("control", "pre").alias("cp"),
+        cell("control", "post").alias("cq"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    return wide.select(
+        F.round("tp", 6).alias("treat_pre"),
+        F.round("tq", 6).alias("treat_post"),
+        F.round("cp", 6).alias("control_pre"),
+        F.round("cq", 6).alias("control_post"),
+        F.round((F.col("tq") - F.col("tp")) - (F.col("cq") - F.col("cp")), 6).alias("did_lift"),
+        "n_events",
+    )

@@ -256,3 +256,34 @@ def test_linear_attribution_splits_credit_exactly(spark, monkeypatch):
     assert got["view"]["credit_microcents"] == 5 * micro + 6 * micro
     assert got["click"]["credit_microcents"] == 5 * micro + 3 * micro
     assert got["view"]["n_purchases"] == 2 and got["click"]["n_purchases"] == 2
+
+
+def test_did_lift_cancels_shared_trend(spark, monkeypatch):
+    import datetime as dt
+
+    import grader_etl_spark.operators.insights as ins
+
+    pre = dt.datetime(2024, 1, 10, 12, 0)
+    post = dt.datetime(2024, 1, 20, 12, 0)
+    # Find hash-assigned treat/control user ids under the real scheme.
+    import hashlib
+
+    def grp(u):
+        return "treat" if hashlib.md5(str(u).encode()).hexdigest()[0] < "8" else "control"
+
+    treat = next(u for u in range(100) if grp(u) == "treat")
+    ctrl = next(u for u in range(100) if grp(u) == "control")
+    # Shared +10 trend for both groups; treated gets +5 extra post.
+    rows = [
+        (1, pre, treat, "view", 20.0),
+        (2, post, treat, "view", 35.0),   # +10 trend +5 effect
+        (3, pre, ctrl, "view", 50.0),
+        (4, post, ctrl, "view", 60.0),    # +10 trend only
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    monkeypatch.setattr(ins, "load", lambda spark, sf, t, columns=None: ev.select(columns))
+    r = ins.q_did_lift(spark, "x").collect()[0]
+    assert r["did_lift"] == 5.0
+    assert r["n_events"] == 4
