@@ -433,3 +433,158 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         picked.append((i, best[1], -best[0]))
     return spark.createDataFrame(picked, "rank long, vec_id long, mmr_score double")
+
+
+# ---------------------------------------------------------------------------
+# q_quality_budget_curve — tokens retained at each quality cutoff
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_quality_budget_curve",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_toks,
+         len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_toks, score,
+         ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile
+  FROM feats
+),
+per AS (
+  SELECT decile,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS decile_tokens
+  FROM ranked GROUP BY decile
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_docs, decile_tokens,
+       CAST(sum(decile_tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
+       round(CAST(sum(decile_tokens) OVER (ORDER BY decile) AS DOUBLE)
+             / sum(decile_tokens) OVER (), 6) AS cum_share
+FROM per ORDER BY decile
+""",
+)
+def q_quality_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection BUDGET curve: rank documents by a quality proxy
+    (vocabulary richness — distinct token count), cut into deciles,
+    and report how many tokens survive at each cutoff. This is the
+    chart every data-budget negotiation needs: "keeping the top 30%
+    by quality keeps X% of tokens" — the empirical supply curve that
+    q_mixture_waterfill's budget and q_dsir_select's top-N consume.
+
+    Determinism & scale: the ranking order is total (score desc,
+    doc_id), so NTILE deciles are reproducible; all sums are integer
+    token counts; the cumulative and share windows run over the
+    10-row decile frame — free at any corpus size. The corpus-wide
+    NTILE is the one global sort; at 100 TB the documented swap-in is
+    approx-percentile score cutoffs (the q_equidepth_histogram scale
+    path), which turns the sort into one pass + broadcast
+    thresholds."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    feats = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("score"),
+    )
+    ranked = feats.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy(F.desc("score"), "doc_id"))
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("decile_tokens"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return per.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_docs",
+        "decile_tokens",
+        F.sum("decile_tokens").over(w_cum).cast("long").alias("cum_tokens"),
+        F.round(
+            F.sum("decile_tokens").over(w_cum).cast("double")
+            / F.sum("decile_tokens").over(w_all),
+            6,
+        ).alias("cum_share"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# q_corpus_datasheet — one-row dataset card statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_corpus_datasheet",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id, lang, source,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_toks,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+docstats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_docs
+  FROM feats
+),
+vocab AS (
+  SELECT CAST(count(DISTINCT term) AS BIGINT) AS vocab_size
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents)
+)
+SELECT n_docs, n_langs, n_sources, n_tokens, vocab_size, n_unique_docs,
+       round(1.0 - CAST(n_unique_docs AS DOUBLE) / n_docs, 6) AS dup_rate,
+       round(CAST(n_tokens AS DOUBLE) / n_docs, 2) AS mean_doc_tokens
+FROM docstats CROSS JOIN vocab
+""",
+)
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row DATASET CARD (Datasheets for Datasets, Gebru et
+    al. 2021): corpus size, language/source breadth, token volume,
+    vocabulary size, exact-duplicate rate (whitespace/case-normalized
+    md5 fingerprints — q_doc_fingerprint's normalization), and mean
+    document length. This is the summary block a corpus release ships
+    next to q_dp_counts' privatized per-cell table.
+
+    Scale shape: one doc-level pass computes every count except
+    vocabulary (count-distinct over fingerprints and dims
+    partial-aggregates; at extreme cardinality the documented swap is
+    approx_count_distinct / the HLL sketch path); the vocabulary size
+    is one explode + distinct keyed on the term. Both land on 1-row
+    frames cross-joined via broadcast — nothing downstream of the
+    scans exceeds one row."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "lang", "source", "text"])
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    feats = docs.select(
+        "lang",
+        "source",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp"),
+    )
+    docstats = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.count_distinct("fp").cast("long").alias("n_unique_docs"),
+    )
+    vocab = (
+        docs.select(F.explode(toks).alias("term"))
+        .agg(F.count_distinct("term").cast("long").alias("vocab_size"))
+    )
+    return docstats.crossJoin(F.broadcast(vocab)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "n_tokens",
+        "vocab_size",
+        "n_unique_docs",
+        F.round(1.0 - F.col("n_unique_docs").cast("double") / F.col("n_docs"), 6).alias("dup_rate"),
+        F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 2).alias("mean_doc_tokens"),
+    )

@@ -179,3 +179,25 @@ def test_mmr_matches_python_greedy(spark, monkeypatch):
     assert [v for _, v in got] == sel_ids
     assert got[0][1] == 1  # most relevant first
     assert got[1][1] == 3  # diversity beats cluster redundancy at λ=0.5
+
+
+def test_quality_budget_curve_monotone(spark, sf_dir):
+    from grader_etl_spark.operators.selection import q_quality_budget_curve
+
+    rows = q_quality_budget_curve(spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    cums = [r["cum_tokens"] for r in rows]
+    assert cums == sorted(cums)  # cumulative is monotone
+    assert rows[-1]["cum_share"] == 1.0
+    assert sum(r["decile_tokens"] for r in rows) == rows[-1]["cum_tokens"]
+
+
+def test_corpus_datasheet_consistency(spark, sf_dir):
+    from grader_etl_spark.operators.selection import q_corpus_datasheet
+
+    r = q_corpus_datasheet(spark, sf_dir).collect()[0]
+    assert r["n_unique_docs"] <= r["n_docs"]
+    assert 0.0 <= r["dup_rate"] < 1.0
+    assert r["vocab_size"] <= r["n_tokens"]
+    assert r["n_langs"] >= 1 and r["n_sources"] >= 1
+    assert abs(r["mean_doc_tokens"] - round(r["n_tokens"] / r["n_docs"], 2)) < 1e-9
