@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import load
 from grader_etl_spark.operators.llm_dedup import (
@@ -810,4 +810,85 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("local_cc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_keeper — quality-based representative selection per cluster
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_keeper",
+    oracle=f"""
+WITH RECURSIVE sh AS ({_SSET_SQL}),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)
+          / (length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)))
+        >= {_JACCARD_THRESHOLD}
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+comp AS (SELECT doc_id, MIN(label) AS component_id FROM reach GROUP BY doc_id),
+scored AS (
+  SELECT c.component_id, c.doc_id,
+         len(list_distinct(regexp_extract_all(lower(d.text), '[a-z]+'))) AS score
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+),
+ranked AS (
+  SELECT component_id, doc_id, score,
+         row_number() OVER (PARTITION BY component_id ORDER BY score DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY component_id) AS cluster_size
+  FROM scored
+)
+SELECT component_id, doc_id AS keeper_doc_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(score AS BIGINT) AS keeper_score
+FROM ranked WHERE rn = 1 AND cluster_size >= 2
+""",
+)
+def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper SELECTION policy for near-dup clusters: instead of the
+    canonical min-id keeper (q_dedup_components' downstream default),
+    keep the highest-QUALITY member of each multi-document cluster —
+    the RefinedWeb-style policy where dedup should retain the best
+    copy, not the earliest-crawled one. Quality proxy = vocabulary
+    richness (the q_quality_budget_curve score); ties fall back to
+    min doc_id, keeping the choice total-ordered and reproducible.
+
+    Plan: reads the session-memoized cluster map (cluster resolution
+    is a maintained artifact, not per-query work), joins quality
+    features computed in one corpus pass, and picks per-cluster
+    argmax via a component-keyed window — the shuffle is keyed on
+    cluster id and carries (id, score) pairs only. Only genuine
+    clusters (size ≥ 2) are emitted: the keeper decision for
+    singletons is vacuous. The oracle recomputes closure + argmax
+    from scratch, so the memo path is value-checked end to end."""
+    comp = q_dedup_components(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    score = F.size(
+        F.array_distinct(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0))
+    ).alias("score")
+    scored = comp.join(docs.select("doc_id", score), "doc_id")
+    w = Window.partitionBy("component_id")
+    ranked = scored.select(
+        "component_id",
+        "doc_id",
+        "score",
+        F.row_number()
+        .over(Window.partitionBy("component_id").orderBy(F.desc("score"), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("cluster_size") >= 2)).select(
+        "component_id",
+        F.col("doc_id").alias("keeper_doc_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("score").cast("long").alias("keeper_score"),
     )

@@ -111,3 +111,32 @@ def test_dedup_components_invariants(spark, sf_dir):
         by_comp.setdefault(c, []).append(d)
     for c, members in by_comp.items():
         assert min(members) == c
+
+
+def test_dedup_keeper_picks_best_quality_member(spark, sf_dir):
+    from grader_etl_spark.operators.graph import q_dedup_components, q_dedup_keeper
+    import pyspark.sql.functions as F
+    from grader_etl_spark.io import load
+
+    comp = {r["doc_id"]: r["component_id"] for r in q_dedup_components(spark, sf_dir).collect()}
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    score = {
+        r["doc_id"]: r["s"]
+        for r in load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+        .select("doc_id", F.size(F.array_distinct(toks)).alias("s"))
+        .collect()
+    }
+    from collections import defaultdict
+
+    clusters = defaultdict(list)
+    for d, c in comp.items():
+        clusters[c].append(d)
+    expect = {
+        c: min(members, key=lambda d: (-score[d], d))
+        for c, members in clusters.items()
+        if len(members) >= 2
+    }
+    got = {r["component_id"]: r["keeper_doc_id"] for r in q_dedup_keeper(spark, sf_dir).collect()}
+    assert got == expect
+    for r in q_dedup_keeper(spark, sf_dir).collect():
+        assert r["cluster_size"] >= 2
