@@ -1206,3 +1206,83 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_interp_logprob — Jelinek-Mercer interpolated bigram LM filter
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_interp_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, i AS pos, t[i] AS term
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+       unnest(range(1, len(t) + 1)) AS r(i)
+),
+uni AS (SELECT term, CAST(count(*) AS DOUBLE) AS cu FROM toks GROUP BY term),
+tot AS (SELECT sum(cu) AS n FROM uni),
+bi AS (
+  SELECT a.doc_id, a.pos, a.term AS w1, b.term AS w2
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+doc_bi AS (SELECT doc_id, w1, w2, count(*) AS k FROM bi GROUP BY 1, 2, 3),
+model AS (SELECT w1, w2, CAST(sum(k) AS DOUBLE) AS c12 FROM doc_bi GROUP BY 1, 2),
+starts AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY w1)
+SELECT doc_id,
+       CAST(sum(k) AS BIGINT) AS n_bigrams,
+       round(sum(k * -ln(0.75 * (c12 / c1) + 0.25 * (cu / n))) / sum(k), 4)
+         AS mean_neg_logprob
+FROM doc_bi
+JOIN model USING (w1, w2)
+JOIN starts USING (w1)
+JOIN uni ON uni.term = doc_bi.w2
+CROSS JOIN tot
+GROUP BY doc_id
+""",
+)
+def q_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer INTERPOLATED bigram LM quality filter: per-token
+    surprisal under 0.75·P(w₂|w₁) + 0.25·P(w₂) — the smoothing
+    upgrade of q_bigram_logprob (pure MLE, which over-punishes rare
+    but well-formed continuations) and the shape of every production
+    KenLM-style filter. λ = 3/4 deliberately: both mixture weights
+    are dyadic, so the interpolation arithmetic is exact in both
+    engines and only the final ln rounds (4 dp, the established
+    log-sum discipline).
+
+    Plan: ONE posexplode pass feeds both the unigram table and (via a
+    doc-keyed lead pairing) the bigram counts — the bigram model and
+    its start totals are vocab²-bounded aggregates broadcast back
+    onto per-doc pair counts together with the vocab-sized unigram
+    table; the corpus total rides a 1-row broadcast. Per-doc score is
+    one grouped sum; docs with < 2 tokens drop out (no bigrams)."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias(
+            "pos", "term"
+        ),
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cu"))
+    tot = uni.agg(F.sum("cu").alias("n"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        "doc_id", F.col("term").alias("w1"), F.lead("term").over(wdoc).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    doc_bi = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    model = doc_bi.groupBy("w1", "w2").agg(F.sum("k").cast("double").alias("c12"))
+    starts = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    p = F.lit(0.75) * (F.col("c12") / F.col("c1")) + F.lit(0.25) * (F.col("cu") / F.col("n"))
+    return (
+        doc_bi.join(F.broadcast(model), ["w1", "w2"])
+        .join(F.broadcast(starts), "w1")
+        .join(F.broadcast(uni.select(F.col("term").alias("w2"), "cu")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("k") * -F.log(p)) / F.sum("k"), 4).alias("mean_neg_logprob"),
+        )
+    )

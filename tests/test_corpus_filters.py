@@ -86,3 +86,21 @@ def test_filter_overlap_matrix_consistency(spark, sf_dir):
             # co-failures can never exceed either rule's own kill count
             assert n <= diag[a] and n <= diag[b]
     assert diag  # at least one rule fires on the fixture corpus
+
+
+def test_interp_logprob_smooths_rare_continuations(spark, sf_dir):
+    from grader_etl_spark.operators.text_analysis import (
+        q_bigram_logprob,
+        q_interp_logprob,
+    )
+
+    interp = {r["doc_id"]: r for r in q_interp_logprob(spark, sf_dir).collect()}
+    mle = {r["doc_id"]: r["mean_neg_logprob"] for r in q_bigram_logprob(spark, sf_dir).collect()}
+    import math
+
+    assert set(interp) == set(mle)  # same docs qualify (>= 2 tokens)
+    # p_interp >= 0.75 * p_mle per bigram, so the smoothed surprisal
+    # is bounded by the MLE surprisal + ln(4/3) — exactly, per doc.
+    for d, r in interp.items():
+        assert r["n_bigrams"] >= 1
+        assert 0 < r["mean_neg_logprob"] <= mle[d] + math.log(4 / 3) + 1e-3
