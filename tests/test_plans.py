@@ -129,6 +129,8 @@ _LITERAL_TABLE_OK = {
     "q_mmr_select",   # checkpointed bounded candidate set + k-row literal result
     "q_mixture_waterfill",  # serves the memoized per-source aggregate
     "q_bpe_train",    # localCheckpoints the word-count frame between merge rounds
+    "q_minhash_calibration",  # shingle-memo consumer (checkpointed index)
+    "q_dedup_keeper",  # serves the session cluster memo (checkpointed components)
 }
 
 
