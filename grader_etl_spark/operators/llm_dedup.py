@@ -875,3 +875,125 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - jac).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_neardup_prefix — PPJoin-style prefix-filtered exact similarity join
+# ---------------------------------------------------------------------------
+
+# τ = 1/2, chosen dyadic so every threshold test is pure integer
+# arithmetic: J ≥ 1/2  ⟺  3·|A∩B| ≥ |A| + |B|.
+_PREFIX_TAU_SQL = "3 * length(list_intersect(a.sset, b.sset)) >= length(a.sset) + length(b.sset)"
+
+
+@query(
+    "q_neardup_prefix",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {SHINGLE_K - 2}, 0)),
+           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '\\s+')[i+2]
+         )) AS sset
+  FROM documents
+)
+SELECT a.doc_id AS doc_id_1,
+       b.doc_id AS doc_id_2,
+       CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)
+         / (length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)))
+         AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE {_PREFIX_TAU_SQL} AND length(a.sset) > 0 AND length(b.sset) > 0
+""",
+)
+def q_neardup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 1/2 similarity join with PPJoin-style PREFIX
+    FILTERING (Xiao et al., WWW 2008) — the documented refinement of
+    q_neardup_jaccard's inverted index for corpora with hot shingles.
+
+    Candidate generation indexes only each document's PREFIX: its
+    shingles sorted by ascending global document frequency (rarest
+    first, ties broken by shingle text for a stable total order),
+    truncated to the first |d| − ⌈τ·|d|⌉ + 1 elements. The classical
+    prefix-filtering lemma makes this LOSSLESS for J ≥ τ: two sets
+    with overlap ≥ ⌈τ·max(|A|,|B|)⌉ under a shared total order must
+    collide inside these prefixes. With τ = 1/2 the prefix is ~half of
+    each posting list, and — the real win at scale — the HOT shingles
+    (high df) sort to the END of the order, so the frequency-skewed
+    posting lists that dominate Σ C(freq,2) in the plain inverted
+    index are exactly the ones pruned out of the candidate join.
+
+    A second integer length filter (2·min(|A|,|B|) ≥ max — from
+    J ≤ min/max) prunes cross-size pairs before the distinct.
+    Verification then ships shingle ARRAYS for the surviving
+    candidates only (array_intersect per pair), with the threshold
+    test in exact integers (3c ≥ |A|+|B|) so the boundary cannot flip
+    between engines; the reported jaccard is one float division of
+    identical integers. Oracle = the naive all-pairs semantics,
+    proving the pruning loses nothing.
+
+    100 TB shape: shingle-df table is vocabulary-sized (partial-agg
+    before its shuffle); the prefix join shuffles about half the
+    (shingle, id) volume of q_neardup_jaccard with its skew head
+    removed; candidate verification is bounded by surviving pairs.
+    Reference parity: extends main.py's exact-key dedup
+    (/root/reference/main.py:192-211) to near-duplicate content."""
+    sh = shingled_docs(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("sset").alias("s"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # Per-doc prefix under the (df asc, shingle asc) total order:
+    # p = sz − ⌈sz/2⌉ + 1 = sz div 2 + 1.
+    pref = (
+        ex.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("arr"))
+        .select(
+            "doc_id",
+            F.size("arr").alias("sz"),
+            F.explode(
+                F.transform(
+                    F.expr("slice(arr, 1, size(arr) div 2 + 1)"), lambda x: x["s"]
+                )
+            ).alias("s"),
+        )
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J ≥ 1/2 requires 2·min ≥ max (J ≤ min/max)
+            & (2 * F.least(F.col("a.sz"), F.col("b.sz"))
+               >= F.greatest(F.col("a.sz"), F.col("b.sz"))),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sset").alias("sset_1"))
+    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sset").alias("sset_2"))
+    c = F.size(F.array_intersect("sset_1", "sset_2"))
+    return (
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .withColumn("c", c)
+        .filter(
+            (3 * F.col("c") >= F.size("sset_1") + F.size("sset_2"))
+            & (F.size("sset_1") > 0)
+            & (F.size("sset_2") > 0)
+        )
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            (
+                F.col("c").cast("double")
+                / (F.size("sset_1") + F.size("sset_2") - F.col("c"))
+            ).alias("jaccard"),
+        )
+    )

@@ -22,6 +22,7 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
 
@@ -587,4 +588,88 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unique_docs",
         F.round(1.0 - F.col("n_unique_docs").cast("double") / F.col("n_docs"), 6).alias("dup_rate"),
         F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 2).alias("mean_doc_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_quality_classifier — hashed-feature linear quality model (fastText shape)
+# ---------------------------------------------------------------------------
+
+# Hashed feature space and integer weight range. The weights here are
+# hash-derived STAND-INS for a trained model (this container trains
+# nothing), but every piece of the serving plan is the production
+# shape: hashing-trick features (no vocabulary state), an integer
+# dot product, one sigmoid at the end. Swapping in real trained
+# weights replaces one expression (or one broadcast |D|-row weight
+# table join) and changes nothing else.
+QC_DIM = 512          # feature buckets
+QC_WEIGHT_RANGE = 1024  # w(b) ∈ [-512, 511]
+QC_LOGIT_SCALE = 4096   # dyadic logit divisor (z/2^12 is float-exact)
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+z AS (
+  SELECT doc_id,
+         CAST(SUM(
+           ({MD5_32_SQL.format(expr=f"'w:' || CAST(({MD5_32_SQL.format(expr=chr(39) + 'f:' + chr(39) + ' || term')}) % {QC_DIM} AS VARCHAR)")}) % {QC_WEIGHT_RANGE} - {QC_WEIGHT_RANGE // 2}
+         ) AS BIGINT) AS logit_int
+  FROM t GROUP BY doc_id
+)
+SELECT doc_id,
+       logit_int,
+       ROUND(1.0 / (1.0 + EXP(-logit_int / {QC_LOGIT_SCALE}.0)), 4) AS score,
+       logit_int > 0 AS keep
+FROM z
+""",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based document quality gate in the fastText/CCNet shape
+    (Joulin et al. 2017; Wenzek et al. 2020): hashing-trick bag-of-
+    words features → linear logit → sigmoid score → keep flag.
+
+    The entire scorer is ONE codegen'd projection with ZERO shuffle
+    and zero Python: per token, bucket = md5_32('f:'‖term) mod {QC_DIM}
+    and weight w = md5_32('w:'‖bucket) mod {QC_WEIGHT_RANGE} − {QC_WEIGHT_RANGE // 2};
+    the logit is an integer F.aggregate fold over the token array
+    (order-independent by construction), so the gate decision
+    (logit > 0) is bit-deterministic across engines, partitionings,
+    and retries. Only the displayed sigmoid touches floating point:
+    z/2^12 is dyadic-exact, one EXP per doc, rounded 4 dp (the BM25
+    libm-ulp discipline).
+
+    At 100 TB this is the cheapest possible model gate: map-side over
+    the corpus scan, no vocabulary state (hashing trick — Weinberger
+    et al. 2009, same discipline as q_feature_hash), weights either
+    inlined (here) or a broadcast {QC_DIM}-row table for a real
+    trained model. Reference parity: generalizes the reference's
+    boolean validity gate (/root/reference/main.py:141-166) from
+    field checks to learned content scoring."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+
+    def weight(term):
+        bucket = (md5_32(F.concat(F.lit("f:"), term)) % QC_DIM).cast("string")
+        return md5_32(F.concat(F.lit("w:"), bucket)) % QC_WEIGHT_RANGE - QC_WEIGHT_RANGE // 2
+
+    logit = F.aggregate(
+        F.transform(toks, weight), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        docs.withColumn("logit_int", logit)
+        .select(
+            "doc_id",
+            "logit_int",
+            F.round(
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-F.col("logit_int") / F.lit(float(QC_LOGIT_SCALE)))),
+                4,
+            ).alias("score"),
+            (F.col("logit_int") > 0).alias("keep"),
+        )
     )

@@ -47,6 +47,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
 from grader_etl_spark.operators.text_analysis import tokens
@@ -119,4 +120,153 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("freq") * HH_K > F.col("n"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("term", "freq", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_count_min — Count-Min sketch point queries, exactness-audited
+# ---------------------------------------------------------------------------
+
+# d=4 hash rows × w=64 buckets. w is deliberately SMALL relative to the
+# fixture vocabulary so collisions actually occur and the overcount
+# column exercises the CM guarantee (est ≥ true; est ≤ true + εn w.h.p.).
+CMS_D = 4
+CMS_W = 64
+
+# Pinned probe terms: frequent fixture terms + one absent term (its
+# nonzero estimate, if any, is pure collision mass — the clearest
+# demonstration of the one-sided error).
+CMS_PROBES = ("join", "hash", "row", "batch", "scan", "zz_absent_term")
+
+
+def _cms_bucket_sql(row: str, term: str) -> str:
+    """DuckDB twin of the Spark bucket expression."""
+    h = MD5_32_SQL.format(expr=f"CAST({row} AS VARCHAR) || ':' || {term}")
+    return f"({h}) % {CMS_W}"
+
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+),
+rs AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(r)),
+cells AS (
+  SELECT r, {_cms_bucket_sql('r', 'term')} AS b FROM toks CROSS JOIN rs
+),
+sketch AS (SELECT r, b, COUNT(*) AS cnt FROM cells GROUP BY r, b),
+probes AS (
+  SELECT * FROM (VALUES {', '.join(f"('{t}')" for t in CMS_PROBES)}) AS p(term)
+),
+pc AS (
+  SELECT term, r, {_cms_bucket_sql('r', 'term')} AS b FROM probes CROSS JOIN rs
+),
+est AS (
+  SELECT term, MIN(COALESCE(cnt, 0)) AS cm_est
+  FROM pc LEFT JOIN sketch USING (r, b) GROUP BY term
+),
+ex AS (
+  SELECT p.term, COUNT(t.term) AS freq
+  FROM probes p LEFT JOIN toks t ON p.term = t.term GROUP BY p.term
+)
+SELECT est.term,
+       CAST(cm_est AS BIGINT)          AS cm_est,
+       CAST(freq AS BIGINT)            AS exact_freq,
+       CAST(cm_est - freq AS BIGINT)   AS overcount
+FROM est JOIN ex ON est.term = ex.term
+"""
+
+
+@query("q_count_min", oracle=_CMS_ORACLE)
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) point queries
+    over the token stream, audited against exact counts.
+
+    The sketch is a {CMS_D}×{CMS_W} integer grid: every token
+    increments one bucket per hash row, and a point query reads the
+    MIN of its {CMS_D} buckets — never an undercount, overcount
+    bounded by collision mass. As a DataFrame plan the grid IS a
+    bounded groupBy: explode each token into its {CMS_D} (row, bucket)
+    cells map-side, then aggregate — the shuffle carries at most
+    d·w = {CMS_D * CMS_W} cells per partition after partial
+    aggregation, CONSTANT in vocabulary size. That is the entire
+    point at 100 TB: exact per-term counting shuffles the vocabulary
+    (unbounded, skewed); the sketch shuffles a fixed grid, and
+    estimates for any later probe set cost a broadcast lookup, not a
+    corpus rescan.
+
+    The probe side here also computes exact counts (one extra
+    broadcast semi-join) so the output exposes the realized
+    overcount per probe — the calibration view a pipeline owner
+    checks before trusting the sketch where the exact pass is
+    unaffordable (same audit discipline as q_minhash_calibration).
+    Buckets use the cross-engine md5_32 hash, so the whole pipeline —
+    sketch, probe, error — is integer-deterministic and fully
+    hash-oracled despite being an approximation structure.
+
+    Reference parity: none (the reference counts exactly in one
+    Python list, /root/reference/main.py:128); this is the bounded-
+    memory swap mandated by the north-star scale target."""
+    docs = load(spark, sf_dir, "documents", columns=["text"])
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+
+    def bucket(row: int, term):
+        return (
+            md5_32(F.concat(F.lit(f"{row}:"), term)) % CMS_W
+        ).cast("long")
+
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("r"),
+                        bucket(j, F.col("term")).alias("b"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("cell")
+    ).select(F.col("cell.r").alias("r"), F.col("cell.b").alias("b"))
+    sketch = cells.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+    probe = spark.range(len(CMS_PROBES)).select(
+        F.element_at(
+            F.array(*[F.lit(t) for t in CMS_PROBES]), (F.col("id") + 1).cast("int")
+        ).alias("term")
+    )
+    pc = probe.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("r"),
+                        bucket(j, F.col("term")).alias("b"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("term", F.col("cell.r").alias("r"), F.col("cell.b").alias("b"))
+    est = (
+        pc.join(F.broadcast(sketch), ["r", "b"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cm_est"))
+    )
+    # A left-join miss must report exact_freq = 0, so count a marker
+    # column from the token side (count() skips its nulls), not the
+    # join key itself (never null).
+    exact = (
+        probe.join(toks.withColumn("__one", F.lit(1)), "term", "left")
+        .groupBy("term")
+        .agg(F.count("__one").cast("long").alias("freq"))
+    )
+    return (
+        est.join(exact, "term")
+        .select(
+            "term",
+            "cm_est",
+            F.col("freq").alias("exact_freq"),
+            (F.col("cm_est") - F.col("freq")).cast("long").alias("overcount"),
+        )
     )

@@ -93,3 +93,21 @@ def test_minhash_calibration_estimator_properties(spark, sf_dir):
     # error should sit well inside the 1/sqrt(64) standard error.
     mean_err = sum(r["abs_err"] for r in rows) / len(rows)
     assert mean_err < 0.125
+
+
+def test_prefix_filter_is_lossless_vs_plain_jaccard(spark, sf_dir):
+    """q_neardup_prefix (prefix-filtered candidates) must return
+    EXACTLY the plain inverted-index pairs at J >= 1/2 — the
+    prefix-filtering lemma in executable form."""
+    from grader_etl_spark.operators.llm_dedup import q_neardup_jaccard, q_neardup_prefix
+
+    plain = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in q_neardup_jaccard(spark, sf_dir).collect()
+        if r["jaccard"] >= 0.5
+    }
+    pref = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in q_neardup_prefix(spark, sf_dir).collect()
+    }
+    assert pref == plain

@@ -131,6 +131,7 @@ _LITERAL_TABLE_OK = {
     "q_bpe_train",    # localCheckpoints the word-count frame between merge rounds
     "q_minhash_calibration",  # shingle-memo consumer (checkpointed index)
     "q_dedup_keeper",  # serves the session cluster memo (checkpointed components)
+    "q_neardup_prefix",  # shingle-memo consumer (checkpointed index)
 }
 
 

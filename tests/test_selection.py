@@ -201,3 +201,35 @@ def test_corpus_datasheet_consistency(spark, sf_dir):
     assert r["vocab_size"] <= r["n_tokens"]
     assert r["n_langs"] >= 1 and r["n_sources"] >= 1
     assert abs(r["mean_doc_tokens"] - round(r["n_tokens"] / r["n_docs"], 2)) < 1e-9
+
+
+def test_quality_classifier_gate_is_integer_consistent(spark, sf_dir):
+    import grader_etl_spark.operators.selection as sel
+
+    rows = sel.q_quality_classifier(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["keep"] == (r["logit_int"] > 0)
+        assert 0.0 <= r["score"] <= 1.0
+        # sigmoid(z) > 1/2 iff z > 0 — the float display agrees with
+        # the integer decision away from the rounding boundary.
+        if abs(r["logit_int"]) > 10:
+            assert (r["score"] > 0.5) == r["keep"]
+
+
+def test_quality_classifier_matches_pure_python(spark, sf_dir):
+    import grader_etl_spark.operators.selection as sel
+    from grader_etl_spark.functions.hashing import md5_32_py
+    from grader_etl_spark.io import load
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents", columns=["doc_id", "text"]).collect()
+    }
+    got = {r["doc_id"]: r["logit_int"] for r in sel.q_quality_classifier(spark, sf_dir).collect()}
+    for doc_id, text in docs.items():
+        z = 0
+        for t in text.strip().split():
+            b = md5_32_py(f"f:{t}") % sel.QC_DIM
+            z += md5_32_py(f"w:{b}") % sel.QC_WEIGHT_RANGE - sel.QC_WEIGHT_RANGE // 2
+        assert got[doc_id] == z, doc_id

@@ -58,3 +58,36 @@ def test_heavy_hitters_end_to_end_exact(spark, monkeypatch):
         key=lambda kv: (-kv[1], kv[0]),
     )
     assert got == [(t, c, i + 1) for i, (t, c) in enumerate(want)]
+
+
+def test_count_min_one_sided_and_exact_probe(spark, sf_dir):
+    rows = {r["term"]: r for r in sk.q_count_min(spark, sf_dir).collect()}
+    assert set(rows) == set(sk.CMS_PROBES)
+    for term, r in rows.items():
+        # CM guarantee: never an undercount.
+        assert r["cm_est"] >= r["exact_freq"], term
+        assert r["overcount"] == r["cm_est"] - r["exact_freq"]
+    # The absent probe really is absent from the corpus.
+    assert rows["zz_absent_term"]["exact_freq"] == 0
+
+
+def test_count_min_matches_pure_python(spark, sf_dir):
+    """Replay the sketch in pure Python on the same tokens: the grid,
+    the estimates, everything is integer-deterministic."""
+    import collections
+
+    from grader_etl_spark.functions.hashing import md5_32_py
+    from grader_etl_spark.io import load
+
+    texts = [r["text"] for r in load(spark, sf_dir, "documents", columns=["text"]).collect()]
+    toks = [t for x in texts for t in x.strip().split()]
+    grid: collections.Counter = collections.Counter()
+    for t in toks:
+        for j in range(sk.CMS_D):
+            grid[(j, md5_32_py(f"{j}:{t}") % sk.CMS_W)] += 1
+    exact = collections.Counter(toks)
+    got = {r["term"]: r for r in sk.q_count_min(spark, sf_dir).collect()}
+    for term in sk.CMS_PROBES:
+        want_est = min(grid[(j, md5_32_py(f"{j}:{term}") % sk.CMS_W)] for j in range(sk.CMS_D))
+        assert got[term]["cm_est"] == want_est, term
+        assert got[term]["exact_freq"] == exact[term]
