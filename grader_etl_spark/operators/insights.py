@@ -1033,3 +1033,82 @@ def q_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("tq") - F.col("tp")) - (F.col("cq") - F.col("cp")), 6).alias("did_lift"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_yoy_revenue — year-over-year revenue growth per nation (G52)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_yoy_revenue",
+    oracle="""
+WITH rev AS (
+  SELECT n_name,
+         CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, o_year,
+       CAST(revenue AS DOUBLE) AS revenue,
+       CAST(LAG(revenue) OVER (PARTITION BY n_name ORDER BY o_year) AS DOUBLE)
+         AS prev_revenue,
+       ROUND(
+         CAST(revenue AS DOUBLE)
+           / CAST(LAG(revenue) OVER (PARTITION BY n_name ORDER BY o_year) AS DOUBLE)
+           - 1.0,
+         4) AS yoy_growth
+FROM rev
+""",
+)
+def q_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the growth-
+    accounting readout next to G21's within-series trend slope.
+
+    Plan shape: the fact spine (lineitem⋈orders) carries only the
+    revenue columns plus the year; customer and nation ride
+    broadcasts. The input collapses to |nations|×|years| rows in ONE
+    partial-aggregated shuffle before the lag window touches it, so
+    the window sort is free at any fact scale. Revenue accumulates in
+    DECIMAL (order-independent, bit-equal cross-engine); the growth
+    ratio is one float division of identical decimals, rounded 4 dp.
+    First year per nation reports NULL growth (no prior), matching
+    SQL LAG semantics."""
+    li = load(
+        spark, sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nat = load(spark, sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    dec = "decimal(18,2)"
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.year(F.to_date("o_orderdate")).cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(dec) * (F.lit(1) - F.col("l_discount").cast(dec))
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return rev.select(
+        "n_name",
+        "o_year",
+        F.col("revenue").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        F.round(F.col("revenue").cast("double") / prev.cast("double") - 1.0, 4).alias(
+            "yoy_growth"
+        ),
+    )

@@ -15,7 +15,7 @@ joined against one broadcast total row.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
 from grader_etl_spark.io import load
@@ -267,4 +267,108 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.groupBy(F.col("feature_idx").cast("long").alias("feature_idx")).agg(
         F.sum("sign").cast("long").alias("weight"),
         F.count(F.lit(1)).alias("n_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_concat_chunks — GPT-style concat-and-chunk packing plan (L89)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 256  # fixed training-window length
+
+
+@query(
+    "q_concat_chunks",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         {MD5_32_SQL.format(expr="CONCAT('shard:', doc_id)")} % {N_SHARDS} AS shard_id,
+         {MD5_32_SQL.format(expr="CONCAT('order:', doc_id)")}              AS sort_key,
+         length(string_split_regex(trim(text), '\\s+')) AS n_toks
+  FROM documents
+),
+o AS (
+  SELECT *,
+         CAST(COALESCE(SUM(n_toks) OVER (
+           PARTITION BY shard_id ORDER BY sort_key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+  FROM d
+),
+e AS (
+  SELECT shard_id, doc_id, start_off, start_off + n_toks AS end_off,
+         unnest(generate_series(start_off // {CHUNK_TOKENS},
+                                (start_off + n_toks - 1) // {CHUNK_TOKENS})) AS chunk_id
+  FROM o WHERE n_toks > 0
+)
+SELECT shard_id,
+       chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST(end_off, (chunk_id + 1) * {CHUNK_TOKENS})
+                - GREATEST(start_off, chunk_id * {CHUNK_TOKENS})) AS BIGINT) AS n_tokens,
+       arg_min(doc_id, start_off) AS first_doc,
+       arg_max(doc_id, start_off) AS last_doc
+FROM e
+GROUP BY shard_id, chunk_id
+""",
+)
+def q_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing plan (the GPT-series recipe): shard
+    the corpus, concatenate each shard's documents in its
+    deterministic shuffle order, and cut fixed {CHUNK_TOKENS}-token
+    training windows straight across document boundaries. The output
+    is the chunk→document map a data loader needs: how many docs each
+    window spans, its token fill (always {CHUNK_TOKENS} except each
+    shard's final window), and the boundary documents.
+
+    This is the zero-padding alternative to L33's per-group bin
+    packing (q_pack_sequences): no packing decisions, no wasted
+    slots, at the cost of split documents — exactly the trade-off the
+    two operators let a pipeline owner measure against each other.
+
+    Scale shape: offsets come from ONE window cumsum per SHARD (the
+    same shard/order keys as q_corpus_shards, so chunking is
+    consistent with the written layout) — never a global sort; a
+    shard is the writer-parallelism unit, so the per-shard sort is
+    the sort the writer pays anyway. The chunk-span explode emits
+    n_toks/{CHUNK_TOKENS}+1 rows per doc (bounded by corpus token
+    volume over the window length), and every column is integer
+    arithmetic on the cross-engine hash order — the whole plan is
+    hash-oracled. Reference parity: none (no training prep in the
+    reference); north-star extension per BASELINE.json."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    d = docs.select(
+        "doc_id",
+        (md5_32(F.concat(F.lit("shard:"), F.col("doc_id"))) % N_SHARDS).alias("shard_id"),
+        md5_32(F.concat(F.lit("order:"), F.col("doc_id"))).alias("sort_key"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("sort_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = (
+        d.withColumn("start_off", F.coalesce(F.sum("n_toks").over(w), F.lit(0)).cast("long"))
+        .withColumn("end_off", F.col("start_off") + F.col("n_toks"))
+        .filter(F.col("n_toks") > 0)
+    )
+    e = o.select(
+        "shard_id",
+        "doc_id",
+        "start_off",
+        "end_off",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_off div {CHUNK_TOKENS}"),
+                F.expr(f"(end_off - 1) div {CHUNK_TOKENS}"),
+            )
+        ).alias("chunk_id"),
+    )
+    lo = F.greatest(F.col("start_off"), F.col("chunk_id") * CHUNK_TOKENS)
+    hi = F.least(F.col("end_off"), (F.col("chunk_id") + 1) * CHUNK_TOKENS)
+    return e.groupBy("shard_id", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(hi - lo).cast("long").alias("n_tokens"),
+        F.min_by("doc_id", "start_off").alias("first_doc"),
+        F.max_by("doc_id", "start_off").alias("last_doc"),
     )

@@ -1286,3 +1286,82 @@ def q_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("k") * -F.log(p)) / F.sum("k"), 4).alias("mean_neg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ccnet_buckets — per-language LM-score terciles (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ccnet_buckets",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS c FROM tf GROUP BY term),
+tot AS (SELECT sum(c) AS t FROM vocab),
+lp AS (
+  SELECT doc_id, round(sum(tf * -ln(c / t)) / sum(tf), 4) AS mean_neg_logprob
+  FROM tf JOIN vocab USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       d.lang,
+       lp.mean_neg_logprob,
+       CASE NTILE(3) OVER (PARTITION BY d.lang
+                           ORDER BY lp.mean_neg_logprob, d.doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM documents d JOIN lp ON d.doc_id = lp.doc_id
+""",
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): within
+    each LANGUAGE, rank documents by their LM quality proxy (the
+    corpus-unigram mean surprisal of q_unigram_logprob) and cut
+    head/middle/tail terciles. Per-language ranking is the point —
+    an absolute threshold would class entire low-resource languages
+    as tail; the tercile gate is how CCNet keeps quality filtering
+    from becoming language filtering (same per-source discipline as
+    q_score_calibration, specialized to the published CCNet recipe).
+
+    Scale shape: the LM-score subquery is q_unigram_logprob's plan
+    (one explode pass, vocab-sized model broadcast back); bucketing
+    adds ONE lang-partitioned NTILE window (per-partition sort, no
+    global sort). Cross-engine determinism: the window orders by the
+    ROUNDED score (4 dp — the granularity at which both engines
+    bit-agree) with doc_id tie-break, so tercile boundaries cannot
+    flip. A trained KenLM swaps into the score join without touching
+    the bucketing plan."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").cast("double").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("t"))
+    lp = (
+        tf.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * -F.log(F.col("c") / F.col("t"))) / F.sum("tf"), 4
+            ).alias("mean_neg_logprob")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("mean_neg_logprob", "doc_id")
+    tile = F.ntile(3).over(w)
+    return (
+        docs.select("doc_id", "lang")
+        .join(lp, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "mean_neg_logprob",
+            F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail").alias("bucket"),
+        )
+    )

@@ -104,3 +104,27 @@ def test_interp_logprob_smooths_rare_continuations(spark, sf_dir):
     for d, r in interp.items():
         assert r["n_bigrams"] >= 1
         assert 0 < r["mean_neg_logprob"] <= mle[d] + math.log(4 / 3) + 1e-3
+
+
+def test_ccnet_buckets_are_per_lang_terciles(spark, sf_dir):
+    import collections
+
+    from grader_etl_spark.operators.text_analysis import q_ccnet_buckets
+
+    rows = q_ccnet_buckets(spark, sf_dir).collect()
+    assert rows
+    by_lang = collections.defaultdict(list)
+    for r in rows:
+        assert r["bucket"] in ("head", "middle", "tail")
+        by_lang[r["lang"]].append(r)
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        counts = collections.Counter(r["bucket"] for r in rs)
+        # NTILE(3): bucket sizes differ by at most 1.
+        assert max(counts.values()) - min(counts.values()) <= 1, lang
+        # Score ordering respects buckets: every head score <= every
+        # tail score (ties broken by doc_id inside NTILE).
+        if counts["head"] and counts["tail"]:
+            assert max(r["mean_neg_logprob"] for r in rs if r["bucket"] == "head") <= min(
+                r["mean_neg_logprob"] for r in rs if r["bucket"] == "tail"
+            ), lang
