@@ -161,3 +161,75 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_events_24h"),
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_value_24h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_topk_two_phase — hierarchical per-group top-k (O5)
+# ---------------------------------------------------------------------------
+
+TOPK_K = 5
+TOPK_SALTS = 32
+
+
+@query(
+    "q_topk_two_phase",
+    oracle=f"""
+SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= {TOPK_K}
+""",
+)
+def q_topk_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-{TOPK_K} via HIERARCHICAL (two-phase) selection —
+    the executable form of the hot-group swap documented on
+    q_topn_with_other, oracled against the plain one-window
+    semantics (the J10/V4 discipline: scale machinery, exact
+    contract).
+
+    Why not one window: ROW_NUMBER over (group) shuffles EVERY row to
+    its group's partition and sorts there — with few groups (here 5
+    priorities) that is 5 reducers sorting n/5 rows each at any
+    corpus size. Phase 1 instead ranks within (group, salt) where
+    salt = hash(key) mod {TOPK_SALTS}: the shuffle spreads each group
+    over {TOPK_SALTS} reducers, each sorting ~n/(groups·salts) rows,
+    and keeps only k — a lossless prune, since a global top-k row is
+    by definition top-k within its salt bucket. Phase 2 ranks the
+    ≤ groups × salts × k survivors — broadcast-sized forever. Both
+    phases are exact integer/decimal comparisons with the o_orderkey
+    tie-break, so the result equals the naive window bit-for-bit.
+
+    Reference parity: none (no ORDER BY in the reference,
+    /root/reference/main.py:278-289); standard relational layer
+    *(ext)* per SURVEY §2.6."""
+    from grader_etl_spark.functions.hashing import md5_32
+
+    od = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"])
+    salted = od.withColumn(
+        "salt", md5_32(F.concat(F.lit("salt:"), F.col("o_orderkey"))) % TOPK_SALTS
+    )
+    w1 = Window.partitionBy("o_orderpriority", "salt").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    survivors = (
+        salted.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= TOPK_K)
+        .drop("rk1", "salt")
+    )
+    w2 = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= TOPK_K)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "rk",
+        )
+    )

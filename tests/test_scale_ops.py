@@ -181,3 +181,38 @@ def test_holt_trend_matches_python_recursion(spark, sf_dir):
 
     got = {r["day"]: (r["level"], r["trend"]) for r in q_holt_trend(spark, sf_dir).collect()}
     assert got == expect
+
+
+def test_topk_two_phase_plan_and_equality(spark, sf_dir):
+    """Phase 1 must rank within (group, salt) — the plan's first
+    window sort includes the salt key — and the result must equal the
+    naive single-window top-k."""
+    import io as _io
+    import contextlib
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from grader_etl_spark.io import load
+    from grader_etl_spark.operators.windows import TOPK_K, q_topk_two_phase
+
+    got = {
+        (r["o_orderpriority"], r["o_orderkey"], r["rk"])
+        for r in q_topk_two_phase(spark, sf_dir).collect()
+    }
+    od = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    want = {
+        (r["o_orderpriority"], r["o_orderkey"], r["rk"])
+        for r in od.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOPK_K)
+        .collect()
+    }
+    assert got == want
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_topk_two_phase(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Window") >= 2
+    assert "salt" in plan
