@@ -140,3 +140,33 @@ def test_dedup_keeper_picks_best_quality_member(spark, sf_dir):
     assert got == expect
     for r in q_dedup_keeper(spark, sf_dir).collect():
         assert r["cluster_size"] >= 2
+
+
+def test_kcore_converged_and_matches_python_peel(spark, sf_dir):
+    """The pinned-round peel must have reached the fixpoint, and the
+    core must equal a pure-Python sequential peel (peeling is
+    order-independent)."""
+    import collections
+
+    from grader_etl_spark.operators.graph import KCORE_K, q_kcore
+    from grader_etl_spark.operators.llm_dedup import q_neardup_jaccard
+
+    edges = [
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in q_neardup_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2").collect()
+    ]
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    # Sequential peel to fixpoint.
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < KCORE_K]:
+            for u in adj.pop(v):
+                adj[u].discard(v)
+            changed = True
+    want = {v: len(ns) for v, ns in adj.items() if ns}
+    got = {r["doc_id"]: r["core_degree"] for r in q_kcore(spark, sf_dir).collect()}
+    assert got == want
