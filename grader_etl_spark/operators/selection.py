@@ -607,6 +607,23 @@ QC_WEIGHT_RANGE = 1024  # w(b) ∈ [-512, 511]
 QC_LOGIT_SCALE = 4096   # dyadic logit divisor (z/2^12 is float-exact)
 
 
+def quality_logit(text):
+    """The shared scorer expression: integer logit of the hashed-
+    feature linear model over whitespace tokens — one codegen'd
+    aggregate fold, usable identically in batch queries and
+    Structured Streaming projections (stateless, so it is
+    streaming-safe by construction)."""
+    toks = F.split(F.trim(text), r"\s+")
+
+    def weight(term):
+        bucket = (md5_32(F.concat(F.lit("f:"), term)) % QC_DIM).cast("string")
+        return md5_32(F.concat(F.lit("w:"), bucket)) % QC_WEIGHT_RANGE - QC_WEIGHT_RANGE // 2
+
+    return F.aggregate(
+        F.transform(toks, weight), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
 @query(
     "q_quality_classifier",
     oracle=f"""
@@ -651,17 +668,8 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     boolean validity gate (/root/reference/main.py:141-166) from
     field checks to learned content scoring."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-
-    def weight(term):
-        bucket = (md5_32(F.concat(F.lit("f:"), term)) % QC_DIM).cast("string")
-        return md5_32(F.concat(F.lit("w:"), bucket)) % QC_WEIGHT_RANGE - QC_WEIGHT_RANGE // 2
-
-    logit = F.aggregate(
-        F.transform(toks, weight), F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
     return (
-        docs.withColumn("logit_int", logit)
+        docs.withColumn("logit_int", quality_logit(F.col("text")))
         .select(
             "doc_id",
             "logit_int",

@@ -283,3 +283,22 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "appe
     )
     q.awaitTermination()
     return q
+
+
+def curated_doc_stream(docs: DataFrame) -> DataFrame:
+    """Streaming corpus curation gate: the L87 hashed-feature linear
+    classifier applied to a DOCUMENT stream. The scorer is the exact
+    batch expression (operators/selection.quality_logit — one
+    codegen'd integer fold, stateless), so batch and streaming share
+    one scoring definition by construction: the Spark property that a
+    logical-plan fragment is source-agnostic. Stateless projection +
+    filter ⇒ no watermark, no state store; at production scale this
+    runs map-side on the ingest stream and only survivors reach the
+    (stateful) dedup and the store."""
+    from grader_etl_spark.operators.selection import quality_logit
+
+    return (
+        docs.withColumn("logit_int", quality_logit(F.col("text")))
+        .filter(F.col("logit_int") > 0)
+        .select("doc_id", "lang", "source", "logit_int")
+    )

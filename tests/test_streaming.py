@@ -272,3 +272,36 @@ def test_dedup_within_watermark_collapses_retried_keys(spark, tmp_path):
         ("u2", T0 + dt.timedelta(hours=1)),
         ("u3", T0),
     }
+
+
+def test_curated_doc_stream_matches_batch(spark, tmp_path):
+    """Streaming quality gate == batch classifier filter on the same
+    landed documents (stateless parity)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, LongType
+
+    from grader_etl_spark.io import load
+    from grader_etl_spark.operators.selection import quality_logit
+    from grader_etl_spark.streaming.jobs import curated_doc_stream, file_stream, run_to_memory_sink
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    landing = str(tmp_path / "docs_landing")
+    # Land in two files to exercise multi-batch discovery.
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(landing)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = file_stream(spark, landing, docs.schema)
+    got_q = run_to_memory_sink(curated_doc_stream(stream), "curated_docs")
+    try:
+        rows = spark.sql("SELECT * FROM curated_docs").collect()
+    finally:
+        got_q.stop()
+    got = {(r["doc_id"], r["logit_int"]) for r in rows}
+
+    want = {
+        (r["doc_id"], r["logit_int"])
+        for r in docs.withColumn("logit_int", quality_logit(F.col("text")))
+        .filter(F.col("logit_int") > 0)
+        .collect()
+    }
+    assert got == want and got
