@@ -850,3 +850,149 @@ def q_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cramers_v — dependence EFFECT SIZE next to G23's test statistic (G54)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cramers_v",
+    oracle="""
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS DOUBLE) AS o FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT lang, source, o,
+         sum(o) OVER (PARTITION BY lang)   AS rt,
+         sum(o) OVER (PARTITION BY source) AS ct,
+         sum(o) OVER ()                    AS n
+  FROM cells
+),
+stat AS (
+  SELECT sum((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n)) AS chi2,
+         CAST(count(DISTINCT lang) AS BIGINT)   AS r,
+         CAST(count(DISTINCT source) AS BIGINT) AS c,
+         sum(o) AS n
+  FROM tot GROUP BY ()
+)
+SELECT round(chi2, 4)                                   AS chi2,
+       round(sqrt(chi2 / (n * (least(r, c) - 1))), 4)   AS cramers_v,
+       r AS n_rows, c AS n_cols, CAST(n AS BIGINT)      AS n_docs
+FROM stat
+""",
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for lang × source — the EFFECT SIZE companion to
+    G23's chi-square: the test statistic grows with n (any real
+    dependence becomes 'significant' at corpus scale), while
+    V = sqrt(chi2 / (n·(min(r,c)−1))) ∈ [0,1] answers the question a
+    mixture owner actually has — HOW MUCH does source determine
+    language. Same plan as G23 (one cell aggregate + margin windows
+    over the |langs|×|sources| frame, free at any scale); sqrt is
+    IEEE-exact and the two outputs round 4 dp."""
+    docs = load(spark, sf_dir, "documents", columns=["lang", "source"])
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("double").alias("o"))
+    rt = F.sum("o").over(Window.partitionBy("lang"))
+    ct = F.sum("o").over(Window.partitionBy("source"))
+    n = F.sum("o").over(Window.partitionBy())
+    tot = cells.select("lang", "source", "o", rt.alias("rt"), ct.alias("ct"), n.alias("n"))
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    stat = tot.agg(
+        F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
+        F.countDistinct("lang").cast("long").alias("r"),
+        F.countDistinct("source").cast("long").alias("c"),
+        F.sum("o").alias("n"),
+    )
+    return stat.select(
+        F.round("chi2", 4).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - 1))), 4
+        ).alias("cramers_v"),
+        F.col("r").alias("n_rows"),
+        F.col("c").alias("n_cols"),
+        F.col("n").cast("long").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_runs_test — Wald–Wolfowitz randomness probe on the daily series (G55)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_runs_test",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem GROUP BY 1
+),
+med AS (
+  SELECT MIN(rev) AS m FROM (
+    SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, d) AS rk, COUNT(*) OVER () AS n
+    FROM daily
+  ) WHERE 2 * rk >= n + 1
+),
+signs AS (
+  SELECT d, CASE WHEN rev > m THEN 1 ELSE 0 END AS s
+  FROM daily CROSS JOIN med WHERE rev <> m
+),
+runs AS (
+  SELECT s, CASE WHEN LAG(s) OVER (ORDER BY d) IS DISTINCT FROM s THEN 1 ELSE 0 END AS brk
+  FROM signs
+)
+SELECT CAST(SUM(brk) AS BIGINT)                          AS n_runs,
+       CAST(SUM(s) AS BIGINT)                            AS n_above,
+       CAST(COUNT(*) - SUM(s) AS BIGINT)                 AS n_below,
+       round((SUM(brk) - (2.0 * SUM(s) * (COUNT(*) - SUM(s)) / COUNT(*) + 1))
+             / sqrt((2.0 * SUM(s) * (COUNT(*) - SUM(s))
+                     * (2.0 * SUM(s) * (COUNT(*) - SUM(s)) - COUNT(*)))
+                    / (CAST(COUNT(*) AS DOUBLE) * COUNT(*) * (COUNT(*) - 1))), 4) AS z
+FROM runs
+""",
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily revenue series: is the
+    above/below-median sign sequence random, or does it cluster
+    (momentum/regime behavior the i.i.d. assumptions behind G28's
+    A/B test and G50's bootstrap would violate)? The fact table
+    collapses to |days| DECIMAL-exact rows first; the discrete median
+    is the G35 ranked idiom (value at rank ⌈n/2⌉, never interpolated,
+    median-equal days excluded per the classical test); run counting
+    is one lag window over the day-ordered sign sequence — |days|
+    rows, so the window is free. All counts integer; the z statistic
+    is computed from those integers in identical op order both
+    engines, rounded 4 dp."""
+    li = load(spark, sf_dir, "lineitem", columns=["l_shipdate", "l_extendedprice"])
+    daily = (
+        li.groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    wr = Window.orderBy("rev", "d")
+    ranked = daily.select(
+        "d", "rev", F.row_number().over(wr).alias("rk"), F.count(F.lit(1)).over(Window.partitionBy()).alias("n")
+    )
+    med = ranked.filter(2 * F.col("rk") >= F.col("n") + 1).agg(F.min("rev").alias("m"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("m"))
+        .select("d", F.when(F.col("rev") > F.col("m"), 1).otherwise(0).alias("s"))
+    )
+    wd = Window.orderBy("d")
+    runs = signs.select(
+        "s",
+        F.when(~F.lag("s").over(wd).eqNullSafe(F.col("s")), 1).otherwise(0).alias("brk"),
+    )
+    na = F.sum("s").cast("double")
+    nb = (F.count(F.lit(1)) - F.sum("s")).cast("double")
+    nn = F.count(F.lit(1)).cast("double")
+    mu = 2.0 * na * nb / nn + 1
+    var = (2.0 * na * nb * (2.0 * na * nb - nn)) / (nn * nn * (nn - 1))
+    return runs.agg(
+        F.sum("brk").cast("long").alias("n_runs"),
+        F.sum("s").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n_below"),
+        F.round((F.sum("brk") - mu) / F.sqrt(var), 4).alias("z"),
+    )
