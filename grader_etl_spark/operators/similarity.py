@@ -657,3 +657,74 @@ def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_label").cast("long").alias("true_label"),
         F.col("predicted").cast("long").alias("predicted"),
     ).agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+# ---------------------------------------------------------------------------
+# q_hard_negatives — contrastive-training negative mining (L91)
+# ---------------------------------------------------------------------------
+
+HN_K = 5  # hard negatives per query
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id  AS query_id,
+         q.label   AS query_label,
+         c.vec_id  AS negative_id,
+         c.label   AS negative_label,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_dot_product(q.v, c.v)
+                    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                    c.vec_id
+         ) AS rank
+  FROM q JOIN e c ON q.label != c.label
+)
+SELECT query_id, query_label, negative_id, negative_label, rank, cosine
+FROM scored WHERE rank <= {HN_K}
+""",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training (the DPR/SimCSE
+    data-prep step): for each query vector, the {HN_K} most cosine-
+    similar vectors with a DIFFERENT label — near the decision
+    boundary, which is exactly what makes them informative negatives;
+    random negatives are trivially separable and teach nothing.
+
+    Plan shape: q_ann_cosine's broadcast-query brute-force scorer
+    with the label inequality applied IN the join condition (a
+    negative candidate is filtered before ranking, not after — the
+    rank window sees only eligible pairs). At scale the scorer swaps
+    for the IVF path exactly as q_ann_cosine→q_ann_ivf documents:
+    probe nprobe cells, drop same-label candidates in the cell, rank
+    the rest; the label filter commutes with cell pruning. Label here
+    stands in for the positive-pair relation (same-document spans,
+    query-passage links) — swapping the relation changes the join
+    key, not the plan."""
+    e = fan_out(load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])).select(
+        "vec_id", "label", _as_double_array(F.col("embedding")).alias("v")
+    )
+    qs = e.filter(F.col("vec_id") < N_QUERIES)
+    cos = dot(F.col("q.v"), F.col("c.v")) / (F.col("q.norm") * F.col("c.norm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("negative_id"))
+    return (
+        with_norm(e).alias("c")
+        .join(F.broadcast(with_norm(qs).alias("q")), F.col("q.label") != F.col("c.label"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("q.label").alias("query_label"),
+            F.col("c.vec_id").alias("negative_id"),
+            F.col("c.label").alias("negative_label"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= HN_K)
+    )
