@@ -354,3 +354,70 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_wide_denorm — star-schema flattening for ML feature export (J11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_wide_denorm",
+    oracle="""
+SELECT o_orderkey,
+       o_custkey,
+       CAST(o_totalprice AS DOUBLE)                   AS order_value,
+       o_orderpriority,
+       CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT)  AS order_year,
+       CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS order_month,
+       c_mktsegment,
+       CAST(c_acctbal AS DOUBLE)                      AS customer_balance,
+       n_name                                         AS customer_nation,
+       r_name                                         AS customer_region
+FROM orders
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+""",
+)
+def q_wide_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema DENORMALIZATION: flatten the orders fact with its
+    customer→nation→region dimension chain into one wide frame — the
+    feature-store/training-table export every ML pipeline runs before
+    a model ever sees the data (features must arrive as one row, not
+    a join the trainer performs).
+
+    Plan shape: the fact table streams through ONE scan; every
+    dimension rides a broadcast hash join (pinned in
+    tests/test_plans.py), so the flattening is map-side — zero fact
+    shuffle at any scale, output written straight to the partitioned/
+    sharded layouts in plans/. Date parts are derived in the same
+    projection (feature engineering belongs in the export, not the
+    trainer). Reference parity: the reference denormalizes implicitly
+    by storing one flat table (/root/reference/main.py:180-191); this
+    is that shape produced relationally."""
+    orders = load(
+        spark, sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority", "o_orderdate"],
+    )
+    cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"])
+    nat = load(spark, sf_dir, "nation", columns=["n_nationkey", "n_regionkey", "n_name"])
+    reg = load(spark, sf_dir, "region", columns=["r_regionkey", "r_name"])
+    d = F.to_date("o_orderdate")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("order_value"),
+            "o_orderpriority",
+            F.year(d).cast("long").alias("order_year"),
+            F.month(d).cast("long").alias("order_month"),
+            "c_mktsegment",
+            F.col("c_acctbal").cast("double").alias("customer_balance"),
+            F.col("n_name").alias("customer_nation"),
+            F.col("r_name").alias("customer_region"),
+        )
+    )

@@ -421,3 +421,12 @@ def test_mixture_temperature_single_scan(spark, sf_dir):
     tree = p.split("\n\n")[0]
     assert tree.count("Scan parquet") <= 2   # avail + total derive from one agg chain
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_wide_denorm_all_dims_broadcast(spark, sf_dir):
+    """The denormalization chain must be all-broadcast: three
+    BroadcastHashJoins, no SortMergeJoin, one fact scan."""
+    p = plan_of(spark, sf_dir, "q_wide_denorm")
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in tree
