@@ -279,13 +279,12 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
-    """DuckDB replay of the full MinHash+LSH pipeline. Every stage is
-    integer-deterministic (md5_32 base hash, affine perms mod p, band
-    strings, equi-join, exact-Jaccard verify), so the oracle is a true
-    value check, not a recall bound. The 64 MIN aggregates and 16 band
-    strings are generated from the same _PERM_A/_PERM_B/_MERSENNE_P
-    constants the Spark side uses."""
+def _minhash_ctes() -> str:
+    """Shared WITH-body replaying the MinHash+LSH pipeline in DuckDB
+    through the candidate stage: sh → hashed → sig → buckets → cands.
+    Every stage is integer-deterministic (md5_32 base hash, affine
+    perms mod p, band strings, equi-join), generated from the same
+    _PERM_A/_PERM_B/_MERSENNE_P constants the Spark side uses."""
     rows = MINHASH_PERMS // LSH_BANDS
     h = MD5_32_SQL.format(expr="s")
     mins = ",\n         ".join(
@@ -298,12 +297,7 @@ def _minhash_oracle() -> str:
         + ")"
         for i in range(LSH_BANDS)
     )
-    jac = (
-        "CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)"
-        " / (length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)))"
-    )
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
            range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {SHINGLE_K - 2}, 0)),
@@ -331,12 +325,25 @@ buckets AS (
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
   FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+
+
+_JAC_AB_SQL = (
+    "CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)"
+    " / (length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)))"
 )
-SELECT c.doc_id_1, c.doc_id_2, {jac} AS jaccard
+
+
+def _minhash_oracle() -> str:
+    """Full LSH pipeline + exact-Jaccard verify — a true value check,
+    not a recall bound (see _minhash_ctes)."""
+    return f"""
+WITH {_minhash_ctes()}
+SELECT c.doc_id_1, c.doc_id_2, {_JAC_AB_SQL} AS jaccard
 FROM cands c
 JOIN sh a ON a.doc_id = c.doc_id_1
 JOIN sh b ON b.doc_id = c.doc_id_2
-WHERE {jac} >= {_JACCARD_THRESHOLD}
+WHERE {_JAC_AB_SQL} >= {_JACCARD_THRESHOLD}
 """
 
 
@@ -996,4 +1003,67 @@ def q_neardup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.size("sset_1") + F.size("sset_2") - F.col("c"))
             ).alias("jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_minhash_prf — LSH candidate precision/recall vs exact truth (V9)
+# ---------------------------------------------------------------------------
+
+
+def _prf_oracle() -> str:
+    return f"""
+WITH {_minhash_ctes()},
+truth AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE {_JAC_AB_SQL} >= {_JACCARD_THRESHOLD}
+),
+conf AS (
+  SELECT CAST(COUNT(CASE WHEN c.doc_id_1 IS NOT NULL AND t.doc_id_1 IS NOT NULL THEN 1 END) AS BIGINT) AS tp,
+         CAST(COUNT(CASE WHEN c.doc_id_1 IS NOT NULL AND t.doc_id_1 IS NULL THEN 1 END) AS BIGINT)     AS fp,
+         CAST(COUNT(CASE WHEN c.doc_id_1 IS NULL AND t.doc_id_1 IS NOT NULL THEN 1 END) AS BIGINT)     AS fn
+  FROM cands c FULL OUTER JOIN truth t
+    ON c.doc_id_1 = t.doc_id_1 AND c.doc_id_2 = t.doc_id_2
+)
+SELECT tp, fp, fn,
+       ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+       ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall
+FROM conf
+"""
+
+
+@query("q_minhash_prf", oracle=_prf_oracle())
+def q_minhash_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-set PRECISION/RECALL of the MinHash-LSH operating
+    point against exact ground truth — the confusion-matrix
+    completion of q_minhash_calibration's per-pair error audit. FN
+    here is the number a production pipeline can never see once the
+    exact pass is retired (LSH misses are silent), which is exactly
+    why the audit runs at validation scale before the operating point
+    ships; FP measures wasted verification work, the knob the band
+    count trades against FN.
+
+    Cost shape: candidate pairs ride the session signature/banding
+    machinery; truth pairs ride the shared-shingle inverted index —
+    both already session-memoized; the confusion counts are one
+    full-outer pair join + one global aggregate. All counts integer
+    (hash-oracled); the two ratios are single divisions rounded 6 dp."""
+    sh = shingled_docs(spark, sf_dir)
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    truth = q_neardup_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    j = cands.withColumn("c", F.lit(1)).join(
+        truth.withColumn("t", F.lit(1)), ["doc_id_1", "doc_id_2"], "full_outer"
+    )
+    conf = j.agg(
+        F.count(F.when(F.col("c").isNotNull() & F.col("t").isNotNull(), 1)).cast("long").alias("tp"),
+        F.count(F.when(F.col("c").isNotNull() & F.col("t").isNull(), 1)).cast("long").alias("fp"),
+        F.count(F.when(F.col("c").isNull() & F.col("t").isNotNull(), 1)).cast("long").alias("fn"),
+    )
+    return conf.select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
     )

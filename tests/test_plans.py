@@ -133,6 +133,7 @@ _LITERAL_TABLE_OK = {
     "q_dedup_keeper",  # serves the session cluster memo (checkpointed components)
     "q_neardup_prefix",  # shingle-memo consumer (checkpointed index)
     "q_kcore",  # shingle-memo consumer + checkpointed peel rounds
+    "q_minhash_prf",  # shingle-memo consumer (checkpointed index)
 }
 
 
