@@ -233,3 +233,50 @@ def q_topk_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_window_navigation — navigation/distribution window breadth (W14)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_navigation",
+    oracle="""
+SELECT event_id,
+       user_id,
+       first_value(event_id) OVER w            AS first_event,
+       last_value(event_id)  OVER wful         AS last_event,
+       nth_value(event_id, 2) OVER wful        AS second_event,
+       ROUND(percent_rank() OVER w, 6)         AS pct_rank,
+       ROUND(cume_dist() OVER w, 6)            AS cume
+FROM events
+WINDOW w    AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+       wful AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14: navigation + distribution window breadth in ONE pass —
+    first/last/nth event per user plus each event's percent_rank and
+    cume_dist within its user's timeline. All seven outputs share a
+    single user_id shuffle and per-partition sort (one Window exec
+    chain); last/nth need the full-partition ROWS frame (SQL's
+    default frame stops at CURRENT ROW — the classic last_value
+    trap, made explicit here). Ordering is (integer epoch, event_id)
+    so ranks are total and engine-identical; the two distribution
+    functions are single divisions of identical integers, rounded
+    6 dp."""
+    ev = load(spark, sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    order = [F.unix_micros("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    wful = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(wful).alias("last_event"),
+        F.nth_value("event_id", 2).over(wful).alias("second_event"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
