@@ -996,3 +996,74 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n_below"),
         F.round((F.sum("brk") - mu) / F.sqrt(var), 4).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_theil_sen — robust trend slope beside G21's OLS (G56)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_theil_sen",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1998-01-01' AND DATE '1998-03-31'
+  GROUP BY 1
+),
+slopes AS (
+  SELECT ROUND((b.rev - a.rev) / (datediff('day', a.d, b.d)), 6) AS slope,
+         a.d AS d1, b.d AS d2
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+ranked AS (
+  SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, d1, d2) AS rk, COUNT(*) OVER () AS n
+  FROM slopes
+)
+SELECT MIN(CASE WHEN 2 * rk >= n + 1 THEN slope END)     AS median_slope,
+       CAST(MAX(n) AS BIGINT)                            AS n_pairs
+FROM ranked
+""",
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator over the daily revenue
+    series: the median of all pairwise day-to-day slopes — immune to
+    the outlier days that drag G21's OLS slope (29% breakdown point
+    vs OLS's zero).
+
+    Pairwise is affordable BECAUSE of the collapse order: the fact
+    table reduces to |days| DECIMAL-exact rows first (3 months ⇒ ≤90
+    rows ⇒ ≤4005 pairs — constant at any fact scale; an unbounded
+    calendar would cap the window or bucket it first, and the
+    docstring is the contract that says so). The pair self-join is a
+    theta-join on the TINY frame; the discrete median is the G35
+    ranked idiom over slopes pre-rounded 6 dp (ranking the rounded
+    value keeps the order — and thus the pick — engine-identical)."""
+    li = load(spark, sf_dir, "lineitem", columns=["l_shipdate", "l_extendedprice"]).filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    daily = (
+        li.groupBy(F.to_date("l_shipdate").alias("d"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("rev"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.round(
+            (F.col("b.rev") - F.col("a.rev")) / F.datediff(F.col("b.d"), F.col("a.d")), 6
+        ).alias("slope"),
+        F.col("a.d").alias("d1"),
+        F.col("b.d").alias("d2"),
+    )
+    wr = Window.orderBy("slope", "d1", "d2")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.min(F.when(2 * F.col("rk") >= F.col("n") + 1, F.col("slope"))).alias("median_slope"),
+        F.max("n").cast("long").alias("n_pairs"),
+    )
