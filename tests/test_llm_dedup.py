@@ -111,3 +111,37 @@ def test_prefix_filter_is_lossless_vs_plain_jaccard(spark, sf_dir):
         for r in q_neardup_prefix(spark, sf_dir).collect()
     }
     assert pref == plain
+
+
+def test_prefix_filter_lemma_holds_on_random_sets():
+    """Pure-Python property check of the prefix-filtering lemma with
+    OUR parameters (τ=1/2, prefix = sz div 2 + 1, (df asc, shingle)
+    order): any pair with Jaccard ≥ τ must share an element within
+    both prefixes — no Spark, validates the pruning rule itself."""
+    import collections
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    docs_st = st.lists(
+        st.sets(st.integers(min_value=0, max_value=40), min_size=1, max_size=20),
+        min_size=2,
+        max_size=12,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(docs=docs_st)
+    def check(docs):
+        df = collections.Counter(x for s in docs for x in s)
+        prefixes = []
+        for s in docs:
+            order = sorted(s, key=lambda x: (df[x], x))
+            prefixes.append(set(order[: len(s) // 2 + 1]))
+        for (s1, p1), (s2, p2) in itertools.combinations(zip(docs, prefixes), 2):
+            inter = len(s1 & s2)
+            j = inter / (len(s1) + len(s2) - inter)
+            if j >= 0.5:
+                assert p1 & p2, (s1, s2)
+
+    check()
