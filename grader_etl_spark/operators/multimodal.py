@@ -264,3 +264,78 @@ def q_multimodal_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     return decode_assets_arrow(assets_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_features — vectorized numpy feature extraction (L13c)
+# ---------------------------------------------------------------------------
+
+_FEATURES_SCHEMA = "doc_id bigint, byte_len int, n_spaces int, n_alpha int, mean_byte double"
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over raw payload BYTES with
+    numpy — the real (not faked) half of the multimodal kernel
+    surface: each Arrow batch's payloads are frombuffer'd and reduced
+    vectorized (histogram-style counts + mean), exactly the shape a
+    pixel-statistics or audio-energy extractor has once a codec
+    replaces frombuffer. No shuffle; Python cost ∝ bytes/partition."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                rows.append(
+                    (
+                        doc_id,
+                        int(b.size),
+                        int((b == 0x20).sum()),
+                        int(((b >= 0x61) & (b <= 0x7A)).sum()),
+                        # Quantize the mean in INTEGER arithmetic
+                        # (half-up at 4 dp): Python's round() is
+                        # half-even, DuckDB's ROUND is half-up, and a
+                        # sum/n landing exactly on .00005 flips
+                        # between them. floor((s·1e4 + n/2)/n) as
+                        # integers is engine-independent; the final
+                        # /1e4 is one IEEE division of that integer.
+                        ((int(b.sum(dtype=np.int64)) * 20000 + b.size) // (2 * b.size))
+                        / 10000.0
+                        if b.size
+                        else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "byte_len", "n_spaces", "n_alpha", "mean_byte"]
+            )
+
+    return assets.mapInPandas(run, schema=_FEATURES_SCHEMA)
+
+
+@query(
+    "q_multimodal_features",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS byte_len,
+       CAST(length(text) - length(replace(text, ' ', '')) AS INTEGER) AS n_spaces,
+       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INTEGER) AS n_alpha,
+       CAST((CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c)))
+                  AS BIGINT) * 20000 + length(text)) // (2 * length(text))
+            AS DOUBLE) / 10000.0 AS mean_byte
+FROM documents
+""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over multimodal payload bytes: byte length,
+    space count, lowercase-alpha count, mean byte value — computed by
+    a REAL vectorized numpy kernel over Arrow batches (frombuffer +
+    masked reductions), not a fake. Because the fixture payload is
+    ASCII text, DuckDB can recompute every feature character-wise —
+    so unlike the gated decode kernels this one is value-oracled end
+    to end, pinning the payload round-trip, the Arrow batch path, AND
+    the arithmetic. Swapping frombuffer for a codec turns this into
+    pixel/audio statistics with the identical plan (map-side, zero
+    shuffle, schema-typed output)."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    return extract_features(assets_from_documents(docs))
