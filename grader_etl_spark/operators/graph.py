@@ -990,3 +990,71 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+# ---------------------------------------------------------------------------
+# G57 — degree assortativity of the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_assortativity",
+    oracle=f"""
+WITH sh AS ({_SSET_SQL}),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)
+          / (length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)))
+        >= {_JACCARD_THRESHOLD}
+),
+deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs)
+  GROUP BY doc_id
+),
+ends AS (
+  SELECT ga.degree AS ka, gb.degree AS kb
+  FROM pairs JOIN deg ga ON pairs.d1 = ga.doc_id JOIN deg gb ON pairs.d2 = gb.doc_id
+),
+sym AS (
+  SELECT ka, kb FROM ends UNION ALL SELECT kb, ka FROM ends
+)
+SELECT CAST(COUNT(*) / 2 AS BIGINT)  AS n_edges,
+       ROUND(corr(ka, kb), 6)        AS assortativity
+FROM sym
+""",
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the near-dup graph: the
+    Pearson correlation of endpoint degrees over the symmetrized edge
+    list. Positive ⇒ hubs connect to hubs (one giant boilerplate
+    blob — expect a monster component); negative ⇒ hub-and-spoke
+    (template + many one-off variants — star-fallback territory).
+    Completes the pre-flight graph triage beside G42 (degree
+    distribution), G47 (clustering), and G53 (k-core): shape, local
+    density, dense subgraphs, and now MIXING, all from the shared
+    session pair machinery.
+
+    Cost: two key-only joins of the (tiny) pair list against the
+    degree table + one corr aggregate — a mergeable 5-number state on
+    exact integers, rounded 6 dp per the moment-merge precedent."""
+    from grader_etl_spark.operators.llm_dedup import q_neardup_jaccard
+
+    pairs = q_neardup_jaccard(spark, sf_dir).select(
+        F.col("doc_id_1").alias("d1"), F.col("doc_id_2").alias("d2")
+    )
+    deg = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("d2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    ga = deg.select(F.col("doc_id").alias("d1"), F.col("degree").alias("ka"))
+    gb = deg.select(F.col("doc_id").alias("d2"), F.col("degree").alias("kb"))
+    ends = pairs.join(F.broadcast(ga), "d1").join(F.broadcast(gb), "d2").select("ka", "kb")
+    sym = ends.unionByName(ends.select(F.col("kb").alias("ka"), F.col("ka").alias("kb")))
+    return sym.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        F.round(F.corr("ka", "kb"), 6).alias("assortativity"),
+    )

@@ -134,6 +134,7 @@ _LITERAL_TABLE_OK = {
     "q_neardup_prefix",  # shingle-memo consumer (checkpointed index)
     "q_kcore",  # shingle-memo consumer + checkpointed peel rounds
     "q_minhash_prf",  # shingle-memo consumer (checkpointed index)
+    "q_assortativity",  # rides q_neardup_jaccard's pair machinery
 }
 
 
