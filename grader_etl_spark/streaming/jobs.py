@@ -302,3 +302,27 @@ def curated_doc_stream(docs: DataFrame) -> DataFrame:
         .filter(F.col("logit_int") > 0)
         .select("doc_id", "lang", "source", "logit_int")
     )
+
+
+def incremental_dedup_stream(docs: DataFrame, ledger: DataFrame) -> DataFrame:
+    """Streaming twin of L51 (q_incremental_dedup): label-and-drop
+    arriving documents whose content fingerprint already exists in
+    the corpus ledger. The ledger is a STATIC frame of 16-byte md5
+    fingerprints (a maintained table at production scale) joined
+    stream-static LEFT ANTI — Spark broadcasts the static side into
+    every micro-batch, so the stream stays stateless (no watermark,
+    no state store) and survivors are exactly the never-seen-before
+    documents. In-batch duplicates are collapsed first with a plain
+    dropDuplicates on the fingerprint (per-micro-batch, bounded by
+    batch size).
+
+    The gate (curated_doc_stream) + this dedup + the store append is
+    the full streaming rendition of the batch curation pipeline —
+    each stage the same logical-plan fragment as its batch twin."""
+    fp = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return (
+        docs.withColumn("fp", fp)
+        .dropDuplicates(["fp"])
+        .join(ledger.select("fp"), "fp", "left_anti")
+        .select("doc_id", "lang", "source", "fp")
+    )
