@@ -372,3 +372,83 @@ def q_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("doc_id", "start_off").alias("first_doc"),
         F.max_by("doc_id", "start_off").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_mixture_apply — execute the rebalance the rates prescribe (L44b)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mixture_apply",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS n_total, COUNT(*) AS n_sources FROM per_source),
+rates AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(LEAST(1.0, (CAST(n_total AS DOUBLE) / n_sources) / n_docs)
+                    * 4294967296.0) AS BIGINT) AS keep_below
+  FROM per_source CROSS JOIN tot
+),
+kept AS (
+  SELECT d.source,
+         COUNT(*) AS n_kept
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE {MD5_32_SQL.format(expr="CONCAT('mix:', doc_id)")} < r.keep_below
+  GROUP BY d.source
+)
+SELECT r.source,
+       CAST(r.n_docs AS BIGINT)             AS n_docs,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       ROUND(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / r.n_docs, 4) AS kept_frac
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+""",
+)
+def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the mixture rebalance q_mixture_rates prescribes:
+    per-source hash sampling at rate min(1, target/actual), applied
+    as one integer comparison per document — md5_32('mix:'‖doc_id)
+    against ⌊rate·2³²⌋. Both the threshold (one float product of
+    identical doubles, floored to an integer) and the comparison are
+    engine-deterministic, so the SAME documents survive in Spark, in
+    the oracle, on every rerun, and under any partitioning — the
+    property that makes the rebalance auditable and the corpus
+    version-hashable (plans/release.py). The rates table is
+    |sources|-row and broadcasts onto the corpus scan; the decision
+    is map-side; the audit output is one partial-agg per source
+    showing achieved vs prescribed keep fraction."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "source"])
+    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    rates = per_source.select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.sum("n_docs").over(w).cast("double") / F.count(F.lit(1)).over(w))
+                / F.col("n_docs"),
+            )
+            * F.lit(4294967296.0)
+        ).cast("long").alias("keep_below"),
+    )
+    h = md5_32(F.concat(F.lit("mix:"), F.col("doc_id")))
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(h < F.col("keep_below"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.round(
+                F.coalesce(F.col("n_kept"), F.lit(0)).cast("double") / F.col("n_docs"), 4
+            ).alias("kept_frac"),
+        )
+    )

@@ -326,3 +326,44 @@ def incremental_dedup_stream(docs: DataFrame, ledger: DataFrame) -> DataFrame:
         .join(ledger.select("fp"), "fp", "left_anti")
         .select("doc_id", "lang", "source", "fp")
     )
+
+
+def trending_terms(events: DataFrame, window: str = "1 day", slide: str | None = None) -> DataFrame:
+    """Windowed TERM counts over an event-text stream — the trending/
+    top-terms building block. The stream side stays a pure windowed
+    aggregate (explode is stateless; the count is a watermarked
+    streaming agg with partial aggregation before the state store, so
+    state is bounded by in-watermark windows × distinct terms);
+    RANKING is deliberately left to the consumer (foreachBatch or a
+    batch query over the sink) because window functions aren't
+    streaming-legal — the same split production topologies use.
+    ``events`` needs (event_timestamp, attempt_type) — attempt_type
+    plays the term column in the fixture schema."""
+    win = F.window("event_timestamp", window, slide) if slide else F.window(
+        "event_timestamp", window
+    )
+    return (
+        _ensure_watermark(events, "event_timestamp", WATERMARK_DELAY)
+        .groupBy(win.alias("win"), F.col("attempt_type").alias("term"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "term",
+            "n",
+        )
+    )
+
+
+def top_terms_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Batch-side ranking over a materialized trending_terms sink —
+    the consumer half (runs per micro-batch in foreachBatch or on the
+    sink table)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(F.col("n").desc(), "term")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "term", "n", "rank")
+    )

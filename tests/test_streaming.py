@@ -348,3 +348,44 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     assert got_fp == want_fp
     assert len(got) == len(want)
     assert got_fp and len(got_fp) < docs.count()
+
+
+def test_trending_terms_matches_batch(spark, landing):
+    """Streaming windowed term counts + batch-side ranking == the
+    all-batch computation on the same landed events."""
+    from pyspark.sql import functions as F
+
+    from grader_etl_spark.streaming.jobs import (
+        file_stream,
+        run_to_memory_sink,
+        top_terms_per_window,
+        trending_terms,
+    )
+
+    stream = file_stream(spark, landing, SCHEMA)
+    # complete mode: with availableNow over a static landing dir the
+    # watermark never passes the last window, so append would emit
+    # nothing — same sink mode the tumbling-report test uses.
+    q = run_to_memory_sink(trending_terms(stream), "trend_counts", output_mode="complete")
+    try:
+        sink = spark.sql("SELECT * FROM trend_counts")
+        got = {
+            (r["window_start"], r["term"], r["n"], r["rank"])
+            for r in top_terms_per_window(sink).collect()
+        }
+    finally:
+        q.stop()
+
+    batch = spark.read.parquet(landing)
+    want_counts = (
+        batch.groupBy(
+            F.window("event_timestamp", "1 day").alias("win"), F.col("attempt_type").alias("term")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "term", "n")
+    )
+    want = {
+        (r["window_start"], r["term"], r["n"], r["rank"])
+        for r in top_terms_per_window(want_counts).collect()
+    }
+    assert got == want and got
