@@ -947,3 +947,55 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("p_id").cast("long").alias("n_purchases"),
         F.sum("credit").cast("long").alias("credit_microcents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_user_entropy — behavioral diversity profile (B25)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_user_entropy",
+    oracle="""
+WITH per AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+),
+tot AS (SELECT user_id, SUM(c) AS n FROM per GROUP BY user_id),
+ent AS (
+  SELECT per.user_id,
+         CAST(MAX(n) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         ROUND(-SUM((CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n)), 4) AS entropy
+  FROM per JOIN tot USING (user_id)
+  GROUP BY per.user_id
+)
+SELECT * FROM ent
+""",
+)
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral Shannon entropy over the event-type
+    distribution — the diversity/engagement-breadth profile: 0 =
+    single-action users (bots, crawlers, broken clients), ln(5) ≈ 1.61
+    = uniform usage of every action. The behavioral twin of L32's
+    char-entropy gibberish detector, and the standard bot-screen
+    feature next to B18's depth histogram.
+
+    Plan: one (user, type) partial-agg — the only corpus-sized
+    shuffle, carrying counts — then per-user totals and the entropy
+    sum over the ≤|users|×|types| frame sharing the same user_id
+    partitioning. Counts exact integers; each term is p·ln(p) on
+    identical doubles, summed per user (≤5 terms — no order
+    sensitivity at this fan-in) and rounded 4 dp."""
+    ev = load(spark, sf_dir, "events", columns=["user_id", "event_type"])
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id")
+    # Materialize the per-user total BEFORE the aggregate (a window
+    # inside an aggregate function is illegal); both share the
+    # user_id partitioning, so this adds no shuffle.
+    per = per.select("user_id", "c", F.sum("c").over(w).alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return per.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+    )

@@ -1112,3 +1112,72 @@ def q_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_growth"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_power_analysis — sample size for the next A/B test (G58)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_power_analysis",
+    oracle="""
+WITH base AS (
+  SELECT CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE) / COUNT(*) AS p
+  FROM events
+),
+grid AS (SELECT unnest([0.01, 0.02, 0.05]) AS mde),
+calc AS (
+  SELECT mde, p,
+         p + mde AS p2,
+         (p + p + mde) / 2 AS pbar
+  FROM base CROSS JOIN grid
+)
+SELECT ROUND(p, 6) AS baseline_rate,
+       mde,
+       CAST(CEIL(
+         POWER(1.959964 * SQRT(2 * pbar * (1 - pbar))
+               + 0.841621 * SQRT(p * (1 - p) + p2 * (1 - p2)), 2)
+         / (mde * mde)
+       ) AS BIGINT) AS n_per_arm
+FROM calc
+""",
+)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-size calculator for the NEXT experiment, seeded by the
+    measured baseline: n per arm to detect an absolute lift of
+    {1,2,5} points over the measured purchase rate at α=0.05 (two-sided)
+    and 80% power — the two-proportion formula
+    n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₁q₁+p₂q₂))² / Δ². Closes the
+    experimentation loop around G28: q_ab_test judges a finished
+    experiment; this sizes the next one (and tells you whether the
+    corpus can even support detecting a 1-point lift).
+
+    Cost: ONE global conditional-count aggregate over events (map-side
+    partial) → a 1-row frame crossed with a 3-row literal MDE grid.
+    The z constants are identical literals in both engines; every
+    derived value is the same IEEE expression tree on the same
+    doubles, and the output n is CEIL'd to an exact integer."""
+    ev = load(spark, sf_dir, "events", columns=["event_type"])
+    base = ev.agg(
+        (
+            F.count(F.when(F.col("event_type") == "purchase", 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("p")
+    )
+    grid = spark.range(3).select(
+        F.element_at(F.array(F.lit(0.01), F.lit(0.02), F.lit(0.05)), (F.col("id") + 1).cast("int")).alias("mde")
+    )
+    c = base.crossJoin(F.broadcast(grid))
+    p, mde = F.col("p"), F.col("mde")
+    p2 = p + mde
+    pbar = (p + p2) / 2
+    n = F.ceil(
+        F.pow(
+            F.lit(1.959964) * F.sqrt(2 * pbar * (1 - pbar))
+            + F.lit(0.841621) * F.sqrt(p * (1 - p) + p2 * (1 - p2)),
+            2,
+        )
+        / (mde * mde)
+    ).cast("long")
+    return c.select(F.round(p, 6).alias("baseline_rate"), "mde", n.alias("n_per_arm"))
