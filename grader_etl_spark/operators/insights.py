@@ -1181,3 +1181,61 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (mde * mde)
     ).cast("long")
     return c.select(F.round(p, 6).alias("baseline_rate"), "mde", n.alias("n_per_arm"))
+
+
+# ---------------------------------------------------------------------------
+# q_revenue_deciles_approx — the sort-free decile swap, made executable (G40b)
+# ---------------------------------------------------------------------------
+
+
+@query("q_revenue_deciles_approx", oracle=None)
+def q_revenue_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB swap for q_revenue_deciles, executable:
+    decile CUTOFFS from one approx_percentile aggregate (GK sketch —
+    mergeable, no global sort), then map-side bucketing by comparison
+    against the broadcast 9-value cutoff array and one grouped
+    aggregate. Two passes over the scan, ZERO sort — versus NTILE's
+    single-reducer total order, which is the one part of the exact
+    plan that cannot scale out.
+
+    Rows-only by design: the GK sketch's cutoffs are
+    implementation-specific (Spark's and DuckDB's differ), so there
+    is no cross-engine value oracle — the pytest gate instead bounds
+    every decile's population against the exact n/10 (sketch accuracy
+    =1e-4 relative rank error ⇒ tight) and requires revenue
+    conservation to the cent. Same output contract as the exact
+    operator."""
+    od = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    cuts = od.agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)"
+        ).alias("cuts")
+    )
+    # decile 1 = HIGHEST values (q_revenue_deciles orders desc):
+    # value > cuts[8] → 1, > cuts[7] → 2, ..., else 10. aggregate()
+    # counts how many cutoffs the value exceeds — map-side, no sort.
+    bucketed = od.crossJoin(F.broadcast(cuts)).select(
+        "o_totalprice",
+        (
+            F.lit(10)
+            - F.aggregate(
+                F.col("cuts"),
+                F.lit(0),
+                lambda acc, c: acc + F.when(F.col("o_totalprice") > c, 1).otherwise(0),
+            )
+        ).cast("long").alias("decile"),
+    )
+    d = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+    )
+    return d.select(
+        "decile",
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double")
+            / F.sum("revenue").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )

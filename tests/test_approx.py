@@ -74,3 +74,25 @@ def test_approx_percentiles_within_rank_error(spark, sf_dir):
             got = approx[flag][i]
             rank = sum(1 for v in vals if v <= got)
             assert abs(rank / n - q) <= 1 / 10_000 + 2 / n, (flag, i, rank / n, q)
+
+
+def test_revenue_deciles_approx_bounds_exact(spark, sf_dir):
+    """The sort-free decile swap: bucket populations within 5% of the
+    exact n/10, revenue conserved to the cent, all 10 deciles
+    present, monotone revenue (decile 1 = highest values)."""
+    import pyspark.sql.functions as F
+
+    from grader_etl_spark.io import load
+    from grader_etl_spark.operators.insights import q_revenue_deciles_approx
+
+    rows = {r["decile"]: r for r in q_revenue_deciles_approx(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, 11))
+    n = load(spark, sf_dir, "orders", columns=["o_orderkey"]).count()
+    for d, r in rows.items():
+        assert abs(r["n_orders"] - n / 10) <= max(2.0, 0.05 * n / 10), (d, r["n_orders"])
+    total = load(spark, sf_dir, "orders", columns=["o_totalprice"]).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    ).collect()[0][0]
+    assert abs(sum(r["revenue"] for r in rows.values()) - float(total)) < 0.01
+    revs = [rows[d]["revenue"] for d in range(1, 11)]
+    assert revs == sorted(revs, reverse=True)
