@@ -1058,3 +1058,103 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
         F.round(F.corr("ka", "kb"), 6).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G47b — degree-ordered triangle counting (the skew refinement, executable)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_triangle_count_ordered",
+    oracle=f"""
+WITH sh AS ({_SSET_SQL}),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)
+          / (length(a.sset) + length(b.sset) - length(list_intersect(a.sset, b.sset)))
+        >= {_JACCARD_THRESHOLD}
+),
+tri AS (
+  SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.d1 = e1.d2
+  JOIN pairs e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+),
+node_tri AS (
+  SELECT doc_id, COUNT(*) AS triangles
+  FROM (SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY 1
+),
+deg AS (
+  SELECT doc_id, COUNT(*) AS degree
+  FROM (SELECT d1 AS doc_id FROM pairs UNION ALL SELECT d2 FROM pairs)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(d.degree AS BIGINT)                  AS degree,
+       CAST(COALESCE(t.triangles, 0) AS BIGINT)  AS triangles
+FROM deg d LEFT JOIN node_tri t ON t.doc_id = d.doc_id
+""",
+)
+def q_triangle_count_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_triangle_count's documented SKEW refinement, executable:
+    orient every edge from its lower-(degree, id) endpoint to the
+    higher one before the wedge join. Wedges then form only at each
+    node's OUT-neighbors, whose count is bounded by graph arboricity
+    (Chiba–Nishizeki) instead of raw degree — on a star graph the hub
+    builds zero wedges instead of d², which is the difference between
+    a join that finishes and one that doesn't once near-dup hubs
+    appear. Identical output to the id-ordered version (every
+    triangle found exactly once under any total order), so the SAME
+    naive oracle hash-checks it — the machinery changes, the contract
+    doesn't (the V4/J10/O5 discipline). Rides the session pair
+    machinery."""
+    pairs = q_neardup_jaccard(spark, sf_dir).select(
+        F.col("doc_id_1").alias("d1"), F.col("doc_id_2").alias("d2")
+    )
+    deg = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("d2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # Total-order rank key: degree·2^32 + id (both long, id < 2^32).
+    key = (F.col("degree") * F.lit(1 << 32) + F.col("doc_id")).alias("k")
+    keyed = deg.select("doc_id", key)
+    k1 = keyed.select(F.col("doc_id").alias("d1"), F.col("k").alias("k1"))
+    k2 = keyed.select(F.col("doc_id").alias("d2"), F.col("k").alias("k2"))
+    ek = pairs.join(F.broadcast(k1), "d1").join(F.broadcast(k2), "d2")
+    oriented = ek.select(
+        F.when(F.col("k1") < F.col("k2"), F.col("d1")).otherwise(F.col("d2")).alias("src"),
+        F.when(F.col("k1") < F.col("k2"), F.col("d2")).otherwise(F.col("d1")).alias("dst"),
+        F.when(F.col("k1") < F.col("k2"), F.col("k2")).otherwise(F.col("k1")).alias("kdst"),
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    closing = oriented.select(F.col("src").alias("cy"), F.col("dst").alias("cz"))
+    tri = (
+        o1.join(o2, (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.kdst") < F.col("o2.kdst")))
+        .select(
+            F.col("o1.src").alias("x"),
+            F.col("o1.dst").alias("y"),
+            F.col("o2.dst").alias("z"),
+        )
+        .join(closing, (F.col("y") == F.col("cy")) & (F.col("z") == F.col("cz")))
+        .select("x", "y", "z")
+    )
+    node_tri = (
+        tri.select(F.col("x").alias("doc_id"))
+        .unionByName(tri.select(F.col("y").alias("doc_id")))
+        .unionByName(tri.select(F.col("z").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return deg.join(node_tri, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+    )

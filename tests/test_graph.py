@@ -170,3 +170,19 @@ def test_kcore_converged_and_matches_python_peel(spark, sf_dir):
     want = {v: len(ns) for v, ns in adj.items() if ns}
     got = {r["doc_id"]: r["core_degree"] for r in q_kcore(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_ordered_triangle_count_equals_id_ordered(spark, sf_dir):
+    """Degree-ordered orientation must find the identical per-node
+    triangle counts as the id-ordered compact-forward version."""
+    from grader_etl_spark.operators.graph import q_triangle_count, q_triangle_count_ordered
+
+    a = {
+        (r["doc_id"], r["degree"], r["triangles"])
+        for r in q_triangle_count(spark, sf_dir).select("doc_id", "degree", "triangles").collect()
+    }
+    b = {
+        (r["doc_id"], r["degree"], r["triangles"])
+        for r in q_triangle_count_ordered(spark, sf_dir).collect()
+    }
+    assert a == b and a

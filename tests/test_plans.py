@@ -135,6 +135,7 @@ _LITERAL_TABLE_OK = {
     "q_kcore",  # shingle-memo consumer + checkpointed peel rounds
     "q_minhash_prf",  # shingle-memo consumer (checkpointed index)
     "q_assortativity",  # rides q_neardup_jaccard's pair machinery
+    "q_triangle_count_ordered",  # rides q_neardup_jaccard's pair machinery
 }
 
 
