@@ -728,3 +728,50 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= HN_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ann_recall — IVF/LSH serving quality audit (V10)
+# ---------------------------------------------------------------------------
+
+
+@query("q_ann_recall", oracle=None)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the IVF ANN path against exact brute force,
+    per query — the serving-quality audit that closes the ANN family
+    the way V9 closes MinHash: the approximate index answers
+    production traffic, the exact scorer answers a validation sample,
+    and THIS query is their standing comparison (re-run per index
+    rebuild; a recall drop means the quantizer no longer fits the
+    corpus). Both sides are existing session plans (the IVF cell memo
+    and the broadcast brute-force scorer); the audit join is key-only
+    on (query, neighbor). Rows-only: the IVF side inherits k-means'
+    float-order sensitivity (the documented reason q_ann_ivf itself
+    is rows-only); pytest bounds mean recall from below instead."""
+    from grader_etl_spark.operators.similarity import q_ann_cosine, q_ann_ivf
+
+    exact = q_ann_cosine(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("exact_neighbor")
+    )
+    approx = q_ann_ivf(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (F.col("exact_neighbor") == F.col("ivf_neighbor")),
+        "left",
+    ).select(exact.query_id.alias("qid"), F.col("ivf_neighbor").isNotNull().alias("hit"))
+    return (
+        hits.groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("k"), 4).alias("recall"),
+        )
+    )

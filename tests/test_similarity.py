@@ -57,3 +57,16 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     # far better than the 2/8 floor.
     floor = IVF_NPROBE / K
     assert recall >= max(0.5, 1.5 * floor), f"IVF top-k recall {recall:.2f} too low"
+
+
+def test_ann_recall_audit_bounds(spark, sf_dir):
+    from grader_etl_spark.operators.similarity import N_QUERIES, TOP_K, q_ann_recall
+
+    rows = q_ann_recall(spark, sf_dir).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert r["k"] == TOP_K
+        assert 0 <= r["n_hit"] <= r["k"]
+        assert abs(r["recall"] - r["n_hit"] / r["k"]) < 1e-9
+    mean_recall = sum(r["recall"] for r in rows) / len(rows)
+    assert mean_recall >= 0.5, mean_recall
