@@ -1239,3 +1239,59 @@ def q_revenue_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("revenue_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_price_realization — realized vs list price per brand (G59)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_price_realization",
+    oracle="""
+SELECT p_brand,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS units,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS realized_revenue,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
+                * CAST(l_quantity AS BIGINT)) AS DOUBLE)   AS list_revenue,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             / CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS BIGINT)) AS DOUBLE), 6) AS realization
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def q_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price REALIZATION per brand: revenue actually collected
+    (extended price net of discount) against revenue at list
+    (retail price × units) — the pricing team's leakage readout,
+    pinpointing brands whose street price has detached from the list
+    price. Uses the one part-table column (p_retailprice) the TPC-H
+    shapes leave untouched, closing the fixture's column coverage.
+
+    Plan: part rides a broadcast; both revenue states accumulate in
+    DECIMAL through the same grouped aggregate (order-independent,
+    bit-equal cross-engine); the ratio is one float division of
+    identical decimals, rounded 6 dp."""
+    li = load(
+        spark, sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = load(spark, sf_dir, "part", columns=["p_partkey", "p_brand", "p_retailprice"])
+    dec = "decimal(18,2)"
+    realized = F.sum(
+        F.col("l_extendedprice").cast(dec) * (F.lit(1) - F.col("l_discount").cast(dec))
+    )
+    at_list = F.sum(F.col("p_retailprice").cast(dec) * F.col("l_quantity").cast("long"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("units"),
+            realized.cast("double").alias("realized_revenue"),
+            at_list.cast("double").alias("list_revenue"),
+            F.round(realized.cast("double") / at_list.cast("double"), 6).alias("realization"),
+        )
+    )
