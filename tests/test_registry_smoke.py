@@ -21,6 +21,12 @@ ROWS_ONLY_BY_DESIGN = {
     # Driver-side eigh of the d×d covariance; eigendecomposition isn't
     # SQL — semantics pinned vs numpy's full PCA in test_pca.py.
     "q_pca_project",
+    # GK-sketch decile cutoffs are engine-specific (no cross-engine
+    # twin); populations/conservation bounded in test_approx.py.
+    "q_revenue_deciles_approx",
+    # Inherits q_ann_ivf's float-order sensitivity (it IS the audit of
+    # that path); mean-recall floor in test_similarity.py.
+    "q_ann_recall",
     # (q_ann_lsh and q_bpe_train graduated to value oracles: exact
     # dyadic plane literals / unrolled integer merge rounds.)
 }
