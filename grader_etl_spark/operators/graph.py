@@ -33,6 +33,7 @@ from grader_etl_spark.io import load
 from grader_etl_spark.operators.llm_dedup import (
     _JACCARD_THRESHOLD,
     SHINGLE_K,
+    jaccard_pairs_memo,
     q_neardup_jaccard,
 )
 from grader_etl_spark.registry import query
@@ -343,7 +344,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = sf_dir
     if key in _COMPONENT_CACHE:
         return _COMPONENT_CACHE[key]
-    pairs = q_neardup_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    pairs = jaccard_pairs_memo(spark, sf_dir)
     # Only edge-touched vertices enter the contraction loop — in a
     # deduped-enough corpus that's a tiny fraction, so every round's
     # join/agg runs on the near-dup subgraph, not the whole corpus.
@@ -702,7 +703,7 @@ def q_dedup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     contraction converges in one or two rounds. Rides the shared pair
     machinery; degrees are one union+agg over the (already tiny) pair
     list, the distribution one more agg over the degree table."""
-    pairs = q_neardup_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    pairs = jaccard_pairs_memo(spark, sf_dir)
     deg = (
         pairs.select(F.col("doc_id_1").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_id_2").alias("doc_id")))
@@ -776,7 +777,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, different orientation rule. local_cc = 2T/(d(d−1)) from
     exact integers, rounded 6 dp; isolated-from-triangles nodes
     left-join to 0."""
-    pairs = q_neardup_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    pairs = jaccard_pairs_memo(spark, sf_dir)
     e1 = pairs.select(F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b"))
     e2 = pairs.select(F.col("doc_id_1").alias("b2"), F.col("doc_id_2").alias("c"))
     e3 = pairs.select(F.col("doc_id_1").alias("a3"), F.col("doc_id_2").alias("c3"))
@@ -958,15 +959,11 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts the fixpoint arrived before the ceiling (a deeper graph
     degrades to more rounds, not wrong output). Rides the session
     pair machinery (shingle memo) like q_triangle_count."""
-    from grader_etl_spark.operators.llm_dedup import q_neardup_jaccard
-
-    # Checkpoint the pair graph ONCE before the loop: without it each
-    # peel round's degree agg re-derives the whole inverted-index
-    # join subtree (measured 9.4s → ~2s at sf0.1).
-    edges = (
-        q_neardup_jaccard(spark, sf_dir)
-        .select(F.col("doc_id_1").alias("d1"), F.col("doc_id_2").alias("d2"))
-        .localCheckpoint()
+    # The session pair memo is already checkpointed — each peel
+    # round's degree agg re-reads columnar state instead of the
+    # inverted-index join subtree (measured 9.4s → ~2s at sf0.1).
+    edges = jaccard_pairs_memo(spark, sf_dir).select(
+        F.col("doc_id_1").alias("d1"), F.col("doc_id_2").alias("d2")
     )
     for i in range(1, _KCORE_ROUNDS + 1):
         deg = (
@@ -1041,7 +1038,7 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers, rounded 6 dp per the moment-merge precedent."""
     from grader_etl_spark.operators.llm_dedup import q_neardup_jaccard
 
-    pairs = q_neardup_jaccard(spark, sf_dir).select(
+    pairs = jaccard_pairs_memo(spark, sf_dir).select(
         F.col("doc_id_1").alias("d1"), F.col("doc_id_2").alias("d2")
     )
     deg = (
@@ -1113,7 +1110,7 @@ def q_triangle_count_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive oracle hash-checks it — the machinery changes, the contract
     doesn't (the V4/J10/O5 discipline). Rides the session pair
     machinery."""
-    pairs = q_neardup_jaccard(spark, sf_dir).select(
+    pairs = jaccard_pairs_memo(spark, sf_dir).select(
         F.col("doc_id_1").alias("d1"), F.col("doc_id_2").alias("d2")
     )
     deg = (
