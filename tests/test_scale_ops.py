@@ -51,7 +51,7 @@ def test_triangle_count_hand_graph(spark, monkeypatch):
     pairs = spark.createDataFrame(
         [(1, 2), (1, 3), (2, 3), (3, 4)], "doc_id_1 long, doc_id_2 long"
     )
-    monkeypatch.setattr(g, "q_neardup_jaccard", lambda spark, sf: pairs)
+    monkeypatch.setattr(g, "jaccard_pairs_memo", lambda spark, sf: pairs)
     got = {r["doc_id"]: r for r in g.q_triangle_count(spark, "x").collect()}
     assert (got[1]["degree"], got[1]["triangles"], got[1]["local_cc"]) == (2, 1, 1.0)
     assert (got[3]["degree"], got[3]["triangles"]) == (3, 1)
