@@ -74,12 +74,30 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+
+    # Round-1 comparability: the registry grew 155 → 269 queries after
+    # round 1, so the grand total is NOT comparable to the 140.79 s
+    # recorded in BASELINE.md. The pinned round-1 query set
+    # (tools/r1_queries.txt, extracted from VERDICT.md round 1) gives
+    # an apples-to-apples subtotal.
+    r1_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "r1_queries.txt"
+    )
+    with open(r1_path) as f:
+        r1_names = {line.strip() for line in f if line.strip()}
+    r1_subset = round(sum(v for k, v in timings.items() if k in r1_names), 3)
+    ordered = sorted(timings.values())
+    median = round(ordered[len(ordered) // 2], 3)
+
     full = {
         "metric": "sum of per-query wall seconds, all registered queries, noop sink",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "median_sec": median,
+        "r1_subset_sec": r1_subset,
+        "r1_subset_n": len(r1_names & set(timings)),
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as f:
@@ -95,6 +113,9 @@ def main() -> None:
         "queries": slowest,
         "sf": sf,
         "n_queries": len(timings),
+        "median_sec": median,
+        "r1_subset_sec": r1_subset,
+        "r1_subset_n": len(r1_names & set(timings)),
         "full": "BENCH_FULL.json",
     }
     line = json.dumps(summary, separators=(",", ":"))
