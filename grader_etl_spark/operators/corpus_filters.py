@@ -263,6 +263,114 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_retrieval_ndcg — graded ranking-quality evaluation of the BM25 ranker
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+NDCG_REL_CAP = 3  # graded relevance label: least(tf, 3)
+
+
+@query(
+    "q_retrieval_ndcg",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({", ".join(repr(t) for t in BM25_TERMS)})
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id, t.term,
+         LEAST(t.tf, {NDCG_REL_CAP}) AS rel,
+         round(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (t.tf * ({BM25_K1} + 1.0))
+           / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl)),
+           4) AS bm25
+  FROM tf t
+  JOIN dfreq f USING (term)
+  JOIN dl d ON t.doc_id = d.doc_id
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT term, rel,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS rk,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY rel DESC, doc_id) AS irk
+  FROM scored
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       round(sum(CASE WHEN rk <= {NDCG_K}
+                      THEN (pow(2, rel) - 1) / log2(rk + 1) END), 4) AS dcg_at_k,
+       round(sum(CASE WHEN irk <= {NDCG_K}
+                      THEN (pow(2, rel) - 1) / log2(irk + 1) END), 4) AS idcg_at_k,
+       round(sum(CASE WHEN rk <= {NDCG_K}
+                      THEN (pow(2, rel) - 1) / log2(rk + 1) END)
+             / sum(CASE WHEN irk <= {NDCG_K}
+                        THEN (pow(2, rel) - 1) / log2(irk + 1) END), 4) AS ndcg_at_k,
+       round(coalesce(1.0 / min(CASE WHEN rel = {NDCG_REL_CAP} THEN rk END), 0.0), 4)
+         AS mrr
+FROM ranked
+GROUP BY term
+""",
+)
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking-quality evaluation of the BM25 ranker: per query
+    term, nDCG@10 and MRR against a term-frequency relevance label
+    rel = least(tf, 3). The label deliberately ignores what BM25 adds
+    (idf and length normalization), so the metric measures how far
+    length-normalized scoring reorders a raw-frequency ground truth —
+    nDCG < 1 is signal, not error. MRR uses the strictest grade
+    (rel = 3) as "relevant"; a query with no grade-3 candidate scores
+    0. This is the eval harness every retrieval change (BM25 params,
+    rank fusion, ANN re-rank) gets judged by — the text twin of
+    q_ann_recall, and value-oracled because BM25 + ranks are
+    deterministic where the vector path's float ordering is not.
+
+    Plan: reuses q_bm25's scored frame (explode → doc-length +
+    term-count partial aggs, broadcast df/stats). Both rank passes
+    ride ONE hash partitioning on term — two sorts, one exchange; the
+    ranking key is the 4-dp-ROUNDED score with doc_id tiebreak, so
+    rank order is engine-stable (the q_ccnet_buckets discipline). The
+    per-term row count is bounded by the term's document frequency; at
+    100 TB the candidate list per query is first cut by the two-phase
+    per-partition top-k (q_topk_two_phase) before any global sort —
+    the global-window form here is exact at the audit scale where the
+    full candidate set is wanted anyway."""
+    scored = q_bm25(spark, sf_dir).select(
+        "doc_id",
+        "term",
+        F.least(F.col("tf"), F.lit(NDCG_REL_CAP)).alias("rel"),
+        "bm25",
+    )
+    w_rank = Window.partitionBy("term").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    w_ideal = Window.partitionBy("term").orderBy(F.col("rel").desc(), F.col("doc_id"))
+    ranked = scored.select(
+        "term",
+        "rel",
+        F.row_number().over(w_rank).alias("rk"),
+        F.row_number().over(w_ideal).alias("irk"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1
+    dcg = F.sum(F.when(F.col("rk") <= NDCG_K, gain / F.log2(F.col("rk") + 1)))
+    idcg = F.sum(F.when(F.col("irk") <= NDCG_K, gain / F.log2(F.col("irk") + 1)))
+    first_hit = F.min(F.when(F.col("rel") == NDCG_REL_CAP, F.col("rk")))
+    return ranked.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.round(dcg, 4).alias("dcg_at_k"),
+        F.round(idcg, 4).alias("idcg_at_k"),
+        F.round(dcg / idcg, 4).alias("ndcg_at_k"),
+        F.round(F.coalesce(1.0 / first_hit, F.lit(0.0)), 4).alias("mrr"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_char_entropy — character-distribution profiling
 # ---------------------------------------------------------------------------
 

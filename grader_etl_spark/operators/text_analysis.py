@@ -1289,6 +1289,109 @@ def q_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_kneser_ney — absolute-discount / continuation-probability bigram LM
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75  # dyadic: c12 - 0.75 is exact in both engines
+
+
+@query(
+    "q_kneser_ney",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, t[i] AS term
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t FROM documents),
+       unnest(range(1, len(t) + 1)) AS r(i)
+),
+bi AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+doc_bi AS (SELECT doc_id, w1, w2, count(*) AS k FROM bi GROUP BY 1, 2, 3),
+model AS (SELECT w1, w2, CAST(sum(k) AS DOUBLE) AS c12 FROM doc_bi GROUP BY 1, 2),
+ctx AS (
+  SELECT w1, sum(c12) AS c1, CAST(count(*) AS DOUBLE) AS n1p_fwd
+  FROM model GROUP BY w1
+),
+cont AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n1p_bwd FROM model GROUP BY w2),
+types AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM model)
+SELECT doc_id,
+       CAST(sum(k) AS BIGINT) AS n_bigrams,
+       round(sum(k * -ln(
+           (c12 - {KN_DISCOUNT}) / c1
+           + ({KN_DISCOUNT} * n1p_fwd / c1) * (n1p_bwd / n_types)
+       )) / sum(k), 4) AS mean_neg_logprob
+FROM doc_bi
+JOIN model USING (w1, w2)
+JOIN ctx USING (w1)
+JOIN cont USING (w2)
+CROSS JOIN types
+GROUP BY doc_id
+""",
+)
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram LM filter (Kneser & Ney 1995; the
+    smoothing every production n-gram LM actually ships): per-token
+    surprisal under
+
+        P_KN(w₂|w₁) = (c(w₁w₂) − d)/c(w₁·)
+                      + d·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+
+    with absolute discount d = 3/4. Unlike Jelinek-Mercer
+    (q_interp_logprob), the backoff mass is CONTINUATION probability —
+    how many distinct contexts a word follows — not raw frequency, so
+    high-count-but-single-context tokens ("francisco") stop inflating
+    the backoff. Scored on the training corpus itself every bigram has
+    c ≥ 1 > d, so the discounted term never clips and no unseen-event
+    branch is needed (the oracle's max() is therefore omitted on both
+    sides). d = 3/4 is dyadic: c12 − d is exact in both engines; only
+    the final ln rounds (4 dp, the established log-sum discipline).
+
+    Plan: the same one-posexplode / doc-keyed-lead pass as the LM
+    siblings; the bigram model is a vocab²-bounded aggregate from
+    which BOTH context statistics (c(w₁·) and the distinct-successor
+    count N₁₊(w₁·)) come out of ONE groupBy(w1), the predecessor-type
+    table N₁₊(·w₂) out of one groupBy(w2), and the global type count
+    out of a 1-row aggregate — all broadcast back onto the per-doc
+    pair counts, so the only fact-sized shuffles are the token explode
+    and the doc_id group."""
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias(
+            "pos", "term"
+        ),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        "doc_id", F.col("term").alias("w1"), F.lead("term").over(wdoc).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    doc_bi = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    model = doc_bi.groupBy("w1", "w2").agg(F.sum("k").cast("double").alias("c12"))
+    ctx = model.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).cast("double").alias("n1p_fwd")
+    )
+    cont = model.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("n1p_bwd"))
+    types = model.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    p_kn = (F.col("c12") - KN_DISCOUNT) / F.col("c1") + (
+        F.lit(KN_DISCOUNT) * F.col("n1p_fwd") / F.col("c1")
+    ) * (F.col("n1p_bwd") / F.col("n_types"))
+    return (
+        doc_bi.join(F.broadcast(model), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(types))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("k") * -F.log(p_kn)) / F.sum("k"), 4).alias(
+                "mean_neg_logprob"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # q_ccnet_buckets — per-language LM-score terciles (CCNet head/middle/tail)
 # ---------------------------------------------------------------------------
 
