@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
-from grader_etl_spark.io import load
+from grader_etl_spark.io import fan_out, load
 from grader_etl_spark.registry import query
 
 MMR_K = 10          # final diverse picks
@@ -163,8 +163,14 @@ def q_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-partitioned window, then two doc-keyed partial aggregates.
     No all-pairs comparison anywhere: cost is linear in total shingle
     positions, exactly the inverted-index bound documented for
-    q_neardup_jaccard."""
-    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    q_neardup_jaccard. The scan is fan_out-scattered before the
+    shingle+md5 kernel (the per-position md5 is the cost center; one
+    parquet split would pin it to a single task — measured 3.3× at
+    sf0.1). The kernel is evaluated by both the dup-set aggregate and
+    the position probe; both sides exchange on h, so the shuffle
+    reuse, not a checkpoint, is the intended dedup of that work
+    (measured: checkpointing the shingle frame adds time here)."""
+    docs = fan_out(load(spark, sf_dir, "documents", columns=["doc_id", "text"]))
     toks = docs.select(
         "doc_id", F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0).alias("t")
     ).filter(F.size("t") >= 5)
