@@ -53,9 +53,27 @@ def _second_moment_partials(emb: DataFrame) -> DataFrame:
     return emb.select("embedding").mapInPandas(gram, "i int, j int, sxy double")
 
 
+# Covariance memo (keyed by corpus dir): the d(d+1)/2-row frame is a
+# derived artifact shared by the covariance report and the PCA
+# projection, and referenced three times inside one query (cov, its
+# diagonal, the diagonal's alias) — without materialization each
+# reference re-runs the full-corpus Gram pass. 2080 rows at d=64, so
+# the checkpoint is free at any corpus size.
+_COV_CACHE: dict[str, DataFrame] = {}
+
+
 def covariance_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle (i ≤ j) covariance and correlation of the
-    embedding coordinates, full precision (callers round)."""
+    embedding coordinates, full precision (callers round);
+    session-memoized and checkpointed per corpus."""
+    if sf_dir in _COV_CACHE:
+        return _COV_CACHE[sf_dir]
+    out = _covariance_frame(spark, sf_dir).localCheckpoint()
+    _COV_CACHE[sf_dir] = out
+    return out
+
+
+def _covariance_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
     sxy = _second_moment_partials(emb).groupBy("i", "j").agg(F.sum("sxy").alias("sxy"))
     e = emb.select(F.posexplode("embedding").alias("i", "x")).select(

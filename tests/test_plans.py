@@ -136,6 +136,8 @@ _LITERAL_TABLE_OK = {
     "q_minhash_prf",  # shingle-memo consumer (checkpointed index)
     "q_assortativity",  # rides q_neardup_jaccard's pair machinery
     "q_triangle_count_ordered",  # rides q_neardup_jaccard's pair machinery
+    "q_embedding_covariance",  # serves the session covariance memo (checkpointed d² frame)
+    "q_pca_project",  # covariance-memo consumer
 }
 
 
