@@ -47,7 +47,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
+from grader_etl_spark.functions.hashing import MD5_LANE_SQL, md5_lane
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
 from grader_etl_spark.operators.text_analysis import tokens
@@ -140,8 +140,9 @@ CMS_PROBES = ("join", "hash", "row", "batch", "scan", "zz_absent_term")
 
 
 def _cms_bucket_sql(row: str, term: str) -> str:
-    """DuckDB twin of the Spark bucket expression."""
-    h = MD5_32_SQL.format(expr=f"CAST({row} AS VARCHAR) || ':' || {term}")
+    """DuckDB twin of the Spark bucket expression: row r's bucket is
+    lane r of ONE md5 digest of the term (not d prefixed digests)."""
+    h = MD5_LANE_SQL.format(expr=term, lane=row)
     return f"({h}) % {CMS_W}"
 
 
@@ -199,8 +200,14 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     overcount per probe — the calibration view a pipeline owner
     checks before trusting the sketch where the exact pass is
     unaffordable (same audit discipline as q_minhash_calibration).
-    Buckets use the cross-engine md5_32 hash, so the whole pipeline —
-    sketch, probe, error — is integer-deterministic and fully
+
+    Hash budget: the d row hashes are the d disjoint 32-bit lanes of
+    ONE md5 digest per term (md5_lane / MD5_LANE_SQL) — one md5 per
+    token instead of the d prefixed md5s an independent-hash-family
+    reading would spend. Pairwise-independence across lanes is
+    md5-grade, which is the standard Count-Min practice (Cormode's
+    reference implementations derive all rows from one universal
+    seed); the whole pipeline stays integer-deterministic and fully
     hash-oracled despite being an approximation structure.
 
     Reference parity: none (the reference counts exactly in one
@@ -209,24 +216,27 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", columns=["text"])
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
 
-    def bucket(row: int, term):
-        return (
-            md5_32(F.concat(F.lit(f"{row}:"), term)) % CMS_W
-        ).cast("long")
+    def lane_cells(df, keep: list[str]):
+        # Project the digest FIRST so Catalyst's cheap-expression
+        # guard (CollapseProject) keeps md5 single-evaluated; the d
+        # bucket slices above it are substring+conv — near-free.
+        dug = df.withColumn("__dig", F.md5(F.col("term")))
+        return dug.select(
+            *keep,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).cast("int").alias("r"),
+                            (md5_lane(F.col("__dig"), j) % CMS_W).alias("b"),
+                        )
+                        for j in range(CMS_D)
+                    ]
+                )
+            ).alias("cell"),
+        ).select(*keep, F.col("cell.r").alias("r"), F.col("cell.b").alias("b"))
 
-    cells = toks.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).cast("int").alias("r"),
-                        bucket(j, F.col("term")).alias("b"),
-                    )
-                    for j in range(CMS_D)
-                ]
-            )
-        ).alias("cell")
-    ).select(F.col("cell.r").alias("r"), F.col("cell.b").alias("b"))
+    cells = lane_cells(toks, [])
     sketch = cells.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
 
     probe = spark.range(len(CMS_PROBES)).select(
@@ -234,20 +244,7 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(t) for t in CMS_PROBES]), (F.col("id") + 1).cast("int")
         ).alias("term")
     )
-    pc = probe.select(
-        "term",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).cast("int").alias("r"),
-                        bucket(j, F.col("term")).alias("b"),
-                    )
-                    for j in range(CMS_D)
-                ]
-            )
-        ).alias("cell"),
-    ).select("term", F.col("cell.r").alias("r"), F.col("cell.b").alias("b"))
+    pc = lane_cells(probe, ["term"])
     est = (
         pc.join(F.broadcast(sketch), ["r", "b"], "left")
         .groupBy("term")

@@ -76,7 +76,7 @@ def test_count_min_matches_pure_python(spark, sf_dir):
     the estimates, everything is integer-deterministic."""
     import collections
 
-    from grader_etl_spark.functions.hashing import md5_32_py
+    from grader_etl_spark.functions.hashing import md5_lane_py
     from grader_etl_spark.io import load
 
     texts = [r["text"] for r in load(spark, sf_dir, "documents", columns=["text"]).collect()]
@@ -84,10 +84,10 @@ def test_count_min_matches_pure_python(spark, sf_dir):
     grid: collections.Counter = collections.Counter()
     for t in toks:
         for j in range(sk.CMS_D):
-            grid[(j, md5_32_py(f"{j}:{t}") % sk.CMS_W)] += 1
+            grid[(j, md5_lane_py(t, j) % sk.CMS_W)] += 1
     exact = collections.Counter(toks)
     got = {r["term"]: r for r in sk.q_count_min(spark, sf_dir).collect()}
     for term in sk.CMS_PROBES:
-        want_est = min(grid[(j, md5_32_py(f"{j}:{term}") % sk.CMS_W)] for j in range(sk.CMS_D))
+        want_est = min(grid[(j, md5_lane_py(term, j) % sk.CMS_W)] for j in range(sk.CMS_D))
         assert got[term]["cm_est"] == want_est, term
         assert got[term]["exact_freq"] == exact[term]
