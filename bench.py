@@ -75,9 +75,9 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # Round-1 comparability: the registry grew 155 → 269 queries after
-    # round 1, so the grand total is NOT comparable to the 140.79 s
-    # recorded in BASELINE.md. The pinned round-1 query set
+    # Round-1 comparability: the registry has grown well past the 155
+    # round-1 queries, so the grand total is NOT comparable to the
+    # 140.79 s recorded in BASELINE.md. The pinned round-1 query set
     # (tools/r1_queries.txt, extracted from VERDICT.md round 1) gives
     # an apples-to-apples subtotal.
     r1_path = os.path.join(
@@ -87,7 +87,11 @@ def main() -> None:
         r1_names = {line.strip() for line in f if line.strip()}
     r1_subset = round(sum(v for k, v in timings.items() if k in r1_names), 3)
     ordered = sorted(timings.values())
-    median = round(ordered[len(ordered) // 2], 3)
+    mid = len(ordered) // 2
+    # True median: average the two middle elements when n is even.
+    median = round(
+        ordered[mid] if len(ordered) % 2 else (ordered[mid - 1] + ordered[mid]) / 2, 3
+    )
 
     full = {
         "metric": "sum of per-query wall seconds, all registered queries, noop sink",

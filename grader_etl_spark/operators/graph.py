@@ -42,7 +42,7 @@ from grader_etl_spark.registry import query
 # it survives catalog cache clears and is shared by every consumer of
 # the cluster map within a session — the engine-side analogue of the
 # maintained cluster table a production dedup pipeline keeps.
-_COMPONENT_CACHE: dict[str, DataFrame] = {}
+_COMPONENT_CACHE: dict[tuple, DataFrame] = {}
 
 _SSET_SQL = f"""
   SELECT doc_id,
@@ -154,9 +154,13 @@ def components_from_pairs(
             [(x, find(x)) for x in sorted(touched)], schema
         )
     e = e.localCheckpoint()
-    ids = e.select(F.col("u").alias("id")).unionByName(e.select(F.col("v").alias("id"))).distinct()
-    mapping = ids.select("id", F.col("id").alias("label")).localCheckpoint()
-    return _contract_loop(mapping, e, max_rounds, tail_threshold, prev_n=n)
+    # mapping=None: the identity mapping over edge-touched vertices is
+    # never materialized — round 1's hook table covers every edge
+    # endpoint (each appears as u in the both-directions union), and
+    # identity∘hooks = hooks, so building ids-distinct + an identity
+    # checkpoint + the first compose join would be three jobs of pure
+    # overhead (~1.7s on the sf0.1 entity graph).
+    return _contract_loop(None, e, max_rounds, tail_threshold, prev_n=n)
 
 
 def _driver_union_find(edge_rows: list, mapping: DataFrame) -> DataFrame:
@@ -188,13 +192,21 @@ def _driver_union_find(edge_rows: list, mapping: DataFrame) -> DataFrame:
 
 
 def _contract_loop(
-    mapping: DataFrame, e: DataFrame, max_rounds: int, tail_threshold: int,
+    mapping: DataFrame | None, e: DataFrame, max_rounds: int, tail_threshold: int,
     prev_n: int | None = None,
 ) -> DataFrame:
     """Shared contraction loop: ``mapping`` (id, label) composed hook
-    mapping, ``e`` canonical (u > v) edge frame, both checkpointed."""
+    mapping, ``e`` canonical (u > v) edge frame, both checkpointed.
+
+    ``mapping=None`` means "identity over the edge-touched vertex
+    set": the caller guarantees the loop body runs at least once
+    before any terminal branch (prev_n > tail_threshold on entry), so
+    the first round's hook table — which contains every edge endpoint
+    — becomes the mapping directly instead of composing with a
+    materialized identity frame."""
     if prev_n is None:
         prev_n = e.count()
+    assert mapping is not None or prev_n > tail_threshold
     for _ in range(max_rounds):
         if prev_n == 0:
             return mapping.select("id", F.col("label").alias("component"))
@@ -207,11 +219,15 @@ def _contract_loop(
             .select(F.col("u").alias("x"), F.least("mn", F.col("u")).alias("lab"))
             .localCheckpoint()
         )
-        mapping = (
-            mapping.join(hooks, mapping.label == hooks.x, "left")
-            .select("id", F.coalesce("lab", "label").alias("label"))
-            .localCheckpoint()
-        )
+        if mapping is None:
+            # identity ∘ hooks = hooks (hooks covers every endpoint)
+            mapping = hooks.select(F.col("x").alias("id"), F.col("lab").alias("label"))
+        else:
+            mapping = (
+                mapping.join(hooks, mapping.label == hooks.x, "left")
+                .select("id", F.coalesce("lab", "label").alias("label"))
+                .localCheckpoint()
+            )
         mu = hooks.select(F.col("x").alias("u"), F.col("lab").alias("lu"))
         mv = hooks.select(F.col("x").alias("v"), F.col("lab").alias("lv"))
         e = (
@@ -340,8 +356,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     The resolved (doc_id, component_id) map is session-memoized per
     corpus like the shingle index — cluster resolution is a maintained
     artifact every consumer (savings report, leakage-safe splits,
-    curation) reads, not something to re-derive per query."""
-    key = sf_dir
+    curation) reads, not something to re-derive per query. Keyed by
+    (session, corpus) — checkpoints die with their session."""
+    key = (spark, sf_dir)
     if key in _COMPONENT_CACHE:
         return _COMPONENT_CACHE[key]
     pairs = jaccard_pairs_memo(spark, sf_dir)
@@ -421,7 +438,7 @@ SELECT n_name, round(rank, 6) AS pagerank FROM r{PR_ITERS}
 # re-running the lineitem⋈orders join tree to re-derive the identical
 # 625 rows is wasted scan+shuffle. localCheckpoint survives
 # catalog-wide cache clears; bound is |V|² rows per scale factor.
-_TRADE_EDGE_CACHE: dict[str, DataFrame] = {}
+_TRADE_EDGE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,9 +447,11 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     one join tree over lineitem⋈orders with broadcast dims, reduced
     to at most |V|² rows and checkpointed (and session-memoized) so
     iterative callers don't re-run the join tree per round or per
-    query."""
-    if sf_dir in _TRADE_EDGE_CACHE:
-        return _TRADE_EDGE_CACHE[sf_dir]
+    query. Keyed by (session, corpus) — checkpoints die with their
+    session."""
+    memo_key = (spark, sf_dir)
+    if memo_key in _TRADE_EDGE_CACHE:
+        return _TRADE_EDGE_CACHE[memo_key]
     li = load(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
     orders = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
@@ -455,7 +474,7 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .localCheckpoint()
     )
-    _TRADE_EDGE_CACHE[sf_dir] = edges
+    _TRADE_EDGE_CACHE[memo_key] = edges
     return edges
 
 

@@ -81,11 +81,13 @@ def _jaccard(a: Column, b: Column) -> Column:
 # would never happen at 100 TB. localCheckpoint (not persist) so
 # catalog-wide cache clears between queries don't silently drop it;
 # the bound is one shingle array per document per scale factor.
-_SHINGLE_CACHE: dict[str, DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = sf_dir
+    # Keyed by session too: a checkpointed frame is unusable after a
+    # session restart, so a new session rebuilds rather than replays.
+    key = (spark, sf_dir)
     if key not in _SHINGLE_CACHE:
         docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
         _SHINGLE_CACHE[key] = (
@@ -160,19 +162,20 @@ _JACCARD_THRESHOLD = 0.25
 # inverted-index self-join (~1-2 s each at sf0.1). Engine-side
 # analogue of the maintained pair table a production dedup keeps;
 # same discipline as the shingle memo above.
-_JACCARD_PAIR_CACHE: dict[str, DataFrame] = {}
+_JACCARD_PAIR_CACHE: dict[tuple, DataFrame] = {}
 
 
 def jaccard_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id_1, doc_id_2) near-dup pairs at the session threshold,
-    computed once per corpus dir."""
-    if sf_dir not in _JACCARD_PAIR_CACHE:
-        _JACCARD_PAIR_CACHE[sf_dir] = (
+    computed once per (session, corpus dir)."""
+    key = (spark, sf_dir)
+    if key not in _JACCARD_PAIR_CACHE:
+        _JACCARD_PAIR_CACHE[key] = (
             q_neardup_jaccard(spark, sf_dir)
             .select("doc_id_1", "doc_id_2")
             .localCheckpoint()
         )
-    return _JACCARD_PAIR_CACHE[sf_dir]
+    return _JACCARD_PAIR_CACHE[key]
 
 
 @query(

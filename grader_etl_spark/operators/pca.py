@@ -53,23 +53,26 @@ def _second_moment_partials(emb: DataFrame) -> DataFrame:
     return emb.select("embedding").mapInPandas(gram, "i int, j int, sxy double")
 
 
-# Covariance memo (keyed by corpus dir): the d(d+1)/2-row frame is a
+# Covariance memo (keyed by session + corpus dir — a checkpointed
+# frame dies with its session, so a session restart rebuilds instead
+# of replaying a dead handle): the d(d+1)/2-row frame is a
 # derived artifact shared by the covariance report and the PCA
 # projection, and referenced three times inside one query (cov, its
 # diagonal, the diagonal's alias) — without materialization each
 # reference re-runs the full-corpus Gram pass. 2080 rows at d=64, so
 # the checkpoint is free at any corpus size.
-_COV_CACHE: dict[str, DataFrame] = {}
+_COV_CACHE: dict[tuple, DataFrame] = {}
 
 
 def covariance_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle (i ≤ j) covariance and correlation of the
     embedding coordinates, full precision (callers round);
     session-memoized and checkpointed per corpus."""
-    if sf_dir in _COV_CACHE:
-        return _COV_CACHE[sf_dir]
+    key = (spark, sf_dir)
+    if key in _COV_CACHE:
+        return _COV_CACHE[key]
     out = _covariance_frame(spark, sf_dir).localCheckpoint()
-    _COV_CACHE[sf_dir] = out
+    _COV_CACHE[key] = out
     return out
 
 
