@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Callable, Iterator, Protocol
@@ -109,11 +110,35 @@ def transform(raw: DataFrame, observation=None) -> tuple[DataFrame, DataFrame]:
 # ---------------------------------------------------------------------------
 
 
+def _lock_reap_tag(lock: str) -> str | None:
+    """Return the dead holder's nonce if ``lock`` is reapable, else
+    None. A lock is reapable when its recorded pid no longer exists on
+    this host (``kill(pid, 0)`` → ESRCH). Unreadable or malformed
+    content never reaps — acquisition links content atomically, so a
+    well-formed lock always carries ``pid:nonce``."""
+    try:
+        with open(lock) as f:
+            pid_s, _, nonce = f.read().partition(":")
+        pid = int(pid_s)
+    except (OSError, ValueError):
+        return None
+    if not nonce:
+        return None
+    try:
+        os.kill(pid, 0)
+        return None  # holder alive
+    except ProcessLookupError:
+        return nonce
+    except PermissionError:
+        return None  # alive under another uid
+
+
 @contextmanager
 def _store_lock(path: str, timeout: float = 120.0, poll: float = 0.05) -> Iterator[None]:
     """Advisory mutex for the store's check-then-append critical
-    section: O_CREAT|O_EXCL on a sibling ``<path>.lock`` file, which is
-    atomic on POSIX filesystems (and on HDFS via create-no-overwrite).
+    section, with crash recovery: the lock is a sibling ``<path>.lock``
+    file acquired by atomic link-no-overwrite (the POSIX twin of
+    HDFS's create-no-overwrite), whose content is ``pid:nonce``.
 
     Why it exists: without it, two writers can BOTH anti-join against
     the same pre-append key snapshot and BOTH land the same key —
@@ -125,30 +150,84 @@ def _store_lock(path: str, timeout: float = 120.0, poll: float = 0.05) -> Iterat
     (Delta/Iceberg MERGE, or Hive lock manager) provides — swap this
     function, keep the callers.
 
-    Stale locks (a writer that died mid-append) surface as a
-    TimeoutError naming the lock file rather than silent corruption."""
+    Crash recovery: a waiter that finds the recorded pid dead REAPS
+    the lock instead of timing out — ``rename(lock, lock.reap-<nonce>)``,
+    atomic and nonce-deterministic, so concurrent reapers collide
+    benignly (exactly one rename succeeds; losers retry the acquire).
+    The nonce also closes the ABA hazard: if the renamed file turns
+    out to carry a different nonce than the one observed dead (the
+    microsecond window where another reaper won AND a new live writer
+    acquired), the reaper restores it with link-no-overwrite and
+    retries. The only unrecoverable corner — a third writer acquiring
+    inside that same microsecond window — requires a real crash plus
+    two sub-poll-interval races stacked, and is the residual every
+    pidfile-takeover scheme shares; an fcntl/flock rendition would
+    close even that on one host but has no dfs analogue at all.
+    Liveness check is per-host pid existence, the right scope here
+    (all writers share the host; a cluster swaps this file for the
+    table format's transaction log, not a smarter pidfile)."""
     lock = path.rstrip("/") + ".lock"
     parent = os.path.dirname(lock)
     if parent:
         os.makedirs(parent, exist_ok=True)
+    nonce = uuid.uuid4().hex[:12]
+    mine = f"{lock}.w-{nonce}"
+    with open(mine, "w") as f:
+        f.write(f"{os.getpid()}:{nonce}")
     deadline = time.monotonic() + timeout
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"store lock {lock} held for >{timeout}s — stale lock from a "
-                    "dead writer? remove it manually after verifying no append is live"
-                )
-            time.sleep(poll)
     try:
-        os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
-        yield
+        while True:
+            try:
+                os.link(mine, lock)  # atomic create-no-overwrite WITH content
+                break
+            except FileExistsError:
+                tag = _lock_reap_tag(lock)
+                if tag is not None:
+                    reap = f"{lock}.reap-{tag}"
+                    try:
+                        os.rename(lock, reap)
+                    except FileNotFoundError:
+                        continue  # another reaper won, or holder released
+                    try:
+                        with open(reap) as f:
+                            got = f.read().partition(":")[2]
+                    except OSError:
+                        got = tag
+                    if got != tag:
+                        # ABA: we renamed a NEWER live acquisition — put
+                        # it back atomically and retry from scratch.
+                        try:
+                            os.link(reap, lock)
+                        except FileExistsError:
+                            pass
+                    try:
+                        os.unlink(reap)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"store lock {lock} held for >{timeout}s by a LIVE process — "
+                        "a dead holder would have been reaped automatically"
+                    )
+                time.sleep(poll)
+        try:
+            yield
+        finally:
+            # Guarded release: remove only OUR acquisition (a reaper
+            # can only displace a dead pid, so for a live holder this
+            # read-then-remove is effectively atomic).
+            try:
+                with open(lock) as f:
+                    if f.read().partition(":")[2] == nonce:
+                        os.remove(lock)
+            except OSError:
+                pass
     finally:
-        os.remove(lock)
+        try:
+            os.unlink(mine)
+        except FileNotFoundError:
+            pass
 
 
 @dataclass

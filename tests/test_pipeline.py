@@ -149,16 +149,72 @@ def test_concurrent_appends_preserve_first_writer_wins(spark, tmp_path):
     } | {f"b{i}" for i in range(4)}
 
 
-def test_store_lock_times_out_on_stale_lock(spark, tmp_path):
+def test_store_lock_times_out_on_live_holder(spark, tmp_path):
     import pytest
 
     from grader_etl_spark.plans.pipeline import _store_lock
 
     path = str(tmp_path / "locked_store")
     with _store_lock(path):
-        with pytest.raises(TimeoutError, match="stale lock"):
+        # Same-process holder is alive, so no reap — a second writer
+        # must wait out its timeout, not steal the lock.
+        with pytest.raises(TimeoutError, match="LIVE process"):
             with _store_lock(path, timeout=0.3):
                 pass
+
+
+def test_dead_writer_lock_is_reaped_and_append_recovers(spark, tmp_path):
+    """Kill a writer while it HOLDS the store lock: the next writer
+    must reap the dead holder's lock immediately (no timeout, no
+    manual cleanup) and the recovered store must still enforce
+    first-writer-wins on a contested key."""
+    import datetime as dt
+    import os
+    import subprocess
+    import sys
+    import time as _t
+
+    from grader_etl_spark.plans.pipeline import DEDUP_KEYS, _store_lock
+
+    path = str(tmp_path / "crash_store")
+    code = (
+        f"import sys; sys.path.insert(0, {os.getcwd()!r})\n"
+        "from grader_etl_spark.plans.pipeline import _store_lock\n"
+        "import time\n"
+        f"with _store_lock({path!r}):\n"
+        "    print('HELD', flush=True)\n"
+        "    time.sleep(300)\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], stdout=subprocess.PIPE, text=True
+    )
+    try:
+        assert proc.stdout.readline().strip() == "HELD"
+    finally:
+        proc.kill()
+    proc.wait()
+    assert os.path.exists(path + ".lock")  # crash left the lock behind
+
+    t0 = _t.monotonic()
+    with _store_lock(path, timeout=30):
+        took = _t.monotonic() - t0
+    assert took < 5, f"reap took {took:.1f}s — waited instead of reaping"
+
+    # Post-recovery appends behave exactly as before the crash.
+    store = ParquetStore(spark, path)
+    stats_schema = (
+        "user_id string, oauth_consumer_key string, lis_result_sourcedid string, "
+        "lis_outcome_service_url string, is_correct boolean, attempt_type string, "
+        "event_timestamp timestamp"
+    )
+    ts = dt.datetime(2024, 1, 15, 10, 0, 0)
+    first = spark.createDataFrame([("u1", "A", None, None, True, "run", ts)], stats_schema)
+    second = spark.createDataFrame([("u1", "B", None, None, False, "check", ts)], stats_schema)
+    store.idempotent_append(first)
+    store.idempotent_append(second)
+    rows = store.read().collect()
+    assert len(rows) == 1 and rows[0]["oauth_consumer_key"] == "A"
+    assert not os.path.exists(path + ".lock")
 
 
 def test_ingest_metrics_ride_the_append_job(spark, tmp_path):

@@ -7,12 +7,20 @@ ints/strings, bit-exact-first with a tiny epsilon report for floats —
 the real driver hashes, so we treat any float difference as a FAIL
 signal worth fixing, not tolerating).
 
-Usage: python tools/oracle_check.py [--sf /root/testdata/sf0.01] [names...]
+Usage: python tools/oracle_check.py [--sf /root/testdata/sf0.01]
+           [--json CORRECTNESS_FULL.json] [names...]
+
+--json writes a driver-shaped artifact (per query: rows_match /
+schema_match / hash_match / spark_rows / oracle_rows / err, plus
+rows_only for the no-oracle-by-design queries) so the full-registry
+correctness status is a committed, diffable file each round instead
+of resting on an uncommitted terminal scroll.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
 import traceback
@@ -67,6 +75,7 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", dest="json_path", default=None)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -82,6 +91,7 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 
     n_fail = 0
+    report: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -89,24 +99,52 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
             n_fail += 1
+            report[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": traceback.format_exc(limit=1).strip().splitlines()[-1],
+            }
             continue
         el = time.time() - t0
         if name not in oracles:
             print(f"ok*   {name}: rows-only, {len(sdf)} rows ({el:.1f}s)")
+            report[name] = {
+                "rows_match": len(sdf) >= 0, "schema_match": None, "hash_match": None,
+                "spark_rows": len(sdf), "oracle_rows": None,
+                "err": None, "rows_only": True,
+            }
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception:
             print(f"FAIL  {name}: oracle error\n{traceback.format_exc()}")
             n_fail += 1
+            report[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(sdf), "oracle_rows": None,
+                "err": traceback.format_exc(limit=1).strip().splitlines()[-1],
+            }
             continue
         problems = compare(name, sdf, odf)
+        report[name] = {
+            "rows_match": not any(p.startswith("row count") for p in problems),
+            "schema_match": not any(
+                p.startswith(("columns", "dtype")) for p in problems
+            ),
+            "hash_match": not problems,
+            "spark_rows": len(sdf), "oracle_rows": len(odf),
+            "err": "; ".join(problems) or None,
+        }
         if problems:
             n_fail += 1
             print(f"FAIL  {name} ({len(sdf)} rows, {el:.1f}s): " + "; ".join(problems))
         else:
             print(f"OK    {name}: {len(sdf)} rows match ({el:.1f}s)")
     print(f"\n{len(names) - n_fail}/{len(names)} passing")
+    if args.json_path:
+        with open(args.json_path, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {args.json_path} ({len(report)} queries)")
     return 1 if n_fail else 0
 
 
