@@ -75,6 +75,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # End-to-end composed pipeline (intake → gate → dedup → near-dup
+    # prune → shard manifest → versioned release write): the capstone
+    # number a pipeline owner schedules, reported beside the per-query
+    # suite. Stage walls go to BENCH_FULL.json; the summary line
+    # carries the two totals.
+    from tools.pipeline_bench import run_pipeline_bench
+
+    pipeline = run_pipeline_bench(spark, sf_dir)
+
     # Round-1 comparability: the registry has grown well past the 155
     # round-1 queries, so the grand total is NOT comparable to the
     # 140.79 s recorded in BASELINE.md. The pinned round-1 query set
@@ -102,6 +111,7 @@ def main() -> None:
         "median_sec": median,
         "r1_subset_sec": r1_subset,
         "r1_subset_n": len(r1_names & set(timings)),
+        "pipeline": pipeline,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as f:
@@ -120,6 +130,8 @@ def main() -> None:
         "median_sec": median,
         "r1_subset_sec": r1_subset,
         "r1_subset_n": len(r1_names & set(timings)),
+        "pipeline_sec": pipeline["composed_sec"],
+        "pipeline_staged_sec": pipeline["total_staged_sec"],
         "full": "BENCH_FULL.json",
     }
     line = json.dumps(summary, separators=(",", ":"))

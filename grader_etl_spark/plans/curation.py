@@ -54,30 +54,25 @@ def quality_gate(docs: DataFrame) -> DataFrame:
     )
 
 
-def curate(docs: DataFrame, shingle_index: DataFrame | None = None) -> DataFrame:
-    """The full pipeline; returns (doc_id, n_words) of curated docs.
-
-    ``shingle_index``: optional pre-materialized (doc_id, sset) frame
-    (llm_dedup.shingled_docs) — when provided, stage 3 joins it by
-    doc_id instead of re-tokenizing the keeper texts, so the corpus is
-    shingled once per session across every near-dup operator."""
-    gated = quality_gate(docs)
-
-    # Stage 2: exact dedup on the normalized fingerprint.
+def exact_dedup(gated: DataFrame) -> DataFrame:
+    """Stage 2: exact dedup on the normalized fingerprint — keep the
+    min doc_id per fingerprint. Returns persisted keepers (the frame
+    feeds the shingle stage AND the final anti-join; persisting runs
+    gate+dedup once, not 3-4×)."""
     fp = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
-    keepers = (
+    return (
         gated.select("doc_id", "n_words", "text", fp.alias("fp"))
         .withColumn("rk", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
         .filter(F.col("rk") == 1)
         .drop("rk", "fp")
-        # keepers feeds the shingle stage AND the final anti-join; sh
-        # below feeds both self-join sides + two size lookups. Persist
-        # both shared stages (gate+dedup / shingling run once, not 3-4×).
         .persist()
     )
 
-    # Stage 3: exact near-dup pairs among keepers (inverted index),
-    # drop the higher id of every pair.
+
+def neardup_prune(keepers: DataFrame, shingle_index: DataFrame | None = None) -> DataFrame:
+    """Stage 3: exact near-dup pairs among keepers (inverted-index
+    candidates), drop the higher doc_id of every qualifying pair.
+    Returns (doc_id, n_words) of curated docs."""
     if shingle_index is not None:
         sh = keepers.select("doc_id").join(shingle_index, "doc_id")
     else:
@@ -98,6 +93,16 @@ def curate(docs: DataFrame, shingle_index: DataFrame | None = None) -> DataFrame
         .distinct()
     )
     return keepers.join(drop_ids, "doc_id", "left_anti").select("doc_id", "n_words")
+
+
+def curate(docs: DataFrame, shingle_index: DataFrame | None = None) -> DataFrame:
+    """The full pipeline; returns (doc_id, n_words) of curated docs.
+
+    ``shingle_index``: optional pre-materialized (doc_id, sset) frame
+    (llm_dedup.shingled_docs) — when provided, stage 3 joins it by
+    doc_id instead of re-tokenizing the keeper texts, so the corpus is
+    shingled once per session across every near-dup operator."""
+    return neardup_prune(exact_dedup(quality_gate(docs)), shingle_index)
 
 
 # The naive-SQL rendition of the three stages, shared by the curate
