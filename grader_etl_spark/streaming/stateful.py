@@ -109,6 +109,12 @@ try:  # the v2 state server speaks protobuf; absent in this container
 
     _HAS_PROTOBUF = True
 except ImportError:
+    # Re-verified round 3 (2026-08-14): `import google.protobuf` fails
+    # and the environment prohibits installing packages, so the v2
+    # streaming query has still never executed here. The processor
+    # logic is parity-tested against the v1 kernel without Spark
+    # (tests/test_stateful_streaming.py); the wiring below runs
+    # unchanged wherever protobuf exists.
     _HAS_PROTOBUF = False
 
 from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
