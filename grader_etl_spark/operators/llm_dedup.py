@@ -279,6 +279,33 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", shingle_col: str =
     )
 
 
+# MinHash machinery memos (keyed by session + corpus dir, like the
+# shingle index): signatures and LSH candidate pairs are derived
+# artifacts shared by three consumers (the near-dup query itself and
+# the calibration/PRF audits) — each was re-running the 64-permutation
+# signature pass and the banding self-join per query.
+_MINHASH_SIG_CACHE: dict[tuple, DataFrame] = {}
+_LSH_CAND_CACHE: dict[tuple, DataFrame] = {}
+
+
+def minhash_signatures_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark, sf_dir)
+    if key not in _MINHASH_SIG_CACHE:
+        _MINHASH_SIG_CACHE[key] = minhash_signatures(
+            shingled_docs(spark, sf_dir)
+        ).localCheckpoint()
+    return _MINHASH_SIG_CACHE[key]
+
+
+def lsh_candidates_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark, sf_dir)
+    if key not in _LSH_CAND_CACHE:
+        _LSH_CAND_CACHE[key] = lsh_candidate_pairs(
+            minhash_signatures_memo(spark, sf_dir)
+        ).localCheckpoint()
+    return _LSH_CAND_CACHE[key]
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Band the signature into LSH buckets and equi-join for candidate
     pairs. This is the anti-cross-join: the only join key is the
@@ -383,10 +410,9 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end — the md5_32 cross-engine base hash is what makes the
     signatures engine-portable."""
     # Consumed by the signature pass and both exact-verify branches —
-    # all reading the session-materialized shingle index.
+    # all reading the session-materialized shingle/candidate memos.
     sh = shingled_docs(spark, sf_dir)
-    sig = minhash_signatures(sh)
-    cands = lsh_candidate_pairs(sig)
+    cands = lsh_candidates_memo(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sset").alias("sset_1"))
     b = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sset").alias("sset_2"))
     return (
@@ -881,8 +907,8 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is one integer division — every output column bit-equal
     cross-engine."""
     sh = shingled_docs(spark, sf_dir)
-    sig = minhash_signatures(sh)
-    cands = lsh_candidate_pairs(sig)
+    sig = minhash_signatures_memo(spark, sf_dir)
+    cands = lsh_candidates_memo(spark, sf_dir)
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_1"), F.col("sig_2"), lambda x, y: x == y), lambda b: b
@@ -1075,8 +1101,7 @@ def q_minhash_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     both already session-memoized; the confusion counts are one
     full-outer pair join + one global aggregate. All counts integer
     (hash-oracled); the two ratios are single divisions rounded 6 dp."""
-    sh = shingled_docs(spark, sf_dir)
-    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    cands = lsh_candidates_memo(spark, sf_dir)
     truth = jaccard_pairs_memo(spark, sf_dir)
     j = cands.withColumn("c", F.lit(1)).join(
         truth.withColumn("t", F.lit(1)), ["doc_id_1", "doc_id_2"], "full_outer"
