@@ -234,8 +234,13 @@ def bpe_train(vocab: DataFrame, n_merges: int) -> list[tuple[int, str, str, int]
     partial-agg, argmax to the driver (one row — the k-means
     centroid-collect class); (2) the fold rewrite of each symbol
     array, localCheckpoint'd so the per-round lambda towers don't
-    stack into one giant expression tree. Ties break (count desc,
-    left, right) so the merge table is deterministic."""
+    stack into one giant expression tree. The rewrite is split-union
+    guarded (the passback discipline): only words containing BOTH
+    merged symbols run the O(|word|) fold — a cheap array_contains
+    pre-filter skips the overwhelming majority each round, since a
+    word lacking either symbol cannot contain the adjacency and the
+    fold would return it unchanged. Ties break (count desc, left,
+    right) so the merge table is deterministic."""
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         pairs = (
@@ -259,9 +264,13 @@ def bpe_train(vocab: DataFrame, n_merges: int) -> list[tuple[int, str, str, int]
             break
         best = pairs[0]
         merges.append((rank, best["l"], best["r"], int(best["n"])))
-        vocab = vocab.select(
-            _apply_merge(F.col("syms"), best["l"], best["r"]).alias("syms"), "cnt"
-        ).localCheckpoint(eager=True)
+        hit = F.array_contains("syms", best["l"]) & F.array_contains("syms", best["r"])
+        vocab = (
+            vocab.filter(hit)
+            .select(_apply_merge(F.col("syms"), best["l"], best["r"]).alias("syms"), "cnt")
+            .unionByName(vocab.filter(~hit).select("syms", "cnt"))
+            .localCheckpoint(eager=True)
+        )
     return merges
 
 
