@@ -656,30 +656,46 @@ def q_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: brand pairs co-occurring in the same
     order, with lift = P(a,b)/(P(a)·P(b)) — the association-rule
     primitive behind 'bought together' and assortment planning
-    (Agrawal/Srikant's support-confidence framing is public). The
-    pair join is keyed on l_orderkey, so candidates are bounded by
-    Σ C(brands-per-order, 2) — basket-size-bounded, never brands² ×
-    orders and never a cartesian; brand marginals and the order total
-    broadcast back onto the pair table (≤ C(25,2) rows). A support
+    (Agrawal/Srikant's support-confidence framing is public).
+
+    Plan shape: ONE shuffle builds the per-order brand BASKET
+    (groupBy l_orderkey, collect_set, sorted), and the i<j pair
+    enumeration is a map-side array expression over each basket —
+    Σ C(brands-per-order, 2) rows, basket-size-bounded, never
+    brands² × orders, never a self-join (the previous rendition
+    equi-self-joined the order-brand frame, re-shuffling it for each
+    side AND for the marginals; baskets serve all three consumers
+    from the same exchange). Brand marginals and the order total
+    broadcast back onto the ≤ C(25,2)-row pair table. A support
     floor ({AFFINITY_MIN_ORDERS} co-orders) keeps noise pairs out,
     the same reason the PMI operator floors its counts."""
     li = load(spark, sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     part = load(spark, sf_dir, "part", columns=["p_partkey", "p_brand"])
-    ob = (
+    baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
+        # three consumers (total, marginals, pairs): without this,
+        # column pruning specializes each subtree past ReusedExchange
+        # and the scan+join+groupBy runs three times
+        .persist()
     )
-    n_orders = ob.select(F.countDistinct("l_orderkey").alias("n"))
-    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
-    a, b = ob.alias("a"), ob.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
+    n_orders = baskets.select(F.count(F.lit(1)).alias("n"))
+    brand_n = baskets.select(F.explode("brands").alias("p_brand")).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("brands"),
+            lambda x, i: F.transform(
+                F.slice(F.col("brands"), i + 2, F.size(F.col("brands"))),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
         )
-        .groupBy(F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b"))
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= AFFINITY_MIN_ORDERS)
     )
