@@ -912,6 +912,9 @@ def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KCORE_K = 2        # minimum within-core degree
 _KCORE_ROUNDS = 6  # pinned parallel-peel rounds (pytest asserts convergence)
+# Edge count under which the peel runs on the driver (one collect);
+# matches the connected-components union-find tail_threshold class.
+_KCORE_DRIVER_EDGES_MAX = 100_000
 
 
 def _kcore_oracle() -> str:
@@ -969,13 +972,45 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's unrolled rounds reach the identical state, and pytest
     asserts the fixpoint arrived before the ceiling (a deeper graph
     degrades to more rounds, not wrong output). Rides the session
-    pair machinery (shingle memo) like q_triangle_count."""
+    pair machinery (shingle memo) like q_triangle_count.
+
+    Below {_KCORE_DRIVER_EDGES_MAX} edges the peel runs on the driver
+    off one limit+collect — the same threshold-gated tail discipline
+    as connected_components' union-find (tail_threshold above): the
+    verified near-dup pair set is a tiny quotient of the corpus, and
+    6 rounds × 3 shuffles over a few hundred rows is pure job
+    overhead. The distributed rounds below are the past-the-bound
+    path, byte-identical in semantics."""
     # The session pair memo is already checkpointed — each peel
     # round's degree agg re-reads columnar state instead of the
     # inverted-index join subtree (measured 9.4s → ~2s at sf0.1).
     edges = jaccard_pairs_memo(spark, sf_dir).select(
         F.col("doc_id_1").alias("d1"), F.col("doc_id_2").alias("d2")
     )
+    head = edges.limit(_KCORE_DRIVER_EDGES_MAX + 1).collect()
+    if len(head) <= _KCORE_DRIVER_EDGES_MAX:
+        from collections import Counter
+
+        E = [(r["d1"], r["d2"]) for r in head]
+        for _ in range(_KCORE_ROUNDS):
+            deg = Counter()
+            for a, b in E:
+                deg[a] += 1
+                deg[b] += 1
+            keep = {v for v, d in deg.items() if d >= KCORE_K}
+            E = [(a, b) for a, b in E if a in keep and b in keep]
+        core = Counter()
+        for a, b in E:
+            core[a] += 1
+            core[b] += 1
+        id_type = edges.schema["d1"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", id_type),
+                T.StructField("core_degree", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame(sorted(core.items()), schema)
     for i in range(1, _KCORE_ROUNDS + 1):
         deg = (
             edges.select(F.col("d1").alias("doc_id"))
