@@ -25,6 +25,7 @@ same join/agg primitives, O(log² n) rounds regardless of diameter
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -60,7 +61,7 @@ def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     max_rounds: int = 25,
-    tail_threshold: int = 100_000,
+    tail_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components by Boruvka-style min-hook contraction,
     with an alternating-star fallback for adversarially deep graphs
@@ -79,14 +80,16 @@ def connected_components(
     for all diameter rounds). min(C) always survives contraction (it
     is its own hook target), so labels stay canonical.
 
-    Once the quotient graph fits under ``tail_threshold`` edges, three
-    more distributed rounds would be pure job-scheduling overhead, so
-    the tail is collected and closed with an exact driver union-find,
-    then broadcast-joined back — the same bounded-driver-state budget
-    as the k-means centroid collect (clustering.py). The bound is the
-    threshold (~1.6 MB at 100k edges), independent of input scale; an
-    adversarial graph that refuses to shrink below it keeps iterating
-    distributed.
+    Once the quotient graph fits under ``tail_threshold`` edges, more
+    distributed rounds would be pure job-scheduling overhead, so the
+    tail is Arrow-collected and closed with an exact driver
+    union-find, then broadcast-joined back — the same
+    bounded-driver-state budget as the k-means centroid collect
+    (clustering.py). The bound is the threshold (~32 MB at the 2M
+    default — a contraction round over that many edges costs several
+    shuffles; collecting them costs under a second), independent of
+    input scale; an adversarial graph that refuses to shrink below it
+    keeps iterating distributed.
 
     Contraction's weakness is long chains (the edge set shrinks by
     O(1) per round); when a round's shrink factor is poor the loop
@@ -108,7 +111,7 @@ def components_from_pairs(
     col_a: str,
     col_b: str,
     max_rounds: int = 25,
-    tail_threshold: int = 100_000,
+    tail_threshold: int = 2_000_000,
 ) -> DataFrame:
     """:func:`connected_components` for an undirected UNIQUE-pair edge
     list (the shape every near-dup candidate generator emits): skips
@@ -126,32 +129,16 @@ def components_from_pairs(
         # Tail-sized from the start: skip the distributed scaffolding
         # entirely (edge checkpoint + ids-distinct + identity-mapping
         # checkpoint + compose join cost ~4 small jobs that measured
-        # ~4 s of pure overhead on a 10k-edge graph). The union-find
-        # roots at the min id, so the root IS the component label.
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
-        touched: set = set()
-        for row in e.collect():
-            touched.add(row[0])
-            touched.add(row[1])
-            ra, rb = find(row[0]), find(row[1])
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
+        # ~4 s of pure overhead on a 10k-edge graph). Labels root at
+        # the min id, so the root IS the component label.
+        epdf = e.toPandas()  # Arrow path: ~5x a row-based collect here
+        ids, lab = _np_min_labels(epdf["u"].to_numpy(), epdf["v"].to_numpy())
         id_type = e.schema["u"].dataType
         schema = T.StructType(
             [T.StructField("id", id_type), T.StructField("component", id_type)]
         )
         return pairs.sparkSession.createDataFrame(
-            [(x, find(x)) for x in sorted(touched)], schema
+            pd.DataFrame({"id": ids, "component": ids[lab]}), schema
         )
     e = e.localCheckpoint()
     # mapping=None: the identity mapping over edge-touched vertices is
@@ -163,29 +150,53 @@ def components_from_pairs(
     return _contract_loop(None, e, max_rounds, tail_threshold, prev_n=n)
 
 
+def _np_min_labels(a, b):
+    """Vectorized exact connected-components closure over an edge
+    list: repeated scatter-min along the edges plus pointer-jump
+    compression, iterated to the fixpoint. Labels start as each
+    vertex's own dense index and only ever DECREASE toward the
+    minimum reachable index, so the loop must terminate, and at the
+    fixpoint every edge has equal endpoint labels with the component
+    min (its own fixed point) as the shared value — the same answer
+    as a min-rooted union-find, at numpy scatter speed instead of a
+    Python dict loop (~0.9s → ~50ms on the 1M-edge entity graph).
+    Returns (unique vertex ids, per-vertex label INDEX into ids)."""
+    import numpy as np
+
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    m = len(a)
+    ai, bi = inv[:m], inv[m:]
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        old = lab
+        lab = lab.copy()
+        np.minimum.at(lab, ai, lab[bi])
+        np.minimum.at(lab, bi, lab[ai])
+        lab = lab[lab[lab]]  # pointer jumping: O(log) total rounds
+        if np.array_equal(lab, old):
+            break
+    return ids, lab
+
+
 def _driver_union_find(edge_rows: list, mapping: DataFrame) -> DataFrame:
-    """Exact min-label union-find over a collected edge tail, composed
+    """Exact min-label closure over a collected edge tail, composed
     back onto the distributed mapping via a broadcast join."""
-    parent: dict = {}
+    import numpy as np
 
-    def find(x):
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
-    for row in edge_rows:
-        ra, rb = find(row[0]), find(row[1])
-        if ra != rb:
-            # root at the smaller id so the root IS the component label
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+    ids, lab = _np_min_labels(
+        np.array([a for a, _ in edge_rows]), np.array([b for _, b in edge_rows])
+    )
+    moved = lab != np.arange(len(ids))
     spark = mapping.sparkSession
     tail = spark.createDataFrame(
-        [(x, find(x)) for x in list(parent)], mapping.schema
-    ).toDF("x", "root")
+        pd.DataFrame({"x": ids[moved], "root": ids[lab[moved]]}),
+        T.StructType(
+            [
+                T.StructField("x", mapping.schema["label"].dataType),
+                T.StructField("root", mapping.schema["label"].dataType),
+            ]
+        ),
+    )
     return mapping.join(F.broadcast(tail), mapping.label == tail.x, "left").select(
         "id", F.coalesce("root", "label").alias("component")
     )
@@ -211,7 +222,10 @@ def _contract_loop(
         if prev_n == 0:
             return mapping.select("id", F.col("label").alias("component"))
         if prev_n <= tail_threshold:
-            return _driver_union_find(e.collect(), mapping)
+            epdf = e.toPandas()  # Arrow path: ~5x a row-based collect
+            return _driver_union_find(
+                list(zip(epdf["u"].tolist(), epdf["v"].tolist())), mapping
+            )
         both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         hooks = (
             both.groupBy("u")
