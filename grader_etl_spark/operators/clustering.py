@@ -24,6 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from grader_etl_spark.functions.literals import lit_doubles
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
 
@@ -34,7 +35,7 @@ ITERATIONS = 5
 def _sq_dist(v: Column, centroid: list[float]) -> Column:
     """Squared L2 distance to a constant centroid, as a codegen'd
     fold — zip_with against an array literal, then sum."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+    c = lit_doubles(centroid)
     diffs = F.zip_with(v, c, lambda a, b: (a - b) * (a - b))
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
