@@ -32,6 +32,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from grader_etl_spark.functions.literals import lit_longs
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
 
@@ -86,7 +87,10 @@ def bloom_prune(df: DataFrame, key_col: str, words: list[int]) -> DataFrame:
         bit = f"shiftleft(1L, cast({pos} % 64 as int))"
         checks.append(f"(({word} & {bit}) != 0)")
     return (
-        df.withColumn("__bloom_words", F.lit(words))
+        # lit_longs: ONE JSON literal instead of 2048 per-element py4j
+        # conversions (~1.3s of driver time per construction), folded
+        # to the identical array literal at plan time.
+        df.withColumn("__bloom_words", lit_longs(words))
         .filter(F.expr(" AND ".join(checks)))
         .drop("__bloom_words")
     )
