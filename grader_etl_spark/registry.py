@@ -104,3 +104,22 @@ def all_queries() -> dict[str, QueryFn]:
 def all_oracles() -> dict[str, str]:
     load_all_operators()
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+def clear_session_memos() -> None:
+    """Drop every session memo (the module-level ``*_CACHE`` dicts —
+    shingle index, pair/signature memos, trade edges, curation stages,
+    covariance, centroids). Callers that need a query to re-pay its
+    memo-build cost (bench stall retries, isolation-sensitive tests)
+    clear these; the checkpointed frames themselves are reclaimed by
+    the JVM once unreferenced."""
+    import sys
+
+    for mod_name, mod in list(sys.modules.items()):
+        if not mod_name.startswith("grader_etl_spark"):
+            continue
+        for attr in dir(mod):
+            if attr.endswith("_CACHE"):
+                obj = getattr(mod, attr)
+                if isinstance(obj, dict):
+                    obj.clear()
