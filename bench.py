@@ -61,6 +61,16 @@ def main() -> None:
 
     warm_udf = pandas_udf(_identity, "long")
     spark.range(64).select(warm_udf("id")).write.format("noop").mode("overwrite").save()
+    # One full pass over EVERY table: the old warm-up only scanned
+    # lineitem (via q_daily_report), so the alphabetically-first query
+    # touching events/documents/embeddings was billed that table's
+    # footer read + OS page-cache fill (~1-2 s of first-touch cost
+    # landing on arbitrary queries). The suite measures the engine,
+    # not cold disk.
+    from grader_etl_spark.io import TABLES, load
+
+    for t in TABLES:
+        load(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
