@@ -338,6 +338,31 @@ def bpe_train(vocab: DataFrame, n_merges: int) -> list[tuple[int, str, str, int]
     return merges
 
 
+def _apply_merges_expr(word_col: str, merges: list[tuple[str, str]]) -> Column:
+    """The full merge cascade over ``word_col``'s characters as ONE
+    parsed SQL expression — semantically identical to chaining
+    ``_apply_merge`` over ``_chars`` (same greedy fold, same CASE
+    branches), but a single F.expr parse instead of ~3 py4j lambda
+    constructions per rule (~0.5 s of driver time per query build at
+    8 rules)."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    expr = (
+        f"transform(sequence(1, CAST(length({word_col}) AS INT)),"
+        f" i -> substring({word_col}, i, 1))"
+    )
+    for l, r in merges:
+        expr = (
+            f"aggregate({expr}, CAST(array() AS array<string>), (acc, x) -> "
+            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = {q(l)} AND x = {q(r)} "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array({q(l + r)})) "
+            f"ELSE concat(acc, array(x)) END)"
+        )
+    return F.expr(expr)
+
+
 def _duck_encode(merges: list[tuple[str, str]]) -> str:
     """DuckDB expression applying ``merges`` to word ``w`` — the exact
     list_reduce twin of the Spark fold in _apply_merge."""
@@ -386,9 +411,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    syms = _chars(F.col("word"))
-    for l, r in BPE_RULES:
-        syms = _apply_merge(syms, l, r)
+    syms = _apply_merges_expr("word", BPE_RULES)
     return (
         vocab.select(F.explode(syms).alias("token"), "c")
         .groupBy("token")
@@ -612,9 +635,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    syms = _chars(F.col("word"))
-    for l, r in BPE_RULES:
-        syms = _apply_merge(syms, l, r)
+    syms = _apply_merges_expr("word", BPE_RULES)
     per_word = vocab.select(
         "lang",
         "c",
