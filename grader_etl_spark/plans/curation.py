@@ -69,10 +69,31 @@ def exact_dedup(gated: DataFrame) -> DataFrame:
     )
 
 
-def neardup_prune(keepers: DataFrame, shingle_index: DataFrame | None = None) -> DataFrame:
+def neardup_prune(
+    keepers: DataFrame,
+    shingle_index: DataFrame | None = None,
+    pair_memo: DataFrame | None = None,
+) -> DataFrame:
     """Stage 3: exact near-dup pairs among keepers (inverted-index
     candidates), drop the higher doc_id of every qualifying pair.
-    Returns (doc_id, n_words) of curated docs."""
+    Returns (doc_id, n_words) of curated docs.
+
+    ``pair_memo``: optional session pair table (llm_dedup.
+    jaccard_pairs_memo — same shingle definition, same threshold,
+    doc_id_1 < doc_id_2). Exact Jaccard is pairwise, so the qualifying
+    pairs among keepers are exactly the memo rows with BOTH endpoints
+    in the keeper set: two semi-joins replace the inverted-index
+    self-join entirely."""
+    if pair_memo is not None:
+        k1 = keepers.select(F.col("doc_id").alias("doc_id_1"))
+        k2 = keepers.select(F.col("doc_id").alias("doc_id_2"))
+        drop_ids = (
+            pair_memo.join(k1, "doc_id_1", "left_semi")
+            .join(k2, "doc_id_2", "left_semi")
+            .select(F.col("doc_id_2").alias("doc_id"))
+            .distinct()
+        )
+        return keepers.join(drop_ids, "doc_id", "left_anti").select("doc_id", "n_words")
     if shingle_index is not None:
         sh = keepers.select("doc_id").join(shingle_index, "doc_id")
     else:
@@ -117,12 +138,12 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict:
     key = (spark, sf_dir)
     if key in _STAGE_CACHE:
         return _STAGE_CACHE[key]
-    from grader_etl_spark.operators.llm_dedup import shingled_docs
+    from grader_etl_spark.operators.llm_dedup import jaccard_pairs_memo
 
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     gated = quality_gate(docs)
     keepers = exact_dedup(gated)  # persists internally (feeds 2 subtrees)
-    final = neardup_prune(keepers, shingled_docs(spark, sf_dir))
+    final = neardup_prune(keepers, pair_memo=jaccard_pairs_memo(spark, sf_dir))
     stages = {
         "gated_ids": gated.select("doc_id").localCheckpoint(),
         "keeper_ids": keepers.select("doc_id").localCheckpoint(),
