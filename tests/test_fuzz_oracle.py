@@ -1,0 +1,123 @@
+"""Differential fuzzing: the documents-family operators must match
+their DuckDB oracles on corpora the fixtures never shaped.
+
+The driver's t2 gate and tools/oracle_check both run against ONE
+generator's output, so an operator could in principle pass by
+overfitting its fixture (hash-distribution luck, no empty texts, no
+whitespace runs, no total-duplicate corpora). This test replays the
+exact query-vs-oracle comparison on seeded random corpora with
+adversarial shapes — empty and whitespace-only texts, single words,
+exact duplicate clusters, unicode, a tiny forced-collision vocabulary
+— over the operators whose machinery is most data-shape-sensitive
+(exact/near dedup, SimHash, prefix filtering, BPE train/encode).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import random
+
+import duckdb
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _oracle_check():
+    spec = importlib.util.spec_from_file_location(
+        "oracle_check", os.path.join(_REPO, "tools", "oracle_check.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+QUERIES = [
+    "q_dedup_exact_docs",
+    "q_doc_fingerprint",
+    "q_neardup_jaccard",
+    "q_neardup_prefix",
+    "q_dedup_simhash",
+    "q_bpe_train",
+    "q_bpe_encode",
+    "q_text_stats",
+    "q_token_count",
+]
+
+_VOCAB = [
+    "the", "scan", "join", "merge", "sort", "hash", "batch", "stream",
+    "ünïcode", "a", "bb", "ccc",
+]
+
+
+def _corpus(seed: int, shape: str) -> list[tuple[int, str, str, str, int]]:
+    rng = random.Random(seed)
+
+    def words(n):
+        return " ".join(rng.choice(_VOCAB) for _ in range(n))
+
+    rows: list[tuple[int, str]] = []
+    if shape == "adversarial":
+        rows = [
+            (0, ""),
+            (1, " "),
+            (2, "   "),
+            (3, "the"),
+            (4, "the  the   the"),  # whitespace runs
+            (5, words(30)),
+            (6, words(30)),
+            (7, "x " * 50),
+            (8, "ünïcode scan ünïcode"),
+        ]
+        # exact duplicate cluster
+        base = words(20)
+        rows += [(9, base), (10, base), (11, base)]
+    elif shape == "dup-heavy":
+        bases = [words(rng.randint(10, 40)) for _ in range(6)]
+        rows = [(i, bases[i % 6]) for i in range(36)]
+    else:  # random
+        rows = [(i, words(rng.randint(0, 60))) for i in range(50)]
+    return [
+        (i, t, rng.choice(["en", "de", "es"]), f"src{i % 4}", len(t))
+        for i, t in rows
+    ]
+
+
+@pytest.fixture(scope="module")
+def oc():
+    return _oracle_check()
+
+
+@pytest.mark.parametrize("seed,shape", [(11, "adversarial"), (23, "dup-heavy"), (37, "random")])
+def test_doc_family_matches_oracle_on_random_corpus(spark, tmp_path_factory, oc, seed, shape):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from grader_etl_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    rows = _corpus(seed, shape)
+    sf_dir = str(tmp_path_factory.mktemp(f"fuzz_{shape}_{seed}"))
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(sf_dir, "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    for name in QUERIES:
+        spec = REGISTRY[name]
+        sdf = spec.fn(spark, sf_dir).toPandas()
+        odf = con.execute(spec.oracle).df()
+        problems = oc.compare(name, sdf, odf)
+        assert not problems, f"{name} on {shape}/{seed}: {problems}"
