@@ -372,7 +372,10 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle with the final aggregate; the last observation of each
     user has no holding interval and is excluded on both engines.
     Weighted sums are double; the emitted ratio is rounded to 6 dp so
-    partial-sum association order can't flip the hash."""
+    partial-sum association order can't flip the hash. try_divide:
+    a user whose observations ALL share one timestamp has zero total
+    holding time — DuckDB's x/0 is NULL, so the Spark side must yield
+    NULL too instead of ANSI-throwing (fuzz: test_fuzz_timeseries)."""
     ev = load(spark, sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
     t = F.unix_micros("ts")
     w = Window.partitionBy("user_id").orderBy(t, "event_id")
@@ -382,7 +385,7 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = (F.col("t_next") - F.col("t")).cast("double")
     return withnext.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_intervals"),
-        F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twap"),
+        F.round(F.try_divide(F.sum(F.col("value") * dt), F.sum(dt)), 6).alias("twap"),
     )
 
 
