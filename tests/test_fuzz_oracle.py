@@ -43,6 +43,33 @@ QUERIES = [
     "q_bpe_encode",
     "q_text_stats",
     "q_token_count",
+    # text-analysis / corpus-filter battery: the operators with
+    # division/log edges (idf of a term in every doc, Zipf slope over
+    # a single-distinct-frequency vocabulary, entropy of empty text,
+    # BM25 avgdl, LM backoff on unseen bigrams, percentile buckets on
+    # a tiny corpus) that continuous fixtures never push to the edge.
+    "q_zipf_slope",
+    "q_char_entropy",
+    "q_lang_id",
+    "q_repetition_score",
+    "q_unigram_logprob",
+    "q_bigram_logprob",
+    "q_interp_logprob",
+    "q_kneser_ney",
+    "q_tfidf_keywords",
+    "q_bm25",
+    "q_vocab_coverage",
+    "q_vocab_prune",
+    "q_ngram_top",
+    "q_ngram_novelty",
+    "q_chunk_documents",
+    "q_quality_classifier",
+    "q_ccnet_buckets",
+    "q_quantile_normalize",
+    "q_dsir_select",
+    "q_heavy_hitters",
+    "q_chunk_dedup_ratio",
+    "q_containment_dup",
 ]
 
 _VOCAB = [
