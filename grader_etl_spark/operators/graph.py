@@ -1095,7 +1095,12 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cost: two key-only joins of the (tiny) pair list against the
     degree table + one corr aggregate — a mergeable 5-number state on
-    exact integers, rounded 6 dp per the moment-merge precedent."""
+    exact integers, rounded 6 dp per the moment-merge precedent.
+    The correlation is spelled covar_pop/(stddev_pop·stddev_pop)
+    under try_divide rather than F.corr: a graph whose degrees are
+    all EQUAL (e.g. a corpus of exact-duplicate cliques) has zero
+    degree variance, where DuckDB's corr is NULL but Spark's corr
+    ANSI-throws DIVIDE_BY_ZERO (fuzz: test_fuzz_oracle)."""
     from grader_etl_spark.operators.llm_dedup import q_neardup_jaccard
 
     pairs = jaccard_pairs_memo(spark, sf_dir).select(
@@ -1111,9 +1116,12 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     gb = deg.select(F.col("doc_id").alias("d2"), F.col("degree").alias("kb"))
     ends = pairs.join(F.broadcast(ga), "d1").join(F.broadcast(gb), "d2").select("ka", "kb")
     sym = ends.unionByName(ends.select(F.col("kb").alias("ka"), F.col("ka").alias("kb")))
+    pearson = F.try_divide(
+        F.covar_pop("ka", "kb"), F.stddev_pop("ka") * F.stddev_pop("kb")
+    )
     return sym.agg(
         (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
-        F.round(F.corr("ka", "kb"), 6).alias("assortativity"),
+        F.round(pearson, 6).alias("assortativity"),
     )
 
 

@@ -1134,10 +1134,13 @@ def q_minhash_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("c").isNotNull() & F.col("t").isNull(), 1)).cast("long").alias("fp"),
         F.count(F.when(F.col("c").isNull() & F.col("t").isNotNull(), 1)).cast("long").alias("fn"),
     )
+    # try_divide: a corpus with no candidates (tp+fp=0) or no true
+    # pairs (tp+fn=0) must yield NULL precision/recall like the
+    # DuckDB oracle's x/0, not ANSI-throw (fuzz: test_fuzz_oracle).
     return conf.select(
         "tp",
         "fp",
         "fn",
-        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
-        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+        F.round(F.try_divide(F.col("tp").cast("double"), F.col("tp") + F.col("fp")), 6).alias("precision"),
+        F.round(F.try_divide(F.col("tp").cast("double"), F.col("tp") + F.col("fn")), 6).alias("recall"),
     )

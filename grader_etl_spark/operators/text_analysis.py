@@ -321,7 +321,10 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.size(fps).cast("long").alias("n_fingerprints"),
-        F.element_at(fps, 1).alias("first_fp"),
+        # try_element_at: a doc shorter than the k-gram window has an
+        # EMPTY fingerprint set — DuckDB's fps[1] is NULL there, while
+        # plain element_at ANSI-throws (fuzz: test_fuzz_oracle).
+        F.try_element_at(fps, F.lit(1)).alias("first_fp"),
     )
 
 

@@ -70,6 +70,29 @@ QUERIES = [
     "q_heavy_hitters",
     "q_chunk_dedup_ratio",
     "q_containment_dup",
+    # dedup-graph + MinHash families: the dup-heavy shape below makes
+    # 6 exact-duplicate cliques of 6 — the contraction/banding logic's
+    # worst case (every pair collides) — and the adversarial shape
+    # gives empty/near-empty graphs; both far off the fixtures' sparse
+    # near-dup structure.
+    "q_dedup_components",
+    "q_dedup_graph_degree",
+    "q_dedup_keeper",
+    "q_dedup_savings",
+    "q_triangle_count",
+    "q_triangle_count_ordered",
+    "q_kcore",
+    "q_assortativity",
+    "q_minhash_calibration",
+    "q_minhash_prf",
+    "q_neardup_minhash",
+    "q_dup_span",
+    "q_incremental_dedup",
+    "q_cross_source_dup",
+    "q_inverted_index",
+    "q_source_vocab_overlap",
+    "q_lang_confusion",
+    "q_winnow_fingerprint",
 ]
 
 _VOCAB = [
