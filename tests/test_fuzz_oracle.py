@@ -93,6 +93,10 @@ QUERIES = [
     "q_source_vocab_overlap",
     "q_lang_confusion",
     "q_winnow_fingerprint",
+    # categorical-association stats over (lang, source): zero-margin
+    # and single-category contingency tables are reachable here.
+    "q_mutual_information",
+    "q_cramers_v",
 ]
 
 _VOCAB = [

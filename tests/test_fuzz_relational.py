@@ -59,6 +59,43 @@ EVENTS = [
     "q_json_extract",
     "q_string_agg",
 ]
+# Behavior / insights / lifecycle battery over the same tables: the
+# operators with sequence logic (funnels, paths, streaks, attribution,
+# SCD2/CDC timelines), survival/decay math, and statistical tests
+# whose denominators (variances, rank ties, cohort sizes) the skewed/
+# childless/single-timestamp shapes above actually stress.
+BEHAVIOR = [
+    "q_cohort_retention",
+    "q_retention_curve",
+    "q_funnel_latency",
+    "q_window_funnel",
+    "q_top_paths",
+    "q_attribution_last_touch",
+    "q_attribution_linear",
+    "q_cdc_apply",
+    "q_scd2_timeline",
+    "q_point_in_time",
+    "q_longest_streak",
+    "q_order_gap_distribution",
+    "q_kaplan_meier",
+    "q_decay_ltv",
+    "q_rfm_segments",
+    "q_power_user_curve",
+    "q_new_vs_returning",
+    "q_spearman_corr",
+    "q_benford",
+    "q_ks_test",
+    "q_anomaly_dow",
+    "q_audience_overlap",
+    "q_ab_test",
+    "q_power_analysis",
+    "q_did_lift",
+    "q_gini_nations",
+    "q_theil_index",
+    "q_market_concentration",
+    "q_weighted_quantiles",
+    "q_cohort_revenue",
+]
 
 _FLAGS = ["A", "N", "R"]
 _STATUS = ["F", "O", "P"]
@@ -199,7 +236,7 @@ def test_relational_and_events_match_oracle_on_random_tables(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     failures = []
-    for name in RELATIONAL + EVENTS:
+    for name in RELATIONAL + EVENTS + BEHAVIOR:
         spec = REGISTRY[name]
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
