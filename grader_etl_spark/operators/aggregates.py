@@ -464,7 +464,10 @@ def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate whose state is |dates| × (3 types × 2 aggs) — no
     extra shuffle over the plain groupBy, and the pinned list keeps
     the plan static (no driver-side distinct pre-query). Sums ride
-    DECIMAL then surface as DOUBLE (registry value discipline)."""
+    DECIMAL then surface as DOUBLE (registry value discipline).
+    Counts are coalesced to 0: a day with no events of some type is
+    a NULL pivot cell in Spark but a 0 in the oracle's COUNT(CASE),
+    and real corpora have such days (fuzz: test_fuzz_sweep)."""
     ev = load(spark, sf_dir, "events")
     piv = (
         ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("d"))
@@ -474,9 +477,10 @@ def q_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"),
         )
     )
+    zn = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)  # noqa: E731
     return piv.select(
         "d",
-        F.col("view_n"), F.col("view_v"),
-        F.col("click_n"), F.col("click_v"),
-        F.col("purchase_n"), F.col("purchase_v"),
+        zn("view_n"), F.col("view_v"),
+        zn("click_n"), F.col("click_v"),
+        zn("purchase_n"), F.col("purchase_v"),
     )

@@ -57,10 +57,22 @@ def fake_decode_meta(blob: bytes) -> tuple[int, int, int]:
 
 def assets_from_documents(docs: DataFrame) -> DataFrame:
     """Wrap documents as multimodal assets: binary payload + typed
-    metadata struct — the schema every multimodal operator rides on."""
+    metadata struct — the schema every multimodal operator rides on.
+
+    The synthetic payload is the PRINTABLE-ASCII projection of the
+    text (each non-[0x20,0x7E] code point becomes one '?'), UTF-8
+    encoded. That makes byte ops ≡ char ops BY CONSTRUCTION for any
+    input — payload byte length equals text char length, so the
+    DuckDB oracles can recompute the byte-level kernels character-
+    wise on unicode corpora too, not just ASCII fixtures (fuzz:
+    test_fuzz_sweep). The payloads are deterministic fakes either
+    way; a real pipeline swaps this synthesis for actual media
+    bytes and the kernels/oracle discipline stay unchanged."""
     return docs.select(
         "doc_id",
-        F.encode("text", "UTF-8").alias("payload"),
+        F.encode(
+            F.regexp_replace("text", r"[^\x20-\x7E]", "?"), "UTF-8"
+        ).alias("payload"),
         F.struct(
             F.lit("image/fake-png").alias("mime"),
             F.lit("synthetic").alias("origin"),
@@ -104,9 +116,10 @@ FROM documents
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing, end-to-end: text → binary payload →
     mapInPandas fake-decode → typed metadata. The oracle recomputes
-    the deterministic decode arithmetic from n_chars, proving the
-    binary round-trip and the Arrow batch path bit-exact. (Text is
-    ASCII-safe in the fixture, so byte_len == length(text).)"""
+    the deterministic decode arithmetic from the char length, proving
+    the binary round-trip and the Arrow batch path bit-exact (payload
+    bytes ≡ text chars by the ASCII projection in
+    assets_from_documents, so this holds on unicode corpora too)."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     return decode_assets(assets_from_documents(docs))
 
@@ -187,20 +200,25 @@ def resize_assets(assets: DataFrame, target: int = RESIZE_TARGET_BYTES) -> DataF
 @query(
     "q_multimodal_resize",
     oracle=f"""
+WITH proj AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x20-\\x7E]', '?', 'g') AS p
+  FROM documents
+)
 SELECT doc_id,
        CAST({RESIZE_TARGET_BYTES} AS BIGINT) AS resized_len,
-       md5(substr(repeat(text, CAST(ceil({RESIZE_TARGET_BYTES}.0 / length(text)) AS INT)),
+       md5(substr(repeat(p, CAST(ceil({RESIZE_TARGET_BYTES}.0 / length(p)) AS INT)),
                   1, {RESIZE_TARGET_BYTES})) AS resized_md5
-FROM documents
-WHERE length(text) > 0
+FROM proj
+WHERE length(p) > 0
 """,
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize plumbing end-to-end: binary payload →
     mapInPandas transform kernel → new binary column, verified
-    bit-exact by md5 against the oracle's SQL reconstruction (ASCII
-    fixture ⇒ byte ops ≡ char ops). Proves the full
-    binary-in/binary-out Arrow path, not just metadata extraction."""
+    bit-exact by md5 against the oracle's SQL reconstruction (the
+    payload's ASCII projection ⇒ byte ops ≡ char ops on any corpus).
+    Proves the full binary-in/binary-out Arrow path, not just
+    metadata extraction."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"]).filter(
         F.length("text") > 0
     )
@@ -316,25 +334,29 @@ def extract_features(assets: DataFrame) -> DataFrame:
 @query(
     "q_multimodal_features",
     oracle="""
+WITH proj AS (
+  SELECT doc_id, regexp_replace(text, '[^\\x20-\\x7E]', '?', 'g') AS p
+  FROM documents
+)
 SELECT doc_id,
-       CAST(length(text) AS INTEGER) AS byte_len,
-       CAST(length(text) - length(replace(text, ' ', '')) AS INTEGER) AS n_spaces,
-       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INTEGER) AS n_alpha,
-       CAST((CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c)))
-                  AS BIGINT) * 20000 + length(text)) // (2 * length(text))
+       CAST(length(p) AS INTEGER) AS byte_len,
+       CAST(length(p) - length(replace(p, ' ', '')) AS INTEGER) AS n_spaces,
+       CAST(length(regexp_replace(p, '[^a-z]', '', 'g')) AS INTEGER) AS n_alpha,
+       CAST((CAST(list_sum(list_transform(string_split(p, ''), c -> unicode(c)))
+                  AS BIGINT) * 20000 + length(p)) // (2 * length(p))
             AS DOUBLE) / 10000.0 AS mean_byte
-FROM documents
+FROM proj
 """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over multimodal payload bytes: byte length,
     space count, lowercase-alpha count, mean byte value — computed by
     a REAL vectorized numpy kernel over Arrow batches (frombuffer +
-    masked reductions), not a fake. Because the fixture payload is
-    ASCII text, DuckDB can recompute every feature character-wise —
-    so unlike the gated decode kernels this one is value-oracled end
-    to end, pinning the payload round-trip, the Arrow batch path, AND
-    the arithmetic. Swapping frombuffer for a codec turns this into
+    masked reductions), not a fake. Because the synthetic payload is
+    the text's ASCII projection, DuckDB can recompute every feature
+    character-wise on any corpus — so unlike the gated decode kernels
+    this one is value-oracled end to end, pinning the payload
+    round-trip, the Arrow batch path, AND the arithmetic. Swapping frombuffer for a codec turns this into
     pixel/audio statistics with the identical plan (map-side, zero
     shuffle, schema-typed output)."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])

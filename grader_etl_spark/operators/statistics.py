@@ -19,29 +19,73 @@ from grader_etl_spark.registry import query
 @query(
     "q_stats_agg",
     oracle="""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS t1,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS t2,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+  FROM lineitem GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       ROUND(stddev_samp(l_extendedprice), 6)                  AS price_stddev,
-       ROUND(var_samp(l_extendedprice), 6)                     AS price_var,
-       ROUND(corr(l_quantity, l_extendedprice), 6)             AS qty_price_corr,
-       ROUND(covar_samp(l_quantity, l_extendedprice), 6)       AS qty_price_covar,
-       ROUND(AVG(l_extendedprice), 6)                          AS price_mean
-FROM lineitem
-GROUP BY l_returnflag
+       CASE WHEN n > 1 THEN
+         ROUND(sqrt(greatest((s2 - s1*s1/n) / (n-1), 0)), 6) END AS price_stddev,
+       ROUND((s2 - s1*s1/n) / (n-1), 6)                          AS price_var,
+       ROUND((n*tp - t1*s1) / sqrt(greatest((n*t2 - t1*t1) * (n*s2 - s1*s1), 0)), 6)
+                                                                 AS qty_price_corr,
+       ROUND((tp - t1*s1/n) / (n-1), 6)                          AS qty_price_covar,
+       ROUND(s1/n, 6)                                            AS price_mean
+FROM m
 """,
 )
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moment/correlation aggregates per group — single-pass partial
-    aggregation (Welford-style merge states), one shuffle of tiny
-    states. Rounded to 6 dp: merge order differs between engines."""
+    aggregation, one shuffle of tiny states. The moments are derived
+    from EXACT decimal sums (n, Σx, Σx², Σy², Σxy over DECIMAL(18,2)
+    inputs) and only then combined in identically-ordered double
+    arithmetic on both engines, so every output is bit-identical
+    cross-engine. The earlier Welford-state spelling
+    (var_samp/corr built-ins) depended on merge order: at ~1e9
+    variance magnitudes the engines' raw values differ near 1e-6 and
+    a ROUND(…,6) can flip a last digit (caught by the fuzz sweep —
+    the fixtures had been passing on luck). Zero-variance and n=1
+    groups yield NULL through try_divide, matching SQL x/0."""
     li = load(
         spark, sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
     )
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 6).alias("price_stddev"),
-        F.round(F.var_samp("l_extendedprice"), 6).alias("price_var"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("qty_price_covar"),
-        F.round(F.avg("l_extendedprice"), 6).alias("price_mean"),
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(p).cast("double").alias("s1"),
+        F.sum(p * p).cast("double").alias("s2"),
+        F.sum(q).cast("double").alias("t1"),
+        F.sum(q * q).cast("double").alias("t2"),
+        F.sum(q * p).cast("double").alias("tp"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    t1, t2, tp = F.col("t1"), F.col("t2"), F.col("tp")
+    var = F.try_divide(s2 - s1 * s1 / n, n - 1)
+    return m.select(
+        "l_returnflag",
+        F.when(n > 1, F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)).alias(
+            "price_stddev"
+        ),
+        F.round(var, 6).alias("price_var"),
+        F.round(
+            F.try_divide(
+                n * tp - t1 * s1,
+                F.sqrt(F.greatest((n * t2 - t1 * t1) * (n * s2 - s1 * s1), F.lit(0.0))),
+            ),
+            6,
+        ).alias("qty_price_corr"),
+        F.round(F.try_divide(tp - t1 * s1 / n, n - 1), 6).alias("qty_price_covar"),
+        F.round(s1 / n, 6).alias("price_mean"),
     )
 
 

@@ -1,0 +1,126 @@
+"""Differential fuzz SWEEP: every oracled registry query not already
+exercised by one of the four targeted fuzz families runs against a
+combined adversarial dataset (the relational generator's skewed/
+childless/single-timestamp tables + the documents generator's random
+corpus + the embeddings generator's duplicate/near-zero vectors).
+
+The targeted families (test_fuzz_oracle / _relational / _timeseries /
+_embeddings) hand-craft worst-case shapes for the operators whose
+machinery is most data-shape-sensitive; this sweep is the backstop
+that guarantees NO oracled query's cross-engine contract is only
+ever tested on the fixture generator's output. The covered set is
+computed as a complement, so a query added to the registry without a
+targeted fuzz home lands here automatically.
+
+First run caught three fixture-envelope bugs: the multimodal family's
+byte-vs-char length divergence on unicode text (fixed by the ASCII
+payload projection), pivot NULL-vs-0 for absent (day, type) combos,
+and q_stats_agg's Welford-merge rounding luck at ~1e9 variance
+magnitudes (fixed by exact decimal moments).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_TABLES = (
+    "region", "nation", "part", "supplier",
+    "customer", "orders", "lineitem", "events",
+    "documents", "embeddings",
+)
+
+
+def _load(relpath: str, name: str):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(_REPO, relpath)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _families():
+    fo = _load("tests/test_fuzz_oracle.py", "sweep_fo")
+    fr = _load("tests/test_fuzz_relational.py", "sweep_fr")
+    ft = _load("tests/test_fuzz_timeseries.py", "sweep_ft")
+    fe = _load("tests/test_fuzz_embeddings.py", "sweep_fe")
+    covered = (
+        set(fo.QUERIES)
+        | set(fr.RELATIONAL + fr.EVENTS + fr.BEHAVIOR)
+        | set(ft.EVENT_QUERIES + ft.TABLE_QUERIES)
+        | set(fe.QUERIES)
+    )
+    return fo, fr, fe, covered
+
+
+def _gen_combined(tmp, seed: int) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fo, fr, fe, _ = _families()
+    sf_dir = fr._gen_dir(tmp, seed)
+    rows = fo._corpus(37, "random")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        ),
+        os.path.join(sf_dir, "documents.parquet"),
+    )
+    vr = fe._vectors(5)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in vr], pa.int64()),
+                "embedding": pa.array([r[1] for r in vr], pa.list_(pa.float32())),
+                "label": pa.array([r[2] for r in vr], pa.int32()),
+            }
+        ),
+        os.path.join(sf_dir, "embeddings.parquet"),
+    )
+    return sf_dir
+
+
+@pytest.mark.parametrize("seed", [101])
+def test_every_uncovered_oracled_query_matches_on_combined_tables(
+    spark, tmp_path_factory, seed
+):
+    from grader_etl_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    oc = _load("tools/oracle_check.py", "sweep_oc")
+    *_, covered = _families()
+    todo = sorted(
+        n for n in set(REGISTRY) - covered if REGISTRY[n].oracle is not None
+    )
+    assert todo, "complement unexpectedly empty — check family imports"
+
+    sf_dir = _gen_combined(tmp_path_factory.mktemp(f"fuzzsweep_{seed}"), seed)
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    failures = []
+    for name in todo:
+        spec = REGISTRY[name]
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+            odf = con.execute(spec.oracle).df()
+            problems = oc.compare(name, sdf, odf)
+        except Exception as exc:  # surface which query, keep checking the rest
+            problems = [f"exception: {exc!r}"[:300]]
+        if problems:
+            failures.append(f"{name}: {problems}")
+    assert not failures, "\n".join(failures)
