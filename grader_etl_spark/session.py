@@ -33,11 +33,16 @@ def _cpus() -> int:
 def get_spark(app_name: str = "grader-etl-spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) the session with the engine's standard config."""
     cpus = _cpus()
+    # SPARK_GRAFT_AQE=0 turns adaptive execution off — used by the
+    # execution-profile invariance probe (BASELINE.md: results must
+    # be identical with and without runtime re-planning) and as an
+    # operational escape hatch.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "1") not in ("0", "false")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         # --- planner / runtime -------------------------------------------
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
