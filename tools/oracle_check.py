@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 import traceback
@@ -88,7 +89,12 @@ def main() -> int:
     spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+        # Driver fixtures are single files; Spark-written tables (the
+        # scale probe's /tmp corpus) are part-file directories.
+        path = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     n_fail = 0
     report: dict[str, dict] = {}
