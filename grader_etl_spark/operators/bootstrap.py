@@ -20,8 +20,12 @@ the shuffle is B×partitions tiny rows regardless of n. The explode
 is deliberate: the "clever" alternative (2B aggregate expressions in
 one wide agg, no expansion) exceeds the whole-stage-codegen field
 limit and pays interpreted expression evaluation — measured 3.5×
-slower at sf0.1 (6.8s wide vs 1.9s long). B md5 calls per row is the
-oracle-parity cost; the documented cheap swap is xxhash64.
+slower at sf0.1 (6.8s wide vs 1.9s long). Hash cost is B/4 md5 calls
+per row, not B: an md5 digest is 128 bits = four disjoint 8-hex-char
+lanes, so each digest seeds FOUR replicates' uniforms (the q_count_min
+lane discipline — replicate b reads lane b%4 of digest b//4, replayed
+character-for-character in the DuckDB oracle). The documented cheap
+swap at 100 TB is xxhash64.
 """
 
 from __future__ import annotations
@@ -49,10 +53,19 @@ for _k in range(_MAX_W):
     _CDF.append(_acc)
 _HEX_T = [format(math.floor(c * 4294967296.0), "08x") for c in _CDF]
 
+# Four 8-hex-char lanes per digest: replicate b's uniform is lane
+# b % 4 of md5(key || '-' || b // 4). B must stay a multiple of 4.
+_LANES = 4
+assert B_REPLICATES % _LANES == 0
+_N_DIGESTS = B_REPLICATES // _LANES
+
 
 def _w_sql(key_sql: str, b: int) -> str:
     """ANSI CASE ladder assigning the Poisson weight for replicate b."""
-    frac = f"substring(md5({key_sql} || '-{b}'), 1, 8)"
+    frac = (
+        f"substring(md5({key_sql} || '-{b // _LANES}'),"
+        f" {1 + 8 * (b % _LANES)}, 8)"
+    )
     arms = " ".join(
         f"WHEN {frac} <= '{t}' THEN {k}" for k, t in enumerate(_HEX_T)
     )
@@ -100,14 +113,35 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only doubles are the B final divisions, each rounded once."""
     od = fan_out(load(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]))
     price = F.col("o_totalprice").cast("decimal(18,2)")
-    long = od.select(
-        F.col("o_orderkey").cast("string").alias("key"),
-        price.alias("price"),
-        F.explode(F.sequence(F.lit(0), F.lit(B_REPLICATES - 1))).alias("b"),
+    digest = F.md5(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("g").cast("string"),
+        )
     )
-    frac = F.substring(
-        F.md5(F.concat(F.col("key"), F.lit("-"), F.col("b").cast("string"))), 1, 8
+    long = (
+        od.select(
+            price.alias("price"),
+            F.explode(F.sequence(F.lit(0), F.lit(_N_DIGESTS - 1))).alias("g"),
+            F.col("o_orderkey"),
+        )
+        .select(
+            "price",
+            "g",
+            F.posexplode(
+                F.array(
+                    *[F.substring(digest, 1 + 8 * lane, 8) for lane in range(_LANES)]
+                )
+            ).alias("lane", "frac"),
+        )
+        .select(
+            "price",
+            (F.col("g") * _LANES + F.col("lane")).alias("b"),
+            "frac",
+        )
     )
+    frac = F.col("frac")
     w = F.when(frac <= _HEX_T[0], 0)
     for k in range(1, _MAX_W):
         w = w.when(frac <= _HEX_T[k], k)
