@@ -636,6 +636,34 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) adjacent-token pairs as pure array algebra:
+    zip_with of the token array against itself shifted by one. The
+    lead-window formulation this replaces forced a shuffle + per-doc
+    sort of every TOKEN just to pair neighbors; here pairing is a
+    projection inside the scan stage — tokens of one document never
+    leave their partition, which is the difference between an
+    O(corpus) sort and free at 100 TB. Docs with < 2 tokens produce
+    an empty pair array and drop out at the explode, matching the
+    lead-window's w2 IS NOT NULL filter."""
+    arr = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    n1 = F.greatest(F.size("arr") - F.lit(1), F.lit(0))
+    return (
+        docs.select("doc_id", arr.alias("arr"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("arr", F.lit(1), n1),
+                    F.slice("arr", F.lit(2), n1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+
+
 @query(
     "q_bigram_logprob",
     oracle="""
@@ -680,26 +708,18 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the training corpus itself, so no unseen-bigram smoothing is
     needed).
 
-    Shape: one posexplode pass → per-doc adjacent pairs via a lead
-    window keyed by doc (rides the same doc_id partitioning as the
-    per-doc counts that follow); the bigram model and its start
-    totals are vocab²-bounded aggregates that broadcast back onto the
-    per-doc pair counts. Count-weighted surprisal keeps the statistic
-    a single grouped sum, rounded 4 dp against summation-order ulps
-    (the q_unigram_logprob precedent). Docs with < 2 tokens drop out
-    (no bigrams), matching the oracle's WHERE w2 IS NOT NULL."""
+    Shape: adjacent pairs come from the shared zip_with pair builder
+    (`_doc_bigrams` — a projection, no token-level shuffle or sort);
+    the bigram model and its start totals are vocab²-bounded
+    aggregates that broadcast back onto the per-doc pair counts.
+    Count-weighted surprisal keeps the statistic a single grouped
+    sum, rounded 4 dp against summation-order ulps (the
+    q_unigram_logprob precedent). Docs with < 2 tokens drop out (no
+    bigrams), matching the oracle's WHERE w2 IS NOT NULL."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias(
-            "pos", "term"
-        ),
+    doc_big = _doc_bigrams(docs).groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    big = toks.select(
-        "doc_id", F.col("term").alias("w1"), F.lead("term").over(wdoc).alias("w2")
-    ).filter(F.col("w2").isNotNull())
-    doc_big = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("n"))
     model = doc_big.groupBy("w1", "w2").agg(F.sum("n").cast("double").alias("c12"))
     starts = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
     return (
@@ -1255,26 +1275,26 @@ def q_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines and only the final ln rounds (4 dp, the established
     log-sum discipline).
 
-    Plan: ONE posexplode pass feeds both the unigram table and (via a
-    doc-keyed lead pairing) the bigram counts — the bigram model and
-    its start totals are vocab²-bounded aggregates broadcast back
-    onto per-doc pair counts together with the vocab-sized unigram
-    table; the corpus total rides a 1-row broadcast. Per-doc score is
-    one grouped sum; docs with < 2 tokens drop out (no bigrams)."""
+    Plan: one token-array projection feeds both the unigram table
+    (plain explode) and, via the shared zip_with pair builder
+    (`_doc_bigrams`, no token-level shuffle or sort), the bigram
+    counts — the bigram model and its start totals are vocab²-bounded
+    aggregates broadcast back onto per-doc pair counts together with
+    the vocab-sized unigram table; the corpus total rides a 1-row
+    broadcast. Per-doc score is one grouped sum; docs with < 2 tokens
+    drop out (no bigrams)."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     toks = docs.select(
         "doc_id",
-        F.posexplode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias(
-            "pos", "term"
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias(
+            "term"
         ),
     )
     uni = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cu"))
     tot = uni.agg(F.sum("cu").alias("n"))
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    big = toks.select(
-        "doc_id", F.col("term").alias("w1"), F.lead("term").over(wdoc).alias("w2")
-    ).filter(F.col("w2").isNotNull())
-    doc_bi = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    doc_bi = _doc_bigrams(docs).groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k")
+    )
     model = doc_bi.groupBy("w1", "w2").agg(F.sum("k").cast("double").alias("c12"))
     starts = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
     p = F.lit(0.75) * (F.col("c12") / F.col("c1")) + F.lit(0.25) * (F.col("cu") / F.col("n"))
@@ -1350,26 +1370,19 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides). d = 3/4 is dyadic: c12 − d is exact in both engines; only
     the final ln rounds (4 dp, the established log-sum discipline).
 
-    Plan: the same one-posexplode / doc-keyed-lead pass as the LM
-    siblings; the bigram model is a vocab²-bounded aggregate from
+    Plan: the same zip_with pair builder as the LM siblings
+    (`_doc_bigrams`, a projection — no token-level shuffle or sort);
+    the bigram model is a vocab²-bounded aggregate from
     which BOTH context statistics (c(w₁·) and the distinct-successor
     count N₁₊(w₁·)) come out of ONE groupBy(w1), the predecessor-type
     table N₁₊(·w₂) out of one groupBy(w2), and the global type count
     out of a 1-row aggregate — all broadcast back onto the per-doc
-    pair counts, so the only fact-sized shuffles are the token explode
-    and the doc_id group."""
+    pair counts, so the only fact-sized shuffle is the
+    (doc, w1, w2) group."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias(
-            "pos", "term"
-        ),
+    doc_bi = _doc_bigrams(docs).groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k")
     )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos")
-    big = toks.select(
-        "doc_id", F.col("term").alias("w1"), F.lead("term").over(wdoc).alias("w2")
-    ).filter(F.col("w2").isNotNull())
-    doc_bi = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
     model = doc_bi.groupBy("w1", "w2").agg(F.sum("k").cast("double").alias("c12"))
     ctx = model.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).cast("double").alias("n1p_fwd")
