@@ -177,33 +177,57 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n/accuracy) — single pass, fixed-size mergeable state per group.
     The PRODUCTION aggregate is the sketch alone; here the exact
     percentiles ride along so the driver compare is a real value
-    check, and the boolean asserts each sketch answer sits inside the
-    exact ±1%-rank band [q(p-.01), q(p+.01)] — a guaranteed-true
-    envelope at accuracy 1k (rank error ≤ 0.1% ≪ 1%), so the oracle
-    can pin it as literal TRUE. Accuracy 1k (not 10k): the band only
-    needs rank error well under 1%, and GK sketch cost scales with
-    accuracy — 10× cheaper for the same guarantee.
-    tests/test_approx.py additionally checks the tight n/accuracy
-    rank bound at accuracy 10k on its own sketch."""
+    check, and the boolean asserts the sketch's actual contract: the
+    returned ELEMENT's rank, counted directly against the group
+    (count(< v) and count(≤ v)), sits within p·n ± (0.01·n + 1).
+    GK at accuracy 1k guarantees rank error ≤ 0.001·n, so the bound
+    holds at EVERY group size (the +1 absorbs the discrete-element
+    boundary) and the oracle pins the boolean as literal TRUE. An
+    earlier rendition compared against the exact interpolated
+    [q(p−.01), q(p+.01)] band, which is NOT element-valued: on a
+    tiny skewed group (fuzz sweep, seed 223) the sketch's element
+    legitimately falls outside the two interpolated neighbors.
+    Accuracy 1k (not 10k): the band only needs rank error well under
+    1%, and GK sketch cost scales with accuracy — 10× cheaper for
+    the same guarantee. tests/test_approx.py additionally checks the
+    tight n/accuracy rank bound at accuracy 10k on its own sketch."""
     li = load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
-    fracs = (0.49, 0.5, 0.51, 0.89, 0.9, 0.91, 0.98, 0.99, 0.995)
-    exact = F.percentile("l_extendedprice", F.array(*[F.lit(x) for x in fracs]))
+    p_ranks = ((1, 0.5), (2, 0.9), (3, 0.99))
+    exact = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
     approx = F.approx_percentile(
         "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(1_000)
     )
-    in_band = (
-        F.element_at("ap", 1).between(F.element_at("ex", 1), F.element_at("ex", 3))
-        & F.element_at("ap", 2).between(F.element_at("ex", 4), F.element_at("ex", 6))
-        & F.element_at("ap", 3).between(F.element_at("ex", 7), F.element_at("ex", 9))
-    )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(exact.alias("ex"), approx.alias("ap"))
-        .select(
-            "l_returnflag",
-            F.round(F.element_at("ex", 2), 4).alias("exact_p50"),
-            F.round(F.element_at("ex", 5), 4).alias("exact_p90"),
-            F.round(F.element_at("ex", 8), 4).alias("exact_p99"),
-            in_band.alias("approx_in_rank_band"),
+    sketch = li.groupBy("l_returnflag").agg(exact.alias("ex"), approx.alias("ap"))
+    x = F.col("l_extendedprice")
+    ranked = (
+        li.join(F.broadcast(sketch), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("ex").alias("ex"),
+            F.count("l_extendedprice").alias("n"),
+            *[
+                F.sum((x < F.element_at("ap", i)).cast("long")).alias(f"lt{i}")
+                for i, _ in p_ranks
+            ],
+            *[
+                F.sum((x <= F.element_at("ap", i)).cast("long")).alias(f"le{i}")
+                for i, _ in p_ranks
+            ],
         )
+    )
+    err = F.lit(0.01) * F.col("n") + F.lit(1)
+    in_band = None
+    for i, p in p_ranks:
+        c = (F.col(f"lt{i}") <= p * F.col("n") + err) & (
+            F.col(f"le{i}") >= p * F.col("n") - err
+        )
+        in_band = c if in_band is None else (in_band & c)
+    return ranked.select(
+        "l_returnflag",
+        F.round(F.element_at("ex", 1), 4).alias("exact_p50"),
+        F.round(F.element_at("ex", 2), 4).alias("exact_p90"),
+        F.round(F.element_at("ex", 3), 4).alias("exact_p99"),
+        in_band.alias("approx_in_rank_band"),
     )

@@ -318,10 +318,16 @@ def extract_features(assets: DataFrame) -> DataFrame:
                         # between them. floor((s·1e4 + n/2)/n) as
                         # integers is engine-independent; the final
                         # /1e4 is one IEEE division of that integer.
+                        # Mean of ZERO bytes is undefined — NULL, the
+                        # SQL AVG-of-empty convention, so the oracle's
+                        # CASE WHEN length = 0 twin agrees (found by
+                        # the fuzz sweep on an empty-text doc; 0.0
+                        # here silently disagreed with the oracle's
+                        # divide-by-zero NULL).
                         ((int(b.sum(dtype=np.int64)) * 20000 + b.size) // (2 * b.size))
                         / 10000.0
                         if b.size
-                        else 0.0,
+                        else None,
                     )
                 )
             yield pd.DataFrame(
@@ -342,9 +348,10 @@ SELECT doc_id,
        CAST(length(p) AS INTEGER) AS byte_len,
        CAST(length(p) - length(replace(p, ' ', '')) AS INTEGER) AS n_spaces,
        CAST(length(regexp_replace(p, '[^a-z]', '', 'g')) AS INTEGER) AS n_alpha,
-       CAST((CAST(list_sum(list_transform(string_split(p, ''), c -> unicode(c)))
-                  AS BIGINT) * 20000 + length(p)) // (2 * length(p))
-            AS DOUBLE) / 10000.0 AS mean_byte
+       CASE WHEN length(p) = 0 THEN NULL ELSE
+         CAST((CAST(list_sum(list_transform(string_split(p, ''), c -> unicode(c)))
+                    AS BIGINT) * 20000 + length(p)) // (2 * length(p))
+              AS DOUBLE) / 10000.0 END AS mean_byte
 FROM proj
 """,
 )

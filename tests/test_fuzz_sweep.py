@@ -65,7 +65,10 @@ def _gen_combined(tmp, seed: int) -> str:
 
     fo, fr, fe, _ = _families()
     sf_dir = fr._gen_dir(tmp, seed)
-    rows = fo._corpus(37, "random")
+    # Derive ALL THREE generators from the sweep seed (not just the
+    # relational tables) so each parametrized seed exercises a fresh
+    # corpus and vector set too.
+    rows = fo._corpus(seed, "random")
     pq.write_table(
         pa.table(
             {
@@ -78,7 +81,7 @@ def _gen_combined(tmp, seed: int) -> str:
         ),
         os.path.join(sf_dir, "documents.parquet"),
     )
-    vr = fe._vectors(5)
+    vr = fe._vectors(seed)
     pq.write_table(
         pa.table(
             {
@@ -92,7 +95,7 @@ def _gen_combined(tmp, seed: int) -> str:
     return sf_dir
 
 
-@pytest.mark.parametrize("seed", [101])
+@pytest.mark.parametrize("seed", [101, 223])
 def test_every_uncovered_oracled_query_matches_on_combined_tables(
     spark, tmp_path_factory, seed
 ):
