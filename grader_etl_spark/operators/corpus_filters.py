@@ -730,7 +730,10 @@ WITH feats AS (
   SELECT doc_id,
          len(regexp_extract_all(lower(text), '[a-z]+')) AS n_toks,
          len(list_distinct(regexp_extract_all(lower(text), '[a-z]+'))) AS n_distinct,
-         length(array_to_string(regexp_extract_all(lower(text), '[a-z]+'), '')) AS n_alpha,
+         -- coalesce: DuckDB's array_to_string of an EMPTY list is
+         -- NULL (Spark's array_join is ''), which silently dropped
+         -- the nonalpha flag on zero-token docs (fuzz, seed 409)
+         coalesce(length(array_to_string(regexp_extract_all(lower(text), '[a-z]+'), '')), 0) AS n_alpha,
          len(regexp_extract_all(text, '[0-9]')) AS n_digit,
          length(text) AS n_chars
   FROM documents
