@@ -20,26 +20,30 @@ from grader_etl_spark.registry import query
     "q_stats_agg",
     oracle="""
 WITH m AS (
+  -- decimal->double through VARCHAR: DuckDB's native cast is not
+  -- correctly rounded (one ulp off at ~1e12); the string path is,
+  -- matching Spark's BigDecimal->double (the q_pricing_summary fix)
   SELECT l_returnflag,
          CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS t1,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS t2,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS tp
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s2,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS t1,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS t2,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS tp
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag,
        CASE WHEN n > 1 THEN
-         ROUND(sqrt(greatest((s2 - s1*s1/n) / (n-1), 0)), 6) END AS price_stddev,
-       ROUND((s2 - s1*s1/n) / (n-1), 6)                          AS price_var,
-       ROUND((n*tp - t1*s1) / sqrt(greatest((n*t2 - t1*t1) * (n*s2 - s1*s1), 0)), 6)
-                                                                 AS qty_price_corr,
-       ROUND((tp - t1*s1/n) / (n-1), 6)                          AS qty_price_covar,
-       ROUND(s1/n, 6)                                            AS price_mean
+         floor(sqrt(greatest((s2 - s1*s1/n) / (n-1), 0)) * 1e6 + 0.5) / 1e6
+       END                                                              AS price_stddev,
+       floor((s2 - s1*s1/n) / (n-1) * 1e6 + 0.5) / 1e6                  AS price_var,
+       floor((n*tp - t1*s1) / sqrt(greatest((n*t2 - t1*t1) * (n*s2 - s1*s1), 0))
+             * 1e6 + 0.5) / 1e6                                         AS qty_price_corr,
+       floor((tp - t1*s1/n) / (n-1) * 1e6 + 0.5) / 1e6                  AS qty_price_covar,
+       floor(s1/n * 1e6 + 0.5) / 1e6                                    AS price_mean
 FROM m
 """,
 )
@@ -53,8 +57,16 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (var_samp/corr built-ins) depended on merge order: at ~1e9
     variance magnitudes the engines' raw values differ near 1e-6 and
     a ROUND(…,6) can flip a last digit (caught by the fuzz sweep —
-    the fixtures had been passing on luck). Zero-variance and n=1
-    groups yield NULL through try_divide, matching SQL x/0."""
+    the fixtures had been passing on luck). The final quantization is
+    floor(x·1e6 + 0.5)/1e6 SPELLED OUT on both sides, not the
+    engines' ROUND: Spark's round half-ups the double's SHORTEST
+    DECIMAL REPR (BigDecimal.valueOf) while DuckDB rounds the exact
+    binary value, so a result landing on a 6-dp half boundary flips
+    between them even when the unrounded doubles are bit-identical
+    (extended fuzz campaign, seeds 1511/1709). floor/mult/add are
+    IEEE-determined on identical inputs, hence engine-independent at
+    any magnitude. Zero-variance and n=1 groups yield NULL through
+    try_divide, matching SQL x/0."""
     li = load(
         spark, sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
     )
@@ -71,21 +83,24 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
     t1, t2, tp = F.col("t1"), F.col("t2"), F.col("tp")
     var = F.try_divide(s2 - s1 * s1 / n, n - 1)
+
+    def round6(c):  # floor(x·1e6 + 0.5)/1e6 — see docstring
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
     return m.select(
         "l_returnflag",
-        F.when(n > 1, F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)).alias(
+        F.when(n > 1, round6(F.sqrt(F.greatest(var, F.lit(0.0))))).alias(
             "price_stddev"
         ),
-        F.round(var, 6).alias("price_var"),
-        F.round(
+        round6(var).alias("price_var"),
+        round6(
             F.try_divide(
                 n * tp - t1 * s1,
                 F.sqrt(F.greatest((n * t2 - t1 * t1) * (n * s2 - s1 * s1), F.lit(0.0))),
-            ),
-            6,
+            )
         ).alias("qty_price_corr"),
-        F.round(F.try_divide(tp - t1 * s1 / n, n - 1), 6).alias("qty_price_covar"),
-        F.round(s1 / n, 6).alias("price_mean"),
+        round6(F.try_divide(tp - t1 * s1 / n, n - 1)).alias("qty_price_covar"),
+        round6(s1 / n).alias("price_mean"),
     )
 
 

@@ -1,0 +1,119 @@
+"""Extended differential-fuzz campaign over the COMBINED adversarial
+tables: every oracled registry query runs against its DuckDB oracle on
+a fresh seeded dataset per seed, cycling the corpus shape
+(random / adversarial / dup-heavy) across seeds.
+
+This is the ad-hoc wide-net companion of the committed two-seed
+`tests/test_fuzz_sweep.py` (kept narrow to bound suite time): run it
+with as many seeds as patience allows before a release. The round-3
+campaign ran seeds 311-1709 (~15 seed/shape combos x 265 queries)
+and surfaced three real envelope bugs, all fixed in-tree — see
+BASELINE.md "Robustness probes".
+
+    python tools/fuzz_campaign.py 311 409 503 ...
+
+Exit code 1 if any query/seed mismatches. Tables land under
+/tmp/fuzz_campaign_data; ~2-3 min per seed on local[32].
+"""
+import importlib.util
+import os
+import sys
+import time
+
+import duckdb
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+TABLES = ("region", "nation", "part", "supplier", "customer", "orders",
+          "lineitem", "events", "documents", "embeddings")
+SHAPES = ("random", "adversarial", "dup-heavy")
+
+
+def _load(relpath, name):
+    spec = importlib.util.spec_from_file_location(name, os.path.join(_REPO, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+fo = _load("tests/test_fuzz_oracle.py", "camp_fo")
+fr = _load("tests/test_fuzz_relational.py", "camp_fr")
+fe = _load("tests/test_fuzz_embeddings.py", "camp_fe")
+oc = _load("tools/oracle_check.py", "camp_oc")
+
+
+def gen_combined(base, seed, shape):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(base, f"s{seed}")
+    os.makedirs(d, exist_ok=True)
+    sf_dir = fr._gen_dir(d, seed)
+    rows = fo._corpus(seed, shape)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+    }), os.path.join(sf_dir, "documents.parquet"))
+    vr = fe._vectors(seed)
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in vr], pa.int64()),
+        "embedding": pa.array([r[1] for r in vr], pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in vr], pa.int32()),
+    }), os.path.join(sf_dir, "embeddings.parquet"))
+    return sf_dir
+
+
+def main():
+    seeds = [int(s) for s in sys.argv[1:]] or [311, 409, 503]
+    from grader_etl_spark.registry import (
+        REGISTRY, clear_session_memos, load_all_operators,
+    )
+    from grader_etl_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    load_all_operators()
+    names = sorted(n for n in REGISTRY if REGISTRY[n].oracle is not None)
+    base = "/tmp/fuzz_campaign_data"
+    total_fail = 0
+    for k, seed in enumerate(seeds):
+        shape = SHAPES[k % 3]
+        sf_dir = gen_combined(base, seed, shape)
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        t0 = time.time()
+        fails = []
+        for name in names:
+            spec = REGISTRY[name]
+            try:
+                sdf = spec.fn(spark, sf_dir).toPandas()
+                odf = con.execute(spec.oracle).df()
+                problems = oc.compare(name, sdf, odf)
+            except Exception as exc:
+                problems = [f"exception: {exc!r}"[:500]]
+            if problems:
+                fails.append(f"  {name}: {problems}")
+        print(
+            f"seed {seed} shape={shape}: {len(names) - len(fails)}/{len(names)} ok "
+            f"({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+        for f in fails:
+            print(f, flush=True)
+        total_fail += len(fails)
+        clear_session_memos()
+        spark.catalog.clearCache()
+        con.close()
+    print(f"CAMPAIGN DONE: {total_fail} failures across {len(seeds)} seeds", flush=True)
+    return 1 if total_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
