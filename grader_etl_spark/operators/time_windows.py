@@ -534,8 +534,12 @@ holt AS (
   FROM holt h JOIN ordered o ON o.rn = h.rn + 1
 )
 SELECT strftime(day, '%Y-%m-%d') AS day, v,
-       round(l, 6) AS level, round(b, 6) AS trend,
-       round(l + b, 6) AS forecast_next
+       -- floor(x*1e6 + 0.5)/1e6, not round(): the engines' ROUNDs
+       -- disagree on a 6-dp half boundary even for bit-identical
+       -- doubles (see q_stats_agg); floor/mult/add are IEEE-fixed
+       floor(l * 1e6 + 0.5) / 1e6 AS level,
+       floor(b * 1e6 + 0.5) / 1e6 AS trend,
+       floor((l + b) * 1e6 + 0.5) / 1e6 AS forecast_next
 FROM holt
 """,
 )
@@ -554,8 +558,11 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_forecast_revenue discipline); the fold's state is the bounded
     calendar series. The oracle replays the identical recursion as a
     recursive CTE with the same literal halves and op order, so the
-    smoothed path is IEEE-identical cross-engine; 6-dp rounding is
-    belt-and-suspenders."""
+    smoothed path is IEEE-identical cross-engine; the 6-dp
+    quantization is the floor(x·1e6 + 0.5)/1e6 spelling on both
+    sides because the engines' native ROUNDs disagree on a half
+    boundary even for bit-identical doubles (extended fuzz campaign,
+    seed 1801 — the q_stats_agg discipline)."""
     ev = load(spark, sf_dir, "events", columns=["ts", "value"])
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.round(F.sum("value"), 4).alias("v")
@@ -592,10 +599,14 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     folded = series.select(F.explode(F.aggregate("s", init, step).getField("out")).alias("e"))
+
+    def round6(c):  # floor(x·1e6 + 0.5)/1e6 — engine-independent (q_stats_agg)
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
     return folded.select(
         F.date_format(F.col("e.day"), "yyyy-MM-dd").alias("day"),
         F.col("e.v").alias("v"),
-        F.round("e.l", 6).alias("level"),
-        F.round("e.b", 6).alias("trend"),
-        F.round(F.col("e.l") + F.col("e.b"), 6).alias("forecast_next"),
+        round6(F.col("e.l")).alias("level"),
+        round6(F.col("e.b")).alias("trend"),
+        round6(F.col("e.l") + F.col("e.b")).alias("forecast_next"),
     )
