@@ -530,25 +530,44 @@ def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT c_nationkey,
          datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS yc
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY 1, 2
+),
+m AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x AS BIGINT) * x) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(yc) AS VARCHAR) AS DOUBLE) / 100 AS sy,
+         CAST(CAST(SUM(x * yc) AS VARCHAR) AS DOUBLE) / 100 AS sxy,
+         CAST(CAST(SUM(CAST(yc AS HUGEINT) * yc) AS VARCHAR) AS DOUBLE) / 10000 AS syy
+  FROM daily GROUP BY c_nationkey
 )
 SELECT c_nationkey,
-       round(regr_slope(y, x), 6)     AS slope,
-       round(regr_intercept(y, x), 6) AS intercept,
-       round(regr_r2(y, x), 6)        AS r2
-FROM daily
-GROUP BY c_nationkey
+       floor((n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0) * 1e6 + 0.5) / 1e6 AS slope,
+       floor((sy - (n*sxy - sx*sy) / nullif(n*sxx - sx*sx, 0) * sx) / n * 1e6 + 0.5) / 1e6
+         AS intercept,
+       floor((n*sxy - sx*sy) * (n*sxy - sx*sy)
+             / nullif((n*sxx - sx*sx) * (n*syy - sy*sy), 0) * 1e6 + 0.5) / 1e6 AS r2
+FROM m
 """,
 )
 def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-nation revenue trend via the regression-aggregate family
-    (regr_slope / regr_intercept / regr_r2) — OLS as a single-pass
-    mergeable aggregate state (Σx, Σy, Σxy, Σx², n), no matrix math,
-    no second scan. Daily y sums stay DECIMAL (exact) before the
-    float regression; 6-dp rounding absorbs merge-order ulps. The
-    grouped daily agg and the regression share one shuffle key
+    """Per-nation revenue trend: OLS slope/intercept/R² as a
+    single-pass mergeable aggregate (n, Σx, Σy, Σxy, Σx², Σy²), no
+    matrix math, no second scan. The sufficient statistics are EXACT
+    integers — x is a day ordinal, y is daily revenue in CENTS
+    (bigint; the Σy² term goes through DECIMAL(37,0) / HUGEINT) — and
+    only the final normal-equation algebra runs in double, written
+    with the identical op order on both sides, so slope/intercept/R²
+    are bit-identical cross-engine before the floor(x·1e6+0.5)/1e6
+    quantization. The earlier regr_slope/regr_intercept/regr_r2
+    spelling carried merge-order-dependent DOUBLE states whose ulp
+    wobble flipped a 6-dp digit on a fuzz corpus (extended campaign,
+    seed 3001) — same class and fix as q_stats_agg. Zero-x-variance
+    groups yield NULL via nullif/try_divide, matching regr_slope.
+    The grouped daily agg and the regression share one shuffle key
     hierarchy."""
     orders = load(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
     cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
@@ -558,12 +577,39 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("x"),
         )
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("y"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+            .cast("long")
+            .alias("yc")
+        )
     )
-    return daily.groupBy("c_nationkey").agg(
-        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
-        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
-        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    m = daily.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x").cast("long") * F.col("x")).cast("double").alias("sxx"),
+        (F.sum("yc").cast("double") / 100).alias("sy"),
+        (F.sum(F.col("x") * F.col("yc")).cast("double") / 100).alias("sxy"),
+        (
+            F.sum(F.col("yc").cast("decimal(18,0)") * F.col("yc").cast("decimal(18,0)"))
+            .cast("double")
+            / 10000
+        ).alias("syy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, sxy, syy = F.col("sy"), F.col("sxy"), F.col("syy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+
+    def round6(c):  # floor(x·1e6 + 0.5)/1e6 — engine-independent (q_stats_agg)
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    slope_raw = cov / F.nullif(varx, F.lit(0.0))
+    return m.select(
+        "c_nationkey",
+        round6(slope_raw).alias("slope"),
+        round6((sy - slope_raw * sx) / n).alias("intercept"),
+        round6(cov * cov / F.nullif(varx * vary, F.lit(0.0))).alias("r2"),
     )
 
 
