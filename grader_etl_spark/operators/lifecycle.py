@@ -328,7 +328,9 @@ WITH daily AS (
   FROM tot
 )
 SELECT day, cents, cusum_scaled,
-       ROUND(CAST(cusum_scaled AS DOUBLE) / (n_days * 100.0), 2)
+       -- floor(x*100 + 0.5)/100, not ROUND: the engines' ROUNDs
+       -- disagree on a half boundary (the q_stats_agg discipline)
+       floor(CAST(cusum_scaled AS DOUBLE) / (n_days * 100.0) * 100 + 0.5) / 100
          AS cusum_value,
        (ABS(cusum_scaled) = MAX(ABS(cusum_scaled)) OVER ())
          AS is_changepoint
@@ -380,9 +382,15 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "cents",
         "cusum_scaled",
-        F.round(F.col("cusum_scaled").cast("double") / (F.col("n_days") * 100.0), 2).alias(
-            "cusum_value"
-        ),
+        (
+            F.floor(
+                F.col("cusum_scaled").cast("double")
+                / (F.col("n_days") * 100.0)
+                * F.lit(100)
+                + F.lit(0.5)
+            )
+            / F.lit(100)
+        ).alias("cusum_value"),
         (F.abs("cusum_scaled") == F.max(F.abs("cusum_scaled")).over(wall)).alias(
             "is_changepoint"
         ),
