@@ -163,9 +163,9 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_approx_percentiles",
     oracle="""
 SELECT l_returnflag,
-       ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS exact_p50,
-       ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS exact_p90,
-       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
+       floor(quantile_cont(l_extendedprice, 0.5)  * 1e4 + 0.5) / 1e4 AS exact_p50,
+       floor(quantile_cont(l_extendedprice, 0.9)  * 1e4 + 0.5) / 1e4 AS exact_p90,
+       floor(quantile_cont(l_extendedprice, 0.99) * 1e4 + 0.5) / 1e4 AS exact_p99,
        TRUE AS approx_in_rank_band
 FROM lineitem
 GROUP BY l_returnflag
@@ -224,10 +224,18 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"le{i}") >= p * F.col("n") - err
         )
         in_band = c if in_band is None else (in_band & c)
+    # A group whose l_extendedprice is all-NULL has n = 0 and a NULL sketch,
+    # which would make in_band NULL against the oracle's literal TRUE; the
+    # rank-band contract is vacuously true on zero comparable rows.
+    in_band = F.when(F.col("n") == 0, F.lit(True)).otherwise(in_band)
+
+    def round4(c):  # floor(x·1e4 + 0.5)/1e4 — engine-independent (q_stats_agg)
+        return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
     return ranked.select(
         "l_returnflag",
-        F.round(F.element_at("ex", 1), 4).alias("exact_p50"),
-        F.round(F.element_at("ex", 2), 4).alias("exact_p90"),
-        F.round(F.element_at("ex", 3), 4).alias("exact_p99"),
+        round4(F.element_at("ex", 1)).alias("exact_p50"),
+        round4(F.element_at("ex", 2)).alias("exact_p90"),
+        round4(F.element_at("ex", 3)).alias("exact_p99"),
         in_band.alias("approx_in_rank_band"),
     )

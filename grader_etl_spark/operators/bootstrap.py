@@ -79,8 +79,15 @@ def _oracle() -> str:
         f"         CAST(SUM({_w_sql('CAST(o_orderkey AS VARCHAR)', b)}) AS BIGINT) AS sw_{b}"
         for b in range(B_REPLICATES)
     )
+    # Decimal sums cross into double via VARCHAR (correctly-rounded parse,
+    # matching Spark's BigDecimal.doubleValue) and quantize with the shared
+    # floor(x*1e6 + 0.5)/1e6 spelling — native decimal->double casts plus
+    # ROUND(...,6) are the one-ulp + half-boundary combination that flipped
+    # q_stats_agg cross-engine.
     reps = "\n  UNION ALL ".join(
-        f"SELECT {b} AS b, ROUND(CAST(sxw_{b} AS DOUBLE) / sw_{b}, 6) AS mean_b FROM agg"
+        f"SELECT {b} AS b,"
+        f" floor(CAST(CAST(sxw_{b} AS VARCHAR) AS DOUBLE) / sw_{b} * 1e6 + 0.5) / 1e6"
+        f" AS mean_b FROM agg"
         for b in range(B_REPLICATES)
     )
     return f"""
@@ -94,7 +101,8 @@ WITH agg AS (
 ), ranked AS (
   SELECT b, mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rk FROM reps
 )
-SELECT ROUND(CAST(s_all AS DOUBLE) / n_all, 6)        AS point_mean,
+SELECT floor(CAST(CAST(s_all AS VARCHAR) AS DOUBLE) / n_all * 1e6 + 0.5) / 1e6
+         AS point_mean,
        MIN(CASE WHEN rk = {_LO_RANK} THEN mean_b END) AS ci_lo,
        MIN(CASE WHEN rk = {_HI_RANK} THEN mean_b END) AS ci_hi,
        CAST({B_REPLICATES} AS BIGINT)                 AS n_replicates
@@ -110,7 +118,8 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     module docstring for why long-form beats the wide 2B-state agg).
     Every per-replicate state is a DECIMAL×integer sum —
     order-independent, so the interval is hash-exact across engines;
-    the only doubles are the B final divisions, each rounded once."""
+    the only doubles are the B final divisions, each quantized once
+    with the shared floor(x·1e6+0.5)/1e6 spelling on both engines."""
     od = fan_out(load(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]))
     price = F.col("o_totalprice").cast("decimal(18,2)")
     digest = F.md5(
@@ -146,12 +155,15 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(1, _MAX_W):
         w = w.when(frac <= _HEX_T[k], k)
     w = w.otherwise(_MAX_W)
+    def round6(c):  # floor(x·1e6 + 0.5)/1e6 — engine-independent (q_stats_agg)
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
     reps = (
         long.select("price", "b", w.alias("w"))
         .groupBy("b")
         .agg(
-            F.round(
-                F.sum(F.col("w") * F.col("price")).cast("double") / F.sum("w"), 6
+            round6(
+                F.sum(F.col("w") * F.col("price")).cast("double") / F.sum("w")
             ).alias("mean_b")
         )
     )
@@ -166,7 +178,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("rk") == _HI_RANK, F.col("mean_b"))).alias("ci_hi"),
         )
         .select(
-            F.round(F.col("s_all").cast("double") / F.col("n_all"), 6).alias("point_mean"),
+            round6(F.col("s_all").cast("double") / F.col("n_all")).alias("point_mean"),
             "ci_lo",
             "ci_hi",
             F.lit(B_REPLICATES).cast("long").alias("n_replicates"),

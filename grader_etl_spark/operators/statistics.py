@@ -530,7 +530,7 @@ def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH daily AS (
   SELECT c_nationkey,
          datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS yc
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY 1, 2
 ),
@@ -578,7 +578,7 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("x"),
         )
         .agg(
-            (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
             .cast("long")
             .alias("yc")
         )
@@ -588,7 +588,16 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("double").alias("sx"),
         F.sum(F.col("x").cast("long") * F.col("x")).cast("double").alias("sxx"),
         (F.sum("yc").cast("double") / 100).alias("sy"),
-        (F.sum(F.col("x") * F.col("yc")).cast("double") / 100).alias("sxy"),
+        (
+            # Accumulate Σ(x·yc) in decimal like syy: x·yc reaches ~1e15-1e16
+            # per row at adversarial magnitudes, so a long SUM has only ~3×
+            # headroom before silent wraparound (ANSI off) while the oracle
+            # sums in HUGEINT. decimal(18,0)·decimal(18,0) products sum in
+            # decimal(38,0) — exact, like the oracle.
+            F.sum(F.col("x").cast("decimal(18,0)") * F.col("yc").cast("decimal(18,0)"))
+            .cast("double")
+            / 100
+        ).alias("sxy"),
         (
             F.sum(F.col("yc").cast("decimal(18,0)") * F.col("yc").cast("decimal(18,0)"))
             .cast("double")

@@ -25,10 +25,18 @@ requires):
   this is what tests and fixtures use.
 * ``mode=jsonl`` + ``path=DIR``: one ``<day>.jsonl`` file per day —
   the landed-file twin, same schema.
-* A real HTTP transport belongs behind ``mode=http`` + ``url=``;
-  deliberately NOT implemented here (no network in this
-  environment) — the seam is the mode switch, one executor-side
-  function per transport.
+* ``mode=http`` + ``url=``: the real transport, stdlib urllib only
+  (no new dependencies). Reference semantics (main.py:103-125): one
+  GET per day with ``client``/``client_key``/``start``/``end``
+  params, 60 s timeout (``timeout`` option). Two deliberate
+  departures where the reference's degrade-to-None is too blunt for
+  a distributed read: transient 5xx responses retry in-task with
+  bounded backoff (``retries``, default 3) before surfacing to
+  Spark's task retry, and a malformed-JSON body lands the raw bytes
+  in a quarantine directory (``quarantine`` option) as ``<day>.raw``
+  and yields zero rows — the day is inspectable instead of silently
+  dropped. Exercised end-to-end against a live ``http.server``
+  fixture in tests/test_rest_datasource.py.
 
 A ``simpleStreamReader`` exposes the same synthetic transport as a
 streaming source (offset = day index), giving the Structured
@@ -101,6 +109,77 @@ def _jsonl_records(path: str, day: str) -> list[tuple]:
     return rows
 
 
+HTTP_TIMEOUT_S = 60  # reference main.py:114 — requests.get(..., timeout=60)
+HTTP_RETRIES = 3
+
+
+def _http_records(
+    url: str,
+    day: str,
+    timeout: float = HTTP_TIMEOUT_S,
+    retries: int = HTTP_RETRIES,
+    quarantine: str = "",
+    client: str = "Skillfactory",
+    client_key: str = "",
+) -> list[tuple]:
+    """Executor-side HTTP fetch for ONE day (reference main.py:103-125
+    per-window GET, re-cut to partition-per-day). Stdlib urllib only.
+
+    * Day-range params: ``start=<day>``, ``end=<day+1>`` plus the
+      client credentials — the only predicate the upstream accepts.
+    * 5xx → bounded exponential backoff inside the task (transient
+      server hiccups shouldn't burn a whole Spark task attempt);
+      exhausted retries re-raise so Spark's task retry takes over.
+      Non-5xx HTTP errors raise immediately (a 401/404 won't improve).
+    * Malformed / non-array JSON → raw body written to
+      ``<quarantine>/<day>.raw`` (if configured) and ZERO rows — the
+      reference's ValueError→None degrade (main.py:121-123), made
+      inspectable and day-scoped instead of window-fatal.
+    """
+    import time
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    nxt = (dt.date.fromisoformat(day) + dt.timedelta(days=1)).isoformat()
+    qs = urllib.parse.urlencode(
+        {"client": client, "client_key": client_key, "start": day, "end": nxt}
+    )
+    body: str | None = None
+    for attempt in range(retries):
+        try:
+            with urllib.request.urlopen(f"{url}?{qs}", timeout=timeout) as resp:
+                body = resp.read().decode("utf-8")
+            break
+        except urllib.error.HTTPError as e:
+            if 500 <= e.code < 600 and attempt < retries - 1:
+                time.sleep(0.05 * (2**attempt))
+                continue
+            raise
+    assert body is not None
+    try:
+        data = json.loads(body)
+        if not isinstance(data, list):
+            raise ValueError("payload is not a JSON array")
+    except ValueError:
+        if quarantine:
+            os.makedirs(quarantine, exist_ok=True)
+            with open(os.path.join(quarantine, f"{day}.raw"), "w") as f:
+                f.write(body)
+        return []
+    return [
+        (
+            day,
+            str(r["attempt_id"]),
+            int(r["user_id"]),
+            str(r["task"]),
+            bool(r["is_correct"]),
+            float(r["score"]),
+        )
+        for r in data
+    ]
+
+
 def _date_range(start: str, end: str) -> list[str]:
     d0 = dt.date.fromisoformat(start)
     d1 = dt.date.fromisoformat(end)
@@ -118,6 +197,13 @@ class AttemptsRestReader(DataSourceReader):
         self.path = options.get("path", "")
         self.start = options.get("start", "2024-01-01")
         self.end = options.get("end", "2024-01-08")
+        # http transport options (all string-typed, as the API requires)
+        self.url = options.get("url", "")
+        self.timeout = float(options.get("timeout", HTTP_TIMEOUT_S))
+        self.retries = int(options.get("retries", HTTP_RETRIES))
+        self.quarantine = options.get("quarantine", "")
+        self.client = options.get("client", "Skillfactory")
+        self.client_key = options.get("client_key", "")
         self._lo: str | None = None  # inclusive day bound from pushed filters
         self._hi: str | None = None  # exclusive-ish upper bound (inclusive day)
 
@@ -155,6 +241,16 @@ class AttemptsRestReader(DataSourceReader):
     def read(self, partition: _DayPartition) -> Iterator[tuple]:
         if self.mode == "jsonl":
             yield from _jsonl_records(self.path, partition.day)
+        elif self.mode == "http":
+            yield from _http_records(
+                self.url,
+                partition.day,
+                timeout=self.timeout,
+                retries=self.retries,
+                quarantine=self.quarantine,
+                client=self.client,
+                client_key=self.client_key,
+            )
         else:
             yield from _day_records(partition.day)
 

@@ -1,14 +1,96 @@
 """Python Data Source API tests: the partition-parallel REST source
 must emit one partition per day, produce deterministic rows, honor
 day-range filter pushdown (fewer fetch partitions), read the jsonl
-landed-file transport, and stream day-by-day with exactly-once
-offsets."""
+landed-file transport, stream day-by-day with exactly-once offsets,
+and fetch the http transport against a LIVE socket (stdlib
+``http.server`` fixture — day-range params, 5xx retry, malformed-JSON
+quarantine, the 60 s timeout semantic at a test-sized setting)."""
 
 from __future__ import annotations
 
 import json
+import threading
+from collections import Counter
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
 
 import pyspark.sql.functions as F
+import pytest
+
+
+def _server_records(day: str) -> list[dict]:
+    """What the fixture serves for a healthy day — distinct from the
+    synthetic transport's md5 rows so a test can't pass by accident."""
+    return [
+        {
+            "attempt_id": f"{day}-a{i}",
+            "user_id": 100 + i,
+            "task": "sql" if i % 2 == 0 else "spark",
+            "is_correct": i % 3 == 0,
+            "score": float(i) + 0.5,
+        }
+        for i in range(5)
+    ]
+
+
+class _ApiHandler(BaseHTTPRequestHandler):
+    """JSON-array contract of the reference API (main.py:103-125),
+    with per-day fault injection: FLAKY_DAYS fail with 503 for the
+    first `flaky_failures` requests, MALFORMED_DAYS return a JSON
+    object (not an array), SLOW_DAYS sleep past the client timeout."""
+
+    hits: Counter = Counter()
+    seen_params: dict = {}
+    flaky_days: set = set()
+    flaky_failures = 2
+    malformed_days: set = set()
+    slow_days: set = set()
+    lock = threading.Lock()
+
+    def do_GET(self):  # noqa: N802 - BaseHTTPRequestHandler API
+        q = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
+        day = q.get("start", "")
+        with self.lock:
+            self.hits[day] += 1
+            self.seen_params[day] = q
+            nth = self.hits[day]
+        if day in self.slow_days:
+            import time
+
+            time.sleep(3.0)
+        if day in self.flaky_days and nth <= self.flaky_failures:
+            self.send_response(503)
+            self.end_headers()
+            return
+        if day in self.malformed_days:
+            body = b'{"error": "not an array"'
+        else:
+            body = json.dumps(_server_records(day)).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *args):  # keep pytest output clean
+        pass
+
+
+@pytest.fixture()
+def api_server():
+    _ApiHandler.hits = Counter()
+    _ApiHandler.seen_params = {}
+    _ApiHandler.flaky_days = set()
+    _ApiHandler.malformed_days = set()
+    _ApiHandler.slow_days = set()
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _ApiHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_port}/attempts", _ApiHandler
+    finally:
+        srv.shutdown()
+        srv.server_close()
 
 
 def _registered(spark):
@@ -70,6 +152,157 @@ def test_jsonl_transport_reads_landed_files(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 1
     assert rows[0]["attempt_id"] == "abc" and rows[0]["score"] == 9.5
+
+
+def test_http_transport_fetches_partition_per_day_live(api_server, spark):
+    url, handler = api_server
+    _registered(spark)
+    df = (
+        spark.read.format("attempts_rest")
+        .option("mode", "http")
+        .option("url", url)
+        .option("client_key", "k-test")
+        .option("start", "2024-05-01")
+        .option("end", "2024-05-04")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # still one fetch task per day
+    rows = df.collect()
+    assert len(rows) == 3 * 5
+    got = {(r["day"], r["attempt_id"], r["user_id"], r["task"], r["is_correct"], r["score"])
+           for r in rows}
+    want = {
+        (d, r["attempt_id"], r["user_id"], r["task"], r["is_correct"], r["score"])
+        for d in ("2024-05-01", "2024-05-02", "2024-05-03")
+        for r in _server_records(d)
+    }
+    assert got == want
+    # exactly one request per day hit the live socket, with the
+    # reference's day-range + credential params (main.py:104-111)
+    assert dict(handler.hits) == {"2024-05-01": 1, "2024-05-02": 1, "2024-05-03": 1}
+    p = handler.seen_params["2024-05-02"]
+    assert p["end"] == "2024-05-03" and p["client"] == "Skillfactory"
+    assert p["client_key"] == "k-test"
+
+
+def test_http_transport_pushdown_prunes_live_requests(api_server, spark):
+    url, handler = api_server
+    _registered(spark)
+    df = (
+        spark.read.format("attempts_rest")
+        .option("mode", "http")
+        .option("url", url)
+        .option("start", "2024-05-01")
+        .option("end", "2024-05-31")
+        .load()
+        .filter(F.col("day") == "2024-05-10")
+    )
+    assert df.count() == 5
+    # the pushed filter reached the SOCKET, not just the plan: the
+    # server saw one request, for the one surviving day
+    assert dict(handler.hits) == {"2024-05-10": 1}
+
+
+def test_http_transport_retries_transient_5xx(api_server, spark):
+    url, handler = api_server
+    handler.flaky_days = {"2024-06-02"}  # 503 twice, then healthy
+    _registered(spark)
+    rows = (
+        spark.read.format("attempts_rest")
+        .option("mode", "http")
+        .option("url", url)
+        .option("start", "2024-06-01")
+        .option("end", "2024-06-03")
+        .load()
+        .collect()
+    )
+    assert len(rows) == 2 * 5  # the flaky day still produced its rows
+    assert handler.hits["2024-06-02"] == 3  # 2 failures + 1 success
+    assert handler.hits["2024-06-01"] == 1  # healthy day never re-fetched
+
+
+def test_http_transport_5xx_exhaustion_raises():
+    """Retries are BOUNDED: a day that never stops 5xx-ing re-raises
+    (so Spark's task retry owns it) instead of spinning. Exercised on
+    the executor function directly to avoid a 4-attempt task storm."""
+    import urllib.error
+
+    from grader_etl_spark.sources.rest_datasource import _http_records
+
+    _ApiHandler.flaky_days = {"2024-06-05"}
+    _ApiHandler.flaky_failures = 99
+    _ApiHandler.hits = Counter()
+    _ApiHandler.seen_params = {}
+    _ApiHandler.malformed_days = set()
+    _ApiHandler.slow_days = set()
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _ApiHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError):
+            _http_records(
+                f"http://127.0.0.1:{srv.server_port}/attempts",
+                "2024-06-05",
+                retries=3,
+            )
+        assert _ApiHandler.hits["2024-06-05"] == 3
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        _ApiHandler.flaky_failures = 2
+
+
+def test_http_transport_malformed_json_lands_in_quarantine(api_server, spark, tmp_path):
+    import os
+
+    url, handler = api_server
+    handler.malformed_days = {"2024-07-02"}
+    qdir = str(tmp_path / "quarantine")
+    _registered(spark)
+    rows = (
+        spark.read.format("attempts_rest")
+        .option("mode", "http")
+        .option("url", url)
+        .option("quarantine", qdir)
+        .option("start", "2024-07-01")
+        .option("end", "2024-07-04")
+        .load()
+        .collect()
+    )
+    # bad day yields 0 rows, the OTHER days are unaffected (day-scoped
+    # degrade, vs the reference's whole-window None at main.py:121-123)
+    assert len(rows) == 2 * 5
+    assert {r["day"] for r in rows} == {"2024-07-01", "2024-07-03"}
+    raw = open(os.path.join(qdir, "2024-07-02.raw")).read()
+    assert raw == '{"error": "not an array"'  # exact bytes, inspectable
+
+
+def test_http_transport_timeout_semantic(api_server):
+    """The reference's timeout=60 (main.py:114) plumbs through as the
+    ``timeout`` option; proven at a test-sized setting against a
+    server that sleeps past it."""
+    import urllib.error
+
+    from grader_etl_spark.sources.rest_datasource import _http_records
+
+    url, handler = api_server
+    handler.slow_days = {"2024-08-01"}
+    with pytest.raises((urllib.error.URLError, TimeoutError)):
+        _http_records(url, "2024-08-01", timeout=0.5, retries=1)
+
+
+def test_driver_side_http_fetcher_parity_live(api_server):
+    """sources/rest.py http_fetcher (the reference fetch_data parity
+    function, main.py:113-125) over a real socket: list on 200, None
+    on persistent HTTP failure, None on malformed JSON."""
+    from grader_etl_spark.sources.rest import http_fetcher
+
+    url, handler = api_server
+    assert http_fetcher(url, {"start": "2024-09-01"}) == _server_records("2024-09-01")
+    handler.flaky_days = {"2024-09-02"}
+    handler.flaky_failures = 99
+    assert http_fetcher(url, {"start": "2024-09-02"}) is None
+    handler.malformed_days = {"2024-09-03"}
+    assert http_fetcher(url, {"start": "2024-09-03"}) is None
 
 
 def test_stream_reader_advances_one_day_per_batch(spark, tmp_path):
