@@ -99,7 +99,7 @@ def main() -> None:
     med0 = sorted(timings.values())[len(timings) // 2]
     suspects = [n for n, t in timings.items() if t > max(1.0, 3 * med0)]
     for name in suspects:
-        clear_session_memos()
+        clear_session_memos(spark)  # also unpersists the memo checkpoints
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

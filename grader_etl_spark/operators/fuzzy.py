@@ -18,7 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import load
-from grader_etl_spark.registry import query
+from grader_etl_spark.registry import memo_checkpoint, query
 
 # Verified fuzzy-pair memo (keyed by session AND corpus dir — a
 # checkpointed frame is bound to the session that made it, so a
@@ -33,7 +33,7 @@ _PAIR_CACHE: dict[tuple, DataFrame] = {}
 def fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key not in _PAIR_CACHE:
-        _PAIR_CACHE[key] = _blocked_levenshtein_pairs(spark, sf_dir).localCheckpoint()
+        _PAIR_CACHE[key] = memo_checkpoint(_blocked_levenshtein_pairs(spark, sf_dir))
     return _PAIR_CACHE[key]
 
 

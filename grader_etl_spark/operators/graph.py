@@ -37,7 +37,7 @@ from grader_etl_spark.operators.llm_dedup import (
     jaccard_pairs_memo,
     q_neardup_jaccard,
 )
-from grader_etl_spark.registry import query
+from grader_etl_spark.registry import memo_checkpoint, query
 
 # Resolved-cluster memo (keyed by corpus dir): localCheckpointed, so
 # it survives catalog cache clears and is shared by every consumer of
@@ -386,9 +386,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     singletons = docs.join(
         comp, docs.doc_id == comp.id, "left_anti"
     ).select("doc_id", F.col("doc_id").alias("component_id"))
-    out = singletons.unionByName(
+    out = memo_checkpoint(singletons.unionByName(
         comp.select(F.col("id").alias("doc_id"), F.col("component").alias("component_id"))
-    ).localCheckpoint()
+    ))
     _COMPONENT_CACHE[key] = out
     return out
 
@@ -486,8 +486,8 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ck") != F.col("sk"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint()
     )
+    edges = memo_checkpoint(edges)
     _TRADE_EDGE_CACHE[memo_key] = edges
     return edges
 

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 
 from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
 from grader_etl_spark.io import fan_out, load
-from grader_etl_spark.registry import query
+from grader_etl_spark.registry import memo_checkpoint, query
 
 SHINGLE_K = 3  # words per shingle
 
@@ -90,10 +90,8 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key not in _SHINGLE_CACHE:
         docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
-        _SHINGLE_CACHE[key] = (
-            fan_out(docs)
-            .select("doc_id", shingles(F.col("text")).alias("sset"))
-            .localCheckpoint()
+        _SHINGLE_CACHE[key] = memo_checkpoint(
+            fan_out(docs).select("doc_id", shingles(F.col("text")).alias("sset"))
         )
     return _SHINGLE_CACHE[key]
 
@@ -170,10 +168,8 @@ def jaccard_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed once per (session, corpus dir)."""
     key = (spark, sf_dir)
     if key not in _JACCARD_PAIR_CACHE:
-        _JACCARD_PAIR_CACHE[key] = (
-            q_neardup_jaccard(spark, sf_dir)
-            .select("doc_id_1", "doc_id_2")
-            .localCheckpoint()
+        _JACCARD_PAIR_CACHE[key] = memo_checkpoint(
+            q_neardup_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
         )
     return _JACCARD_PAIR_CACHE[key]
 
@@ -291,18 +287,18 @@ _LSH_CAND_CACHE: dict[tuple, DataFrame] = {}
 def minhash_signatures_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key not in _MINHASH_SIG_CACHE:
-        _MINHASH_SIG_CACHE[key] = minhash_signatures(
-            shingled_docs(spark, sf_dir)
-        ).localCheckpoint()
+        _MINHASH_SIG_CACHE[key] = memo_checkpoint(
+            minhash_signatures(shingled_docs(spark, sf_dir))
+        )
     return _MINHASH_SIG_CACHE[key]
 
 
 def lsh_candidates_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key not in _LSH_CAND_CACHE:
-        _LSH_CAND_CACHE[key] = lsh_candidate_pairs(
-            minhash_signatures_memo(spark, sf_dir)
-        ).localCheckpoint()
+        _LSH_CAND_CACHE[key] = memo_checkpoint(
+            lsh_candidate_pairs(minhash_signatures_memo(spark, sf_dir))
+        )
     return _LSH_CAND_CACHE[key]
 
 

@@ -30,7 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from grader_etl_spark.io import load
-from grader_etl_spark.registry import query
+from grader_etl_spark.registry import memo_checkpoint, query
 
 EMB_DIM = 64
 
@@ -71,7 +71,7 @@ def covariance_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark, sf_dir)
     if key in _COV_CACHE:
         return _COV_CACHE[key]
-    out = _covariance_frame(spark, sf_dir).localCheckpoint()
+    out = memo_checkpoint(_covariance_frame(spark, sf_dir))
     _COV_CACHE[key] = out
     return out
 

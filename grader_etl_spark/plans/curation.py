@@ -32,7 +32,7 @@ from grader_etl_spark.operators.llm_dedup import (
     shingles,
 )
 from grader_etl_spark.operators.text_analysis import STOPWORDS, tokens
-from grader_etl_spark.registry import query
+from grader_etl_spark.registry import memo_checkpoint, query
 
 MIN_WORDS = 10
 MAX_STOPWORD_RATIO = 0.60
@@ -145,9 +145,9 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict:
     keepers = exact_dedup(gated)  # persists internally (feeds 2 subtrees)
     final = neardup_prune(keepers, pair_memo=jaccard_pairs_memo(spark, sf_dir))
     stages = {
-        "gated_ids": gated.select("doc_id").localCheckpoint(),
-        "keeper_ids": keepers.select("doc_id").localCheckpoint(),
-        "final": final.localCheckpoint(),
+        "gated_ids": memo_checkpoint(gated.select("doc_id")),
+        "keeper_ids": memo_checkpoint(keepers.select("doc_id")),
+        "final": memo_checkpoint(final),
     }
     _STAGE_CACHE[key] = stages
     return stages

@@ -106,13 +106,36 @@ def all_oracles() -> dict[str, str]:
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
 
 
-def clear_session_memos() -> None:
+# Backing-RDD ids of every memo localCheckpoint created this session,
+# recorded by memo_checkpoint() so clear_session_memos(spark) can
+# unpersist the blocks DETERMINISTICALLY (a long-lived service must not
+# wait on JVM GC to reclaim per-corpus-version checkpoint storage).
+_MEMO_RDD_IDS: set[int] = set()
+
+
+def memo_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint a session-memo frame and record the backing RDD
+    id. Every ``*_CACHE`` builder routes its checkpoint through here —
+    the memo dicts hold the DataFrames; this tracks the storage."""
+    out = df.localCheckpoint()
+    try:
+        _MEMO_RDD_IDS.add(out._jdf.queryExecution().analyzed().rdd().id())
+    except Exception:
+        pass  # non-JVM plan shape: blocks fall back to GC reclamation
+    return out
+
+
+def clear_session_memos(spark: SparkSession | None = None) -> None:
     """Drop every session memo (the module-level ``*_CACHE`` dicts —
-    shingle index, pair/signature memos, trade edges, curation stages,
-    covariance, centroids). Callers that need a query to re-pay its
-    memo-build cost (bench stall retries, isolation-sensitive tests)
-    clear these; the checkpointed frames themselves are reclaimed by
-    the JVM once unreferenced."""
+    shingle index, pair/signature memos, components, trade edges,
+    curation stages, covariance, centroids). Callers that need a query
+    to re-pay its memo-build cost (bench stall retries,
+    isolation-sensitive tests, corpus-version rollover in a long-lived
+    service) clear these. With a ``spark`` handle, the localCheckpoint
+    blocks behind the memos are also unpersisted immediately (blocking)
+    instead of waiting for JVM garbage collection — storage is freed
+    the moment the memo is dropped, verified by tests/test_memos.py
+    against ``getPersistentRDDs``."""
     import sys
 
     for mod_name, mod in list(sys.modules.items()):
@@ -123,3 +146,14 @@ def clear_session_memos() -> None:
                 obj = getattr(mod, attr)
                 if isinstance(obj, dict):
                     obj.clear()
+    if spark is None:
+        return
+    try:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() in _MEMO_RDD_IDS:
+                kv._2().unpersist(True)
+        _MEMO_RDD_IDS.clear()
+    except Exception:
+        pass  # best-effort storage release; the memo dicts are already gone

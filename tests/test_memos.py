@@ -1,0 +1,85 @@
+"""Session-memo lifecycle: memo builders checkpoint through
+``registry.memo_checkpoint`` so ``clear_session_memos(spark)`` can
+(1) drop every ``*_CACHE`` dict, (2) unpersist the backing
+localCheckpoint blocks immediately — a long-lived service rolling to
+a new corpus version must free the old version's checkpoint storage
+deterministically, not wait on JVM GC — and (3) leave the operators
+able to rebuild correctly from scratch."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def _persistent_rdd_ids(spark) -> set[int]:
+    ids = set()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def test_clear_session_memos_evicts_checkpoint_blocks_and_rebuilds(spark):
+    from grader_etl_spark.operators.llm_dedup import _SHINGLE_CACHE, shingled_docs
+    from grader_etl_spark.registry import _MEMO_RDD_IDS, clear_session_memos
+
+    clear_session_memos(spark)  # isolate from earlier tests in this session
+    before = _persistent_rdd_ids(spark)
+
+    first = shingled_docs(spark, SF)
+    n1 = first.count()
+    assert (spark, SF) in _SHINGLE_CACHE
+    built = _persistent_rdd_ids(spark) - before
+    assert built, "memo build must persist a checkpoint block"
+    assert built & _MEMO_RDD_IDS, "memo_checkpoint must record the backing RDD id"
+
+    clear_session_memos(spark)
+    assert not _SHINGLE_CACHE, "memo dict must be empty after clear"
+    assert not (_persistent_rdd_ids(spark) & built), (
+        "checkpoint blocks must be unpersisted immediately, not GC'd eventually"
+    )
+    assert not _MEMO_RDD_IDS, "tracked ids reset once evicted"
+
+    # rebuild is correct: a consumer that reads the memo end-to-end
+    # (near-dup Jaccard pairs) produces identical rows after eviction
+    from grader_etl_spark.operators.llm_dedup import q_neardup_jaccard
+
+    again = shingled_docs(spark, SF)
+    assert again.count() == n1
+    pairs = sorted(
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in q_neardup_jaccard(spark, SF).select("doc_id_1", "doc_id_2").collect()
+    )
+    clear_session_memos(spark)
+    pairs_rebuilt = sorted(
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in q_neardup_jaccard(spark, SF).select("doc_id_1", "doc_id_2").collect()
+    )
+    assert pairs == pairs_rebuilt
+    clear_session_memos(spark)
+
+
+def test_clear_session_memos_without_spark_still_clears_dicts(spark):
+    from grader_etl_spark.operators.fuzzy import _PAIR_CACHE, fuzzy_pairs
+    from grader_etl_spark.registry import clear_session_memos
+
+    fuzzy_pairs(spark, SF)
+    assert _PAIR_CACHE
+    clear_session_memos()  # legacy no-arg form keeps working
+    assert not _PAIR_CACHE
+    clear_session_memos(spark)
+
+
+def test_clear_session_memos_spares_unrelated_persisted_frames(spark):
+    """Eviction is scoped to MEMO checkpoints: a user-persisted frame
+    (or catalog cache) must survive clear_session_memos(spark)."""
+    from grader_etl_spark.operators.pca import covariance_frame
+    from grader_etl_spark.registry import clear_session_memos
+
+    clear_session_memos(spark)
+    user_df = spark.range(100).selectExpr("id", "id * 3 AS y").localCheckpoint()
+    assert user_df.count() == 100
+    covariance_frame(spark, SF)  # builds a memo checkpoint
+    clear_session_memos(spark)
+    assert user_df.count() == 100  # still readable — its blocks survived
+    user_df.unpersist()
