@@ -47,6 +47,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # Ambient-load context: the shared host's 1-min loadavg before and
+    # after the run annotates the totals (a 195s vs 183s delta is
+    # unreadable without it — BASELINE.md protocol notes).
+    load1_before = round(os.getloadavg()[0], 2)
 
     spark = get_spark(app_name="grader-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -135,6 +139,16 @@ def main() -> None:
         ordered[mid] if len(ordered) % 2 else (ordered[mid - 1] + ordered[mid]) / 2, 3
     )
 
+    # Round-over-round regression count against the COMMITTED per-query
+    # table (tools/bench_compare.py): >1.5x prior wall above a 1s noise
+    # floor. Computed before this run overwrites BENCH_FULL.json.
+    from tools.bench_compare import load_previous, regressions
+
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    prev = load_previous(full_path)
+    reg = regressions(prev["queries"], timings) if prev and "queries" in prev else {}
+    load1_after = round(os.getloadavg()[0], 2)
+
     full = {
         "metric": "sum of per-query wall seconds, all registered queries, noop sink",
         "value": total,
@@ -146,8 +160,10 @@ def main() -> None:
         "r1_subset_n": len(r1_names & set(timings)),
         "stall_retries": len(suspects),
         "pipeline": pipeline,
+        "load1_before": load1_before,
+        "load1_after": load1_after,
+        "regressed_vs_prev": {n: list(pc) for n, pc in reg.items()},
     }
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
@@ -166,6 +182,8 @@ def main() -> None:
         "r1_subset_n": len(r1_names & set(timings)),
         "pipeline_sec": pipeline["composed_sec"],
         "pipeline_staged_sec": pipeline["total_staged_sec"],
+        "load1": [load1_before, load1_after],
+        "regressed_vs_prev": len(reg),
         "full": "BENCH_FULL.json",
     }
     line = json.dumps(summary, separators=(",", ":"))

@@ -88,6 +88,30 @@ def _blocked_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def blocked_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit surface for the blocking design (tools/scale_probe.py
+    --scale-dims): the candidate pairs ENTERING the levenshtein verify
+    — the (brand, length-band) equi-join output before any distance
+    work. Candidate count is the number that must stay ~linear in
+    |part| as the catalog grows (block count grows with the brand
+    space; block size stays bounded), because the verify pays per
+    candidate."""
+    cols = ["p_partkey", "p_brand", "p_name"]
+    band = F.floor(F.length("p_name") / _LEN_BAND)
+    a = load(spark, sf_dir, "part", columns=cols).withColumn("band", band).alias("a")
+    b = (
+        load(spark, sf_dir, "part", columns=cols)
+        .withColumn("band", F.explode(F.array(band - 1, band, band + 1)))
+        .alias("b")
+    )
+    return a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(F.col("a.p_partkey").alias("key_a"), F.col("b.p_partkey").alias("key_b"))
+
+
 @query(
     "q_fuzzy_match",
     oracle="""

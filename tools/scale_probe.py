@@ -9,6 +9,17 @@ fixed-core box); super-linear growth exposes a plan whose cost is in
 pair blowup or state, not scan — exactly what the 100 TB review asks.
 
 Usage: python tools/scale_probe.py [K] [query ...]
+       python tools/scale_probe.py --scale-dims [K]
+
+``--scale-dims`` scales the DIMENSION the fuzzy/entity family blocks
+on instead of the facts: `part` is cloned K× with perturbed names and
+a widened brand space (catalog growth adds manufacturers/brands, so
+the (brand, length-band) block COUNT grows while block SIZE stays
+bounded — that is the invariant that keeps blocked similarity joins
+linear). Reports candidate-pair count, verified-pair count, and wall
+ratios for the fuzzy family at 1× vs K×, with session memos cleared
+before every timed run so each run pays its own build.
+
 Writes no repo state; results go to stdout (record them in
 BASELINE.md by hand so the numbers stay attached to their commit).
 """
@@ -78,7 +89,90 @@ def time_query(spark, name: str, sf_dir: str) -> float:
     return dt
 
 
+DIMS_DST = "/tmp/spark_graft_scaled_dims"
+
+
+def build_dims(spark, k: int) -> None:
+    """K× part catalog: clone i offsets keys, maps brands into a fresh
+    per-copy brand space (Brand#i.MN — catalog growth means MORE
+    brands, not denser ones), and perturbs names with a deterministic
+    per-copy vowel swap so clones are near-but-not-exact duplicates of
+    their source rows (realistic near-dup mass inside each new brand's
+    blocks). Every other table copies through unchanged."""
+    os.makedirs(DIMS_DST, exist_ok=True)
+    for t in ("region", "nation", "supplier", "customer", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{DIMS_DST}/{t}.parquet"
+        )
+    base = spark.read.parquet(f"{SRC}/part.parquet")
+    vowel_maps = ["aeiou", "eioua", "iouae", "ouaei", "uaeio"]
+    parts = []
+    for i in range(k):
+        df = base.withColumn("p_partkey", F.col("p_partkey") + F.lit(i * 10_000_000))
+        if i > 0:
+            df = df.withColumn(
+                "p_brand", F.concat(F.lit(f"B{i}."), F.col("p_brand"))
+            ).withColumn(
+                "p_name", F.translate(F.col("p_name"), "aeiou", vowel_maps[i % 5])
+            )
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{DIMS_DST}/part.parquet")
+
+
+def run_dims_probe(k: int) -> None:
+    from grader_etl_spark.operators.fuzzy import blocked_candidates, fuzzy_pairs
+    from grader_etl_spark.registry import clear_session_memos
+
+    spark = get_spark(app_name="grader-etl-spark-dims-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    all_queries()
+    print(f"building {k}x part catalog at {DIMS_DST} ...", flush=True)
+    build_dims(spark, k)
+
+    stats: dict[str, dict] = {}
+    for label, d in (("1x", SRC), (f"{k}x", DIMS_DST)):
+        n_part = spark.read.parquet(f"{d}/part.parquet").count()
+        cand = blocked_candidates(spark, d).count()
+        clear_session_memos(spark)
+        t0 = time.perf_counter()
+        verified = fuzzy_pairs(spark, d).count()
+        fuzzy_wall = time.perf_counter() - t0
+        clear_session_memos(spark)
+        t0 = time.perf_counter()
+        REGISTRY["q_entity_resolution"].fn(spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        er_wall = time.perf_counter() - t0
+        clear_session_memos(spark)
+        stats[label] = {
+            "part": n_part, "cand": cand, "pairs": verified,
+            "fuzzy_s": fuzzy_wall, "er_s": er_wall,
+        }
+        print(
+            f"{label:>4s}: |part|={n_part:>8,d} candidates={cand:>10,d} "
+            f"verified={verified:>8,d} fuzzy={fuzzy_wall:6.2f}s "
+            f"entity_res={er_wall:6.2f}s",
+            flush=True,
+        )
+    a, b = stats["1x"], stats[f"{k}x"]
+    print(
+        f"ratios at {k}x parts: candidates {b['cand']/a['cand']:.2f} "
+        f"verified {b['pairs']/a['pairs']:.2f} "
+        f"fuzzy wall {b['fuzzy_s']/a['fuzzy_s']:.2f} "
+        f"entity-res wall {b['er_s']/a['er_s']:.2f} "
+        f"(linear = {k:.2f})",
+        flush=True,
+    )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-dims":
+        run_dims_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+        return
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     names = sys.argv[2:] or DEFAULT_QUERIES
     spark = get_spark(app_name="grader-etl-spark-scale-probe")
