@@ -92,13 +92,18 @@ def time_query(spark, name: str, sf_dir: str) -> float:
 DIMS_DST = "/tmp/spark_graft_scaled_dims"
 
 
-def build_dims(spark, k: int) -> None:
+def build_dims(spark, k: int, dense: bool = False) -> None:
     """K× part catalog: clone i offsets keys, maps brands into a fresh
     per-copy brand space (Brand#i.MN — catalog growth means MORE
     brands, not denser ones), and perturbs names with a deterministic
     per-copy vowel swap so clones are near-but-not-exact duplicates of
     their source rows (realistic near-dup mass inside each new brand's
-    blocks). Every other table copies through unchanged."""
+    blocks). Every other table copies through unchanged.
+
+    ``dense=True`` is the CONVERSE regime: clones keep the ORIGINAL
+    brand space, so every block gets K× denser and candidate pairs
+    grow ~K² — the failure mode the blocking-key choice exists to
+    avoid, measured so the boundary is a number, not prose."""
     os.makedirs(DIMS_DST, exist_ok=True)
     for t in ("region", "nation", "supplier", "customer", "orders",
               "lineitem", "events", "documents", "embeddings"):
@@ -111,9 +116,9 @@ def build_dims(spark, k: int) -> None:
     for i in range(k):
         df = base.withColumn("p_partkey", F.col("p_partkey") + F.lit(i * 10_000_000))
         if i > 0:
+            if not dense:
+                df = df.withColumn("p_brand", F.concat(F.lit(f"B{i}."), F.col("p_brand")))
             df = df.withColumn(
-                "p_brand", F.concat(F.lit(f"B{i}."), F.col("p_brand"))
-            ).withColumn(
                 "p_name", F.translate(F.col("p_name"), "aeiou", vowel_maps[i % 5])
             )
         parts.append(df)
@@ -123,15 +128,16 @@ def build_dims(spark, k: int) -> None:
     out.write.mode("overwrite").parquet(f"{DIMS_DST}/part.parquet")
 
 
-def run_dims_probe(k: int) -> None:
+def run_dims_probe(k: int, dense: bool = False) -> None:
     from grader_etl_spark.operators.fuzzy import blocked_candidates, fuzzy_pairs
     from grader_etl_spark.registry import clear_session_memos
 
     spark = get_spark(app_name="grader-etl-spark-dims-probe")
     spark.sparkContext.setLogLevel("ERROR")
     all_queries()
-    print(f"building {k}x part catalog at {DIMS_DST} ...", flush=True)
-    build_dims(spark, k)
+    mode = "dense (fixed brand space)" if dense else "broad (brand space grows)"
+    print(f"building {k}x part catalog [{mode}] at {DIMS_DST} ...", flush=True)
+    build_dims(spark, k, dense=dense)
 
     stats: dict[str, dict] = {}
     for label, d in (("1x", SRC), (f"{k}x", DIMS_DST)):
@@ -170,8 +176,11 @@ def run_dims_probe(k: int) -> None:
 
 
 def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--scale-dims":
-        run_dims_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+    if len(sys.argv) > 1 and sys.argv[1] in ("--scale-dims", "--scale-dims-dense"):
+        run_dims_probe(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 10,
+            dense=sys.argv[1].endswith("dense"),
+        )
         return
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     names = sys.argv[2:] or DEFAULT_QUERIES
