@@ -3,11 +3,12 @@ replayed over an N-micro-batch parquet landing (file source,
 maxFilesPerTrigger=1, availableNow), reporting rows/s and per-batch
 wall — the measured figures BASELINE.md's streaming section records.
 
-Jobs (streaming/jobs.py):
+Jobs (streaming/jobs.py, streaming/stateful.py):
   gate        curated_doc_stream        stateless filter+project
   dedup       incremental_dedup_stream  stream-static anti-join vs ledger
   report      daily_tumbling_report     watermark + 1-day tumbling agg
   trending    trending_terms            watermark + windowed term counts
+  profile     user_profile_stream       applyInPandasWithState per-user state
 
 Inputs derive from the sf0.1 fixtures (documents / events mapped onto
 the job schemas), split into N files so each micro-batch is one file.
@@ -123,6 +124,15 @@ def main() -> None:
             output_mode="complete",
         ),
     ]
+    from grader_etl_spark.streaming.stateful import user_profile_stream
+
+    results.append(
+        _run(
+            "user_profile",
+            user_profile_stream(_stream(spark, events_dir, ev_schema)),
+            output_mode="update",
+        )
+    )
     print(f"{'job':18s} {'rows':>8s} {'batches':>7s} {'wall_s':>7s} "
           f"{'rows/s':>9s} {'med_batch_ms':>12s}")
     for r in results:
