@@ -298,14 +298,14 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
            * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
            * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(3,2))
            * CAST(1 + CAST(l_tax AS DECIMAL(3,2)) AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE) AS sum_charge,
-  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
        / COUNT(*) AS DOUBLE)                                     AS avg_qty,
   COUNT(*)                                                       AS count_order
 FROM lineitem
@@ -322,15 +322,15 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent — and the whole expression stays inside
     whole-stage codegen (no UDFs).
 
-    The declared widths are deliberately NARROW: price (12,2) and the
-    (1±x) factors (3,2) keep the triple product at (20,6), exact in
-    any engine. With (18,2) operands the product's formal width is 56
-    — past the 38-digit decimal cap — so each engine silently falls
-    back to its own precision-loss rule and the sums drift apart once
-    they're large enough (first seen as a 6e-5 sum_charge split at
-    the 100× probe scale; the narrow widths make the whole expression
-    scale-invariant). Fixture bounds: price < 1e6, discount ≤ 0.10,
-    tax ≤ 0.08, so (12,2)/(3,2) are lossless with headroom.
+    Width discipline: price at (18,2) and the (1±x) factors pinned
+    NARROW at (3,2) keep the triple product at (26,6)/(24,6) — exact
+    in both engines up to ~1e16 prices (the adversarial-magnitude
+    fuzz regime). The factors must NOT widen: with (18,2) factors the
+    product's formal width is 56 — past the 38-digit cap — and each
+    engine silently applies its own precision-loss rule (measured as
+    a 6e-5 sum_charge split at the 100× probe scale). The original
+    (12,2) price overflowed at 1e10+ prices (ANSI raise on Spark 4,
+    cast error on DuckDB — magnitude campaign, seed 5401).
 
     The oracle's final decimal→DOUBLE casts round-trip through
     VARCHAR: DuckDB's native decimal→double cast is not correctly
@@ -340,8 +340,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     double to the exact decimal sum" at every scale.
     """
     li = load(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(12,2)")
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(3,2)")
     tax = F.col("l_tax").cast("decimal(3,2)")
     return (

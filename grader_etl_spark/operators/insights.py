@@ -1071,14 +1071,16 @@ WITH rev AS (
   GROUP BY 1, 2
 )
 SELECT n_name, o_year,
-       CAST(revenue AS DOUBLE) AS revenue,
-       CAST(LAG(revenue) OVER (PARTITION BY n_name ORDER BY o_year) AS DOUBLE)
+       -- decimal->double via VARCHAR: the native cast is one ulp off
+       -- at ~1e14 revenues (magnitude seed 5401); growth quantized
+       -- with the shared floor spelling on both engines.
+       CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(LAG(revenue) OVER (PARTITION BY n_name ORDER BY o_year) AS VARCHAR) AS DOUBLE)
          AS prev_revenue,
-       ROUND(
-         CAST(revenue AS DOUBLE)
-           / CAST(LAG(revenue) OVER (PARTITION BY n_name ORDER BY o_year) AS DOUBLE)
-           - 1.0,
-         4) AS yoy_growth
+       floor(
+         (CAST(CAST(revenue AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(LAG(revenue) OVER (PARTITION BY n_name ORDER BY o_year) AS VARCHAR) AS DOUBLE)
+           - 1.0) * 1e4 + 0.5) / 1e4 AS yoy_growth
 FROM rev
 """,
 )
@@ -1119,14 +1121,13 @@ def q_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("n_name").orderBy("o_year")
     prev = F.lag("revenue").over(w)
+    growth = F.col("revenue").cast("double") / prev.cast("double") - 1.0
     return rev.select(
         "n_name",
         "o_year",
         F.col("revenue").cast("double").alias("revenue"),
         prev.cast("double").alias("prev_revenue"),
-        F.round(F.col("revenue").cast("double") / prev.cast("double") - 1.0, 4).alias(
-            "yoy_growth"
-        ),
+        (F.floor(growth * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias("yoy_growth"),
     )
 
 
@@ -1267,14 +1268,17 @@ def q_revenue_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_brand,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS units,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS realized_revenue,
-       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
-                * CAST(l_quantity AS BIGINT)) AS DOUBLE)   AS list_revenue,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-             / CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
-                        * CAST(l_quantity AS BIGINT)) AS DOUBLE), 6) AS realization
+       -- decimal->double via VARCHAR (native cast one ulp off at ~1e14
+       -- — magnitude seed 5401); ratio floor-quantized on both engines
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS realized_revenue,
+       CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
+                * CAST(l_quantity AS BIGINT)) AS VARCHAR) AS DOUBLE)   AS list_revenue,
+       floor(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS BIGINT)) AS VARCHAR) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS realization
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """,
@@ -1308,6 +1312,12 @@ def q_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("long")).cast("long").alias("units"),
             realized.cast("double").alias("realized_revenue"),
             at_list.cast("double").alias("list_revenue"),
-            F.round(realized.cast("double") / at_list.cast("double"), 6).alias("realization"),
+            (
+                F.floor(
+                    realized.cast("double") / at_list.cast("double") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("realization"),
         )
     )

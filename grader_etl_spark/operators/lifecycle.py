@@ -414,9 +414,10 @@ WITH w AS (
   FROM orders
 )
 SELECT o_custkey,
-       ROUND(CAST(SUM(contrib) AS DOUBLE), 4) AS decayed_value,
-       CAST(SUM(raw) AS DOUBLE)               AS raw_value,
-       COUNT(*)                               AS n_orders
+       floor(CAST(CAST(SUM(contrib) AS VARCHAR) AS DOUBLE) * 1e4 + 0.5) / 1e4
+         AS decayed_value,
+       CAST(CAST(SUM(raw) AS VARCHAR) AS DOUBLE) AS raw_value,
+       COUNT(*)                                  AS n_orders
 FROM w
 GROUP BY 1
 """,
@@ -441,8 +442,13 @@ def q_decay_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice").cast("decimal(18,2)") * weight).alias("contrib"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("raw"),
     )
+    # decimal->double via VARCHAR on the oracle side + the shared
+    # floor(x*1e4+0.5)/1e4 quantization on both: DuckDB's native
+    # decimal->double cast is one ulp off at ~1e12 sums (magnitude
+    # campaign, seed 5401 — 1.2e-4 split, exactly ulp(1e12)).
     return w.groupBy("o_custkey").agg(
-        F.round(F.sum("contrib").cast("double"), 4).alias("decayed_value"),
+        (F.floor(F.sum("contrib").cast("double") * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4))
+        .alias("decayed_value"),
         F.sum("raw").cast("double").alias("raw_value"),
         F.count("*").alias("n_orders"),
     )

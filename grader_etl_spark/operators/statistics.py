@@ -26,24 +26,42 @@ WITH m AS (
   SELECT l_returnflag,
          CAST(COUNT(*) AS DOUBLE) AS n,
          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s1,
-         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s2,
+         -- (19,2) operands: DuckDB multiplies (18,2)x(18,2) in the
+         -- inputs' int64 physical type and overflows at ~1e10 values
+         -- (magnitude seed 5401); one more digit forces int128.
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,2))
+                * CAST(l_extendedprice AS DECIMAL(19,2))) AS VARCHAR) AS DOUBLE) AS s2,
          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS t1,
-         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS t2,
-         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS tp
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,2))
+                * CAST(l_quantity AS DECIMAL(19,2))) AS VARCHAR) AS DOUBLE) AS t2,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,2))
+                * CAST(l_extendedprice AS DECIMAL(19,2))) AS VARCHAR) AS DOUBLE) AS tp
   FROM lineitem GROUP BY l_returnflag
 )
+-- Quantization guard: floor(x*1e6 + 0.5) is only meaningful while
+-- x*1e6 stays inside the 2^52 integer-exact range; past ~4.5e9 the
+-- 6-dp grid does not exist in double anyway, and Spark's floor
+-- (which returns BIGINT) would saturate at 2^63 while DuckDB's stays
+-- double (magnitude seed 5401: variance ~9e20 read as Long.MAX/1e6
+-- on Spark). Above the guard both engines emit the RAW double, which
+-- is identical because the inputs are.
 SELECT l_returnflag,
        CASE WHEN n > 1 THEN
-         floor(sqrt(greatest((s2 - s1*s1/n) / (n-1), 0)) * 1e6 + 0.5) / 1e6
+         CASE WHEN abs(sqrt(greatest((s2 - s1*s1/n) / (n-1), 0))) < 4.5e9
+              THEN floor(sqrt(greatest((s2 - s1*s1/n) / (n-1), 0)) * 1e6 + 0.5) / 1e6
+              ELSE sqrt(greatest((s2 - s1*s1/n) / (n-1), 0)) END
        END                                                              AS price_stddev,
-       floor((s2 - s1*s1/n) / (n-1) * 1e6 + 0.5) / 1e6                  AS price_var,
+       CASE WHEN abs((s2 - s1*s1/n) / (n-1)) < 4.5e9
+            THEN floor((s2 - s1*s1/n) / (n-1) * 1e6 + 0.5) / 1e6
+            ELSE (s2 - s1*s1/n) / (n-1) END                             AS price_var,
        floor((n*tp - t1*s1) / sqrt(greatest((n*t2 - t1*t1) * (n*s2 - s1*s1), 0))
              * 1e6 + 0.5) / 1e6                                         AS qty_price_corr,
-       floor((tp - t1*s1/n) / (n-1) * 1e6 + 0.5) / 1e6                  AS qty_price_covar,
-       floor(s1/n * 1e6 + 0.5) / 1e6                                    AS price_mean
+       CASE WHEN abs((tp - t1*s1/n) / (n-1)) < 4.5e9
+            THEN floor((tp - t1*s1/n) / (n-1) * 1e6 + 0.5) / 1e6
+            ELSE (tp - t1*s1/n) / (n-1) END                             AS qty_price_covar,
+       CASE WHEN abs(s1/n) < 4.5e9
+            THEN floor(s1/n * 1e6 + 0.5) / 1e6
+            ELSE s1/n END                                               AS price_mean
 FROM m
 """,
 )
@@ -84,21 +102,29 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t1, t2, tp = F.col("t1"), F.col("t2"), F.col("tp")
     var = F.try_divide(s2 - s1 * s1 / n, n - 1)
 
-    def round6(c):  # floor(x·1e6 + 0.5)/1e6 — see docstring
-        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    def round6(c):
+        # floor(x·1e6 + 0.5)/1e6, GUARDED: past |x| ~4.5e9 the 6-dp
+        # grid is not representable in double and Spark's BIGINT floor
+        # would saturate at 2^63 (magnitude seed 5401) — emit raw x,
+        # identical on both engines. Correlation needs no guard (|r|≤1).
+        q = F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        return F.when(F.abs(c) < F.lit(4.5e9), q).otherwise(c)
 
+    corr6 = F.floor(
+        F.try_divide(
+            n * tp - t1 * s1,
+            F.sqrt(F.greatest((n * t2 - t1 * t1) * (n * s2 - s1 * s1), F.lit(0.0))),
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ) / F.lit(1e6)
     return m.select(
         "l_returnflag",
         F.when(n > 1, round6(F.sqrt(F.greatest(var, F.lit(0.0))))).alias(
             "price_stddev"
         ),
         round6(var).alias("price_var"),
-        round6(
-            F.try_divide(
-                n * tp - t1 * s1,
-                F.sqrt(F.greatest((n * t2 - t1 * t1) * (n * s2 - s1 * s1), F.lit(0.0))),
-            )
-        ).alias("qty_price_corr"),
+        corr6.alias("qty_price_corr"),
         round6(F.try_divide(tp - t1 * s1 / n, n - 1)).alias("qty_price_covar"),
         round6(s1 / n).alias("price_mean"),
     )
@@ -487,8 +513,13 @@ WITH rev AS (
 )
 SELECT s_nationkey,
        CAST(count(*) AS BIGINT) AS n_suppliers,
-       round(CAST(sum(CAST(r AS DECIMAL(38,8)) * CAST(r AS DECIMAL(38,8))) AS DOUBLE)
-             / (CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE)), 6) AS hhi
+       -- squares at (19,4): (38,8)^2 needs scale 16 and overflows the
+       -- 38-digit cap at ~1e12 revenues (magnitude seed 5401); (19,4)
+       -- squares land at (38,8), exact to ~1e15 per-supplier revenue.
+       -- decimal->double through VARCHAR (correctly-rounded parse).
+       floor(CAST(CAST(sum(CAST(r AS DECIMAL(19,4)) * CAST(r AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)
+             / (CAST(CAST(sum(r) AS VARCHAR) AS DOUBLE) * CAST(CAST(sum(r) AS VARCHAR) AS DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS hhi
 FROM rev
 GROUP BY s_nationkey
 """,
@@ -497,8 +528,14 @@ def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Herfindahl-Hirschman index of supplier revenue within each
     nation: HHI = Σr²/(Σr)² — 1/n for perfect competition, 1.0 for
     monopoly. Revenue sums stay DECIMAL end-to-end (exact,
-    order-independent); the squares widen to DECIMAL(38,8) before
-    summing so nothing rounds until the single final division. Two
+    order-independent); the squares run at DECIMAL(19,4) — wide
+    enough for int128 arithmetic and a (38,8) exact square up to
+    ~1e15 per-supplier revenue, narrow enough that neither engine
+    hits the 38-digit cap (the earlier (38,8) spelling overflowed
+    DuckDB and silently lost scale on Spark at ~1e12 revenues —
+    magnitude campaign, seed 5401) — so nothing rounds until the
+    single final division, quantized floor(x·1e6+0.5)/1e6 on both
+    engines. Two
     aggregates sharing one shuffle key hierarchy: per-(nation,
     supplier) partial sums, then the nation rollup."""
     li = load(spark, sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
@@ -513,14 +550,13 @@ def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r")
         )
     )
-    r38 = F.col("r").cast("decimal(38,8)")
+    r19 = F.col("r").cast("decimal(19,4)")
+    hhi = F.sum(r19 * r19).cast("double") / (
+        F.sum("r").cast("double") * F.sum("r").cast("double")
+    )
     return rev.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_suppliers"),
-        F.round(
-            F.sum(r38 * r38).cast("double")
-            / (F.sum("r").cast("double") * F.sum("r").cast("double")),
-            6,
-        ).alias("hhi"),
+        (F.floor(hhi * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("hhi"),
     )
 
 
@@ -706,9 +742,18 @@ def q_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_theil_index",
     oracle="""
-WITH base AS (
-  SELECT c_nationkey, CAST(c_acctbal + 1000.0 AS DOUBLE) AS x
+WITH shift AS (
+  -- positivity shift derived from the DATA, not the fixture envelope:
+  -- x = acctbal - min(acctbal) + 1000 stays strictly positive at any
+  -- balance magnitude (a flat +1000 went negative once balances were
+  -- fuzzed to ~-9e8 and ln(x) blew up — magnitude seed 5401). The min
+  -- is an exact DECIMAL scalar, so x is identical IEEE cross-engine.
+  SELECT CAST(1000.0 - least(MIN(CAST(c_acctbal AS DECIMAL(18,2))), 0) AS DOUBLE) AS s0
   FROM customer
+),
+base AS (
+  SELECT c_nationkey, CAST(c_acctbal + s0 AS DOUBLE) AS x
+  FROM customer CROSS JOIN shift
 ),
 mu AS (
   SELECT c_nationkey,
@@ -726,7 +771,9 @@ GROUP BY b.c_nationkey
 def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil T inequality index per nation over (shifted-positive)
     account balances — the decomposable inequality measure next to
-    q_gini_nations' rank-based one: T = mean((x/μ)·ln(x/μ)).
+    q_gini_nations' rank-based one: T = mean((x/μ)·ln(x/μ)), with
+    x shifted positive by the global-min balance (data-derived, so
+    the domain requirement ln(x>0) holds at any magnitude).
 
     The group mean μ comes from a DECIMAL sum over exact 2-decimal
     inputs (order-independent numerator), broadcast back onto the
@@ -736,8 +783,16 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles: the moments agg and the join-back agg, both keyed by
     nation."""
     cust = load(spark, sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
-    base = cust.select(
-        "c_nationkey", (F.col("c_acctbal") + 1000.0).cast("double").alias("x")
+    shift = cust.agg(
+        (
+            F.lit(1000.0)
+            - F.least(F.min(F.col("c_acctbal").cast("decimal(18,2)")), F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("s0")
+    )
+    base = cust.crossJoin(F.broadcast(shift)).select(
+        "c_nationkey", (F.col("c_acctbal") + F.col("s0")).cast("double").alias("x")
     )
     mu = base.groupBy("c_nationkey").agg(
         (F.sum(F.col("x").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("m"),

@@ -168,7 +168,12 @@ EWMA_ALPHA = 0.2
     "q_ewma",
     oracle="""
 WITH RECURSIVE daily AS (
-  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 4) AS v
+  -- v from an EXACT decimal sum (double summation is order-dependent
+  -- and split one row at ~1e9 magnitudes — magnitude seed 5401);
+  -- 2-dp inputs make the decimal sum exact, the VARCHAR->double parse
+  -- correctly rounded, and ROUND(...,4) a numeric no-op kept for shape.
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         round(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE), 4) AS v
   FROM events GROUP BY 1, 2
 ),
 ordered AS (
@@ -182,7 +187,11 @@ ew AS (
   SELECT o.user_id, o.day, o.v, o.rn, 0.2 * o.v + 0.8 * e.ewma
   FROM ew e JOIN ordered o ON o.user_id = e.user_id AND o.rn = e.rn + 1
 )
-SELECT user_id, strftime(day, '%Y-%m-%d') AS day, v, round(ewma, 6) AS ewma
+-- final quantization uses the shared floor spelling: the engines'
+-- native ROUND half-boundary semantics differ on identical doubles
+-- (flipped 1 row at ~1e9 magnitudes, magnitude seed 5401)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, v,
+       CASE WHEN abs(ewma) < 4.5e9 THEN floor(ewma * 1e6 + 0.5) / 1e6 ELSE ewma END AS ewma
 FROM ew
 """,
 )
@@ -199,7 +208,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-dp rounding is belt-and-suspenders."""
     ev = load(spark, sf_dir, "events", columns=["user_id", "ts", "value"])
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.round(F.sum("value"), 4).alias("v")
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4).alias("v")
     )
     series = daily.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")
@@ -223,11 +232,13 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded = series.select(
         "user_id", F.explode(F.aggregate("s", init, step).getField("out")).alias("e")
     )
+    ew = F.col("e.ewma")
+    q6 = F.floor(ew * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return folded.select(
         "user_id",
         F.date_format(F.col("e.day"), "yyyy-MM-dd").alias("day"),
         F.col("e.v").alias("v"),
-        F.round("e.ewma", 6).alias("ewma"),
+        F.when(F.abs(ew) < F.lit(4.5e9), q6).otherwise(ew).alias("ewma"),
     )
 
 

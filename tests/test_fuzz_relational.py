@@ -104,7 +104,12 @@ _SEG = ["MACHINERY", "AUTOMOBILE", "FURNITURE", "HOUSEHOLD", "BUILDING"]
 _ETYPE = ["signup", "click", "purchase", "error", "view"]
 
 
-def _gen_dir(tmp, seed: int) -> str:
+def _gen_dir(tmp, seed: int, price_scale: float = 1.0) -> str:
+    """``price_scale`` multiplies every money/value column (o_totalprice,
+    l_extendedprice, c_acctbal, events.value) — at 1e6 the tables reach
+    the adversarial-magnitude regime (prices ~4e11, group sums ~1e14)
+    where any leftover narrow decimal cast or 64-bit product sum
+    diverges cross-engine (the q_trend_slope sxy class)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -128,7 +133,7 @@ def _gen_dir(tmp, seed: int) -> str:
                 [rng.randrange(25) for _ in range(n_cust)], pa.int32()
             ),
             "c_acctbal": pa.array(
-                [round(rng.uniform(-900, 9000), 2) for _ in range(n_cust)]
+                [round(rng.uniform(-900, 9000) * price_scale, 2) for _ in range(n_cust)]
             ),
             "c_mktsegment": pa.array([rng.choice(_SEG) for _ in range(n_cust)]),
         },
@@ -146,7 +151,7 @@ def _gen_dir(tmp, seed: int) -> str:
             "o_custkey": pa.array(custs, pa.int64()),
             "o_orderstatus": pa.array([rng.choice(_STATUS) for _ in range(n_ord)]),
             "o_totalprice": pa.array(
-                [round(rng.uniform(1000, 400000), 2) for _ in range(n_ord)]
+                [round(rng.uniform(1000, 400000) * price_scale, 2) for _ in range(n_ord)]
             ),
             "o_orderdate": pa.array(odates, pa.timestamp("us")),
             "o_orderpriority": pa.array([rng.choice(_PRIO) for _ in range(n_ord)]),
@@ -171,7 +176,7 @@ def _gen_dir(tmp, seed: int) -> str:
             "l_linenumber": pa.array([ln for _, ln in lines], pa.int32()),
             "l_quantity": pa.array([float(rng.randint(1, 50)) for _ in lines]),
             "l_extendedprice": pa.array(
-                [round(rng.uniform(900, 105000), 2) for _ in lines]
+                [round(rng.uniform(900, 105000) * price_scale, 2) for _ in lines]
             ),
             "l_discount": pa.array(
                 [round(rng.randrange(11) / 100, 2) for _ in lines]
@@ -210,7 +215,7 @@ def _gen_dir(tmp, seed: int) -> str:
             "ts": pa.array(tss, pa.timestamp("us")),
             "user_id": pa.array(uids, pa.int64()),
             "event_type": pa.array([rng.choice(_ETYPE) for _ in range(n_ev)]),
-            "value": pa.array([round(rng.uniform(0, 350), 2) for _ in range(n_ev)]),
+            "value": pa.array([round(rng.uniform(0, 350) * price_scale, 2) for _ in range(n_ev)]),
             "props": pa.array(props),
         },
     )

@@ -27,7 +27,7 @@ sys.path.insert(0, _REPO)
 
 TABLES = ("region", "nation", "part", "supplier", "customer", "orders",
           "lineitem", "events", "documents", "embeddings")
-SHAPES = ("random", "adversarial", "dup-heavy")
+SHAPES = ("random", "adversarial", "dup-heavy", "magnitude")
 
 
 def _load(relpath, name):
@@ -49,8 +49,12 @@ def gen_combined(base, seed, shape):
 
     d = os.path.join(base, f"s{seed}")
     os.makedirs(d, exist_ok=True)
-    sf_dir = fr._gen_dir(d, seed)
-    rows = fo._corpus(seed, shape)
+    # "magnitude": same random shapes but every money column scaled 1e6
+    # (prices ~4e11, group sums ~1e14) — stresses decimal-width and
+    # product-sum discipline repo-wide; corpus shape stays "random".
+    price_scale = 1e6 if shape == "magnitude" else 1.0
+    sf_dir = fr._gen_dir(d, seed, price_scale=price_scale)
+    rows = fo._corpus(seed, "random" if shape == "magnitude" else shape)
     pq.write_table(pa.table({
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
         "text": pa.array([r[1] for r in rows], pa.string()),
@@ -81,7 +85,7 @@ def main():
     base = "/tmp/fuzz_campaign_data"
     total_fail = 0
     for k, seed in enumerate(seeds):
-        shape = SHAPES[k % 3]
+        shape = SHAPES[k % len(SHAPES)]
         sf_dir = gen_combined(base, seed, shape)
         con = duckdb.connect()
         for t in TABLES:
