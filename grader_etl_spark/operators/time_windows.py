@@ -369,7 +369,19 @@ WITH ordered AS (
 )
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_intervals,
-       ROUND(SUM(value * (t_next - t)) / SUM(t_next - t), 6) AS twap
+       -- EXACT decimal weighted sums (double partial sums are
+       -- order-dependent and flipped a 6-dp digit at 1e6-scaled
+       -- values — magnitude seed 7411); (19,x) operands force int128
+       -- multiplication, VARCHAR routes the decimal->double casts,
+       -- and the guarded floor spelling quantizes. Double/0 is NULL
+       -- on both engines (try_divide twin).
+       CASE WHEN abs(CAST(CAST(SUM(CAST(value AS DECIMAL(19,2)) * CAST(t_next - t AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(SUM(CAST(t_next - t AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)) < 4.5e9
+            THEN floor(CAST(CAST(SUM(CAST(value AS DECIMAL(19,2)) * CAST(t_next - t AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(SUM(CAST(t_next - t AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) * 1e6 + 0.5) / 1e6
+            ELSE CAST(CAST(SUM(CAST(value AS DECIMAL(19,2)) * CAST(t_next - t AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(SUM(CAST(t_next - t AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+       END AS twap
 FROM ordered WHERE t_next IS NOT NULL
 GROUP BY user_id
 """,
@@ -382,8 +394,12 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lead over event time, event_id tie-break) sharing a single
     shuffle with the final aggregate; the last observation of each
     user has no holding interval and is excluded on both engines.
-    Weighted sums are double; the emitted ratio is rounded to 6 dp so
-    partial-sum association order can't flip the hash. try_divide:
+    Weighted sums accumulate in EXACT decimal (value is 2-dp, the
+    holding interval is integer µs, so value·Δt is exact at (37,2)) —
+    double partial sums are association-order-dependent and flipped a
+    6-dp digit at 1e6-scaled magnitudes (magnitude seed 7411); the
+    single ratio then quantizes with the guarded floor spelling on
+    both engines. try_divide:
     a user whose observations ALL share one timestamp has zero total
     holding time — DuckDB's x/0 is NULL, so the Spark side must yield
     NULL too instead of ANSI-throwing (fuzz: test_fuzz_timeseries)."""
@@ -393,10 +409,14 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     withnext = ev.select(
         "user_id", "value", t.alias("t"), F.lead(t).over(w).alias("t_next")
     ).filter(F.col("t_next").isNotNull())
-    dt = (F.col("t_next") - F.col("t")).cast("double")
+    dtd = (F.col("t_next") - F.col("t")).cast("decimal(18,0)")
+    num = F.sum(F.col("value").cast("decimal(18,2)") * dtd).cast("double")
+    den = F.sum(dtd).cast("double")
+    r = F.try_divide(num, den)
+    q6 = F.floor(r * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return withnext.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_intervals"),
-        F.round(F.try_divide(F.sum(F.col("value") * dt), F.sum(dt)), 6).alias("twap"),
+        F.when(F.abs(r) < F.lit(4.5e9), q6).otherwise(r).alias("twap"),
     )
 
 

@@ -49,6 +49,7 @@ QUERIES = [
     "q_cusum_changepoint",
     "q_revenue_deciles",
     "q_weighted_quantiles",
+    "q_twap",
 ]
 
 
