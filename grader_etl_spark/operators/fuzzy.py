@@ -46,39 +46,49 @@ def fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LEN_BAND = 5
 
 
-def _blocked_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _banded_block_join(
+    spark: SparkSession, sf_dir: str, *, repartition: int | None = None
+) -> DataFrame:
+    """The ONE (brand, length-band) blocking equi-join: both the
+    production levenshtein path and the scale-probe audit surface
+    consume this, so a change to the blocking key or the exploded-band
+    scheme can never desynchronize the audit from the join it claims
+    to measure. Returns the raw candidate join with ``a.*`` / ``b.*``
+    columns still addressable.
+
+    Exactly one of b's three exploded bands equals a's single band
+    for any candidate pair, so the band join introduces no duplicate
+    pairs — and |len diff| ≤ 4 ⇒ |band diff| ≤ 1 means it drops no
+    true pair either (pinned by test_fuzzy_banding)."""
     cols = ["p_partkey", "p_brand", "p_name"]
     band = F.floor(F.length("p_name") / _LEN_BAND)
-    # The table arrives as one file split; without a repartition the
-    # broadcast join's probe side is a single task and every core but
-    # one idles. Round-robin keeps per-task pair counts even (brand
-    # hash would cap parallelism at 25 and inherit brand skew).
-    a = (
-        load(spark, sf_dir, "part", columns=cols)
-        .withColumn("band", band)
-        .repartition(64)
-        .alias("a")
-    )
-    # Exactly one of b's three exploded bands equals a's single band
-    # for any candidate pair, so the band join introduces no
-    # duplicate pairs — and |len diff| ≤ 4 ⇒ |band diff| ≤ 1 means it
-    # drops no true pair either (pinned by test_fuzzy_banding).
+    a = load(spark, sf_dir, "part", columns=cols).withColumn("band", band)
+    if repartition:
+        # The table arrives as one file split; without a repartition
+        # the broadcast join's probe side is a single task and every
+        # core but one idles. Round-robin keeps per-task pair counts
+        # even (brand hash would cap parallelism at 25 and inherit
+        # brand skew).
+        a = a.repartition(repartition)
+    a = a.alias("a")
     b = (
         load(spark, sf_dir, "part", columns=cols)
-        .withColumn(
-            "band", F.explode(F.array(band - 1, band, band + 1))
-        )
+        .withColumn("band", F.explode(F.array(band - 1, band, band + 1)))
         .alias("b")
     )
+    return a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+
+
+def _blocked_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     len_ok = F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 4
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 4)
     return (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-        )
+        _banded_block_join(spark, sf_dir, repartition=64)
         .filter(len_ok & (dist >= 0))  # banded form returns -1 past the threshold
         .select(
             F.col("a.p_partkey").alias("key_a"),
@@ -92,24 +102,14 @@ def blocked_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit surface for the blocking design (tools/scale_probe.py
     --scale-dims): the candidate pairs ENTERING the levenshtein verify
     — the (brand, length-band) equi-join output before any distance
-    work. Candidate count is the number that must stay ~linear in
+    work, from the SAME ``_banded_block_join`` the production path
+    runs. Candidate count is the number that must stay ~linear in
     |part| as the catalog grows (block count grows with the brand
     space; block size stays bounded), because the verify pays per
     candidate."""
-    cols = ["p_partkey", "p_brand", "p_name"]
-    band = F.floor(F.length("p_name") / _LEN_BAND)
-    a = load(spark, sf_dir, "part", columns=cols).withColumn("band", band).alias("a")
-    b = (
-        load(spark, sf_dir, "part", columns=cols)
-        .withColumn("band", F.explode(F.array(band - 1, band, band + 1)))
-        .alias("b")
+    return _banded_block_join(spark, sf_dir).select(
+        F.col("a.p_partkey").alias("key_a"), F.col("b.p_partkey").alias("key_b")
     )
-    return a.join(
-        b,
-        (F.col("a.p_brand") == F.col("b.p_brand"))
-        & (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-    ).select(F.col("a.p_partkey").alias("key_a"), F.col("b.p_partkey").alias("key_b"))
 
 
 @query(

@@ -748,7 +748,11 @@ WITH shift AS (
   -- balance magnitude (a flat +1000 went negative once balances were
   -- fuzzed to ~-9e8 and ln(x) blew up — magnitude seed 5401). The min
   -- is an exact DECIMAL scalar, so x is identical IEEE cross-engine.
-  SELECT CAST(1000.0 - least(MIN(CAST(c_acctbal AS DECIMAL(18,2))), 0) AS DOUBLE) AS s0
+  -- subtraction stays in DECIMAL (exact), ONE correctly-rounded cast
+  -- to double at the end, VARCHAR-routed so both engines parse the
+  -- same digits (DuckDB's native decimal->double cast diverged from
+  -- Spark's BigDecimal.doubleValue by 1 ulp in the magnitude fuzz).
+  SELECT CAST(CAST(1000.0 - least(MIN(CAST(c_acctbal AS DECIMAL(18,2))), 0) AS VARCHAR) AS DOUBLE) AS s0
   FROM customer
 ),
 base AS (
@@ -761,11 +765,15 @@ mu AS (
          COUNT(*) AS n
   FROM base GROUP BY c_nationkey
 )
-SELECT b.c_nationkey,
-       MAX(n) AS n,
-       ROUND(SUM((x / m) * ln(x / m)) / MAX(n), 4) AS theil_t
-FROM base b JOIN mu USING (c_nationkey)
-GROUP BY b.c_nationkey
+SELECT c_nationkey, n,
+       CASE WHEN abs(t) < 4.5e9 THEN floor(t * 1e4 + 0.5) / 1e4 ELSE t END AS theil_t
+FROM (
+  SELECT b.c_nationkey,
+         MAX(n) AS n,
+         SUM((x / m) * ln(x / m)) / MAX(n) AS t
+  FROM base b JOIN mu USING (c_nationkey)
+  GROUP BY b.c_nationkey
+)
 """,
 )
 def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,9 +791,14 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles: the moments agg and the join-back agg, both keyed by
     nation."""
     cust = load(spark, sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    # s0 = 1000 − min(bal): computed ENTIRELY in decimal (both operands
+    # exact) with one correctly-rounded double cast at the end, so it is
+    # bit-identical to the oracle's. A double-typed 1000.0 literal here
+    # would demote the subtraction to fl(1000 − fl(min)) — 1 ulp off the
+    # oracle's exact decimal at ~1e9 balances, poisoning every x.
     shift = cust.agg(
         (
-            F.lit(1000.0)
+            F.lit("1000.00").cast("decimal(18,2)")
             - F.least(F.min(F.col("c_acctbal").cast("decimal(18,2)")), F.lit(0).cast("decimal(18,2)"))
         )
         .cast("double")
@@ -798,17 +811,22 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("x").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("m"),
         F.count("*").alias("n"),
     )
-    return (
+    t = (
+        F.sum((F.col("x") / F.col("m")) * F.log(F.col("x") / F.col("m"))) / F.max("n")
+    ).alias("t")
+    agg = (
         base.join(F.broadcast(mu), "c_nationkey")
         .groupBy("c_nationkey")
-        .agg(
-            F.max("n").alias("n"),
-            F.round(
-                F.sum((F.col("x") / F.col("m")) * F.log(F.col("x") / F.col("m")))
-                / F.max("n"),
-                4,
-            ).alias("theil_t"),
-        )
+        .agg(F.max("n").alias("n"), t)
+    )
+    # Guarded floor-quantize (shared spelling, q_stats_agg precedent)
+    # instead of native ROUND: half-boundary semantics are
+    # engine-divergent; floor(x·1e4 + 0.5) is the same function in both.
+    q4 = F.floor(F.col("t") * 1e4 + F.lit(0.5)) / 1e4
+    return agg.select(
+        "c_nationkey",
+        "n",
+        F.when(F.abs(F.col("t")) < F.lit(4.5e9), q4).otherwise(F.col("t")).alias("theil_t"),
     )
 
 

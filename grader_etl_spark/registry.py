@@ -110,16 +110,23 @@ def all_oracles() -> dict[str, str]:
 # recorded by memo_checkpoint() so clear_session_memos(spark) can
 # unpersist the blocks DETERMINISTICALLY (a long-lived service must not
 # wait on JVM GC to reclaim per-corpus-version checkpoint storage).
-_MEMO_RDD_IDS: set[int] = set()
+# Keyed as (applicationId, rdd_id): RDD ids restart near 0 after a
+# SparkContext restart, so a bare id recorded under a dead context
+# would collide with a NEW session's unrelated persistent RDDs and
+# clear_session_memos(spark) would force-unpersist frames it doesn't
+# own. The appId scopes each recorded id to the context that made it.
+_MEMO_RDD_IDS: set[tuple[str, int]] = set()
 
 
 def memo_checkpoint(df: DataFrame) -> DataFrame:
-    """localCheckpoint a session-memo frame and record the backing RDD
-    id. Every ``*_CACHE`` builder routes its checkpoint through here —
-    the memo dicts hold the DataFrames; this tracks the storage."""
+    """Checkpoint a session-memo frame and record the backing RDD id
+    (scoped to the owning SparkContext's applicationId). Every
+    ``*_CACHE`` builder routes its checkpoint through here — the memo
+    dicts hold the DataFrames; this tracks the storage."""
     out = df.localCheckpoint()
     try:
-        _MEMO_RDD_IDS.add(out._jdf.queryExecution().analyzed().rdd().id())
+        app_id = df.sparkSession.sparkContext.applicationId
+        _MEMO_RDD_IDS.add((app_id, out._jdf.queryExecution().analyzed().rdd().id()))
     except Exception:
         pass  # non-JVM plan shape: blocks fall back to GC reclamation
     return out
@@ -147,13 +154,21 @@ def clear_session_memos(spark: SparkSession | None = None) -> None:
                 if isinstance(obj, dict):
                     obj.clear()
     if spark is None:
+        # The frames holding these checkpoints are gone either way —
+        # forget the ids too (the old session's blocks fall back to GC
+        # reclamation) so nothing stale survives a context restart.
+        _MEMO_RDD_IDS.clear()
         return
     try:
+        app_id = spark.sparkContext.applicationId
+        owned = {rid for aid, rid in _MEMO_RDD_IDS if aid == app_id}
         it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
         while it.hasNext():
             kv = it.next()
-            if kv._1() in _MEMO_RDD_IDS:
+            if kv._1() in owned:
                 kv._2().unpersist(True)
+        # Drop everything: the current context's ids were just released
+        # and ids from dead contexts are unreleasable by definition.
         _MEMO_RDD_IDS.clear()
     except Exception:
         pass  # best-effort storage release; the memo dicts are already gone

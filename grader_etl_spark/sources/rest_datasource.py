@@ -145,18 +145,23 @@ def _http_records(
     qs = urllib.parse.urlencode(
         {"client": client, "client_key": client_key, "start": day, "end": nxt}
     )
+    # At least one attempt regardless of the option value: a retries<=0
+    # option would otherwise skip the loop and fall through with no body
+    # (and an `assert` here vanishes under python -O).
+    attempts = max(1, retries)
     body: str | None = None
-    for attempt in range(retries):
+    for attempt in range(attempts):
         try:
             with urllib.request.urlopen(f"{url}?{qs}", timeout=timeout) as resp:
                 body = resp.read().decode("utf-8")
             break
         except urllib.error.HTTPError as e:
-            if 500 <= e.code < 600 and attempt < retries - 1:
+            if 500 <= e.code < 600 and attempt < attempts - 1:
                 time.sleep(0.05 * (2**attempt))
                 continue
             raise
-    assert body is not None
+    if body is None:
+        raise RuntimeError(f"http fetch for {day} ended without a body or an error")
     try:
         data = json.loads(body)
         if not isinstance(data, list):
@@ -200,7 +205,10 @@ class AttemptsRestReader(DataSourceReader):
         # http transport options (all string-typed, as the API requires)
         self.url = options.get("url", "")
         self.timeout = float(options.get("timeout", HTTP_TIMEOUT_S))
-        self.retries = int(options.get("retries", HTTP_RETRIES))
+        # Clamped: retries counts ATTEMPTS, and zero attempts is not a
+        # fetch mode — a 0/negative option means "no in-task backoff",
+        # i.e. exactly one try before Spark's task retry takes over.
+        self.retries = max(1, int(options.get("retries", HTTP_RETRIES)))
         self.quarantine = options.get("quarantine", "")
         self.client = options.get("client", "Skillfactory")
         self.client_key = options.get("client_key", "")

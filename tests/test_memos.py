@@ -31,7 +31,9 @@ def test_clear_session_memos_evicts_checkpoint_blocks_and_rebuilds(spark):
     assert (spark, SF) in _SHINGLE_CACHE
     built = _persistent_rdd_ids(spark) - before
     assert built, "memo build must persist a checkpoint block"
-    assert built & _MEMO_RDD_IDS, "memo_checkpoint must record the backing RDD id"
+    app_id = spark.sparkContext.applicationId
+    recorded = {rid for aid, rid in _MEMO_RDD_IDS if aid == app_id}
+    assert built & recorded, "memo_checkpoint must record the backing RDD id"
 
     clear_session_memos(spark)
     assert not _SHINGLE_CACHE, "memo dict must be empty after clear"
@@ -63,11 +65,38 @@ def test_clear_session_memos_without_spark_still_clears_dicts(spark):
     from grader_etl_spark.operators.fuzzy import _PAIR_CACHE, fuzzy_pairs
     from grader_etl_spark.registry import clear_session_memos
 
+    from grader_etl_spark.registry import _MEMO_RDD_IDS
+
     fuzzy_pairs(spark, SF)
     assert _PAIR_CACHE
+    assert _MEMO_RDD_IDS
     clear_session_memos()  # legacy no-arg form keeps working
     assert not _PAIR_CACHE
+    # The no-arg path must also forget the recorded ids: after a
+    # SparkContext restart, RDD ids re-number from ~0, so a stale id
+    # kept here would collide with a NEW session's unrelated persistent
+    # RDDs and the next clear_session_memos(spark) would unpersist them.
+    assert not _MEMO_RDD_IDS, "no-arg clear must drop recorded ids too"
     clear_session_memos(spark)
+
+
+def test_clear_session_memos_skips_ids_from_other_contexts(spark):
+    """Recorded ids are scoped by applicationId: an id recorded under a
+    dead context must never be unpersisted against the current one,
+    even when the numeric id collides with a live user-persisted RDD."""
+    from grader_etl_spark.registry import _MEMO_RDD_IDS, clear_session_memos
+
+    clear_session_memos(spark)
+    user_df = spark.range(50).selectExpr("id", "id + 1 AS y").localCheckpoint()
+    assert user_df.count() == 50
+    live_ids = _persistent_rdd_ids(spark)
+    # Simulate a stale recording from a previous SparkContext whose
+    # RDD ids collide with the live user frame's ids.
+    _MEMO_RDD_IDS.update(("app-from-a-previous-context", rid) for rid in live_ids)
+    clear_session_memos(spark)
+    assert user_df.count() == 50  # survived: the stale ids were not ours
+    assert not _MEMO_RDD_IDS
+    user_df.unpersist()
 
 
 def test_clear_session_memos_spares_unrelated_persisted_frames(spark):

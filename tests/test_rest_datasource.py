@@ -290,6 +290,24 @@ def test_http_transport_timeout_semantic(api_server):
         _http_records(url, "2024-08-01", timeout=0.5, retries=1)
 
 
+def test_http_transport_nonpositive_retries_still_fetches_once(api_server):
+    """A user-supplied retries <= 0 must not skip the fetch loop (and
+    trip the no-body guard): both the executor-side fetcher and the
+    reader option clamp to one attempt."""
+    from grader_etl_spark.sources.rest_datasource import AttemptsRestReader, _http_records
+
+    url, _handler = api_server
+    want = [
+        ("2024-10-01", str(r["attempt_id"]), int(r["user_id"]), str(r["task"]),
+         bool(r["is_correct"]), float(r["score"]))
+        for r in _server_records("2024-10-01")
+    ]
+    assert _http_records(url, "2024-10-01", retries=0) == want
+    assert _http_records(url, "2024-10-01", retries=-3) == want
+    reader = AttemptsRestReader({"mode": "http", "url": url, "retries": "0"})
+    assert reader.retries == 1
+
+
 def test_driver_side_http_fetcher_parity_live(api_server):
     """sources/rest.py http_fetcher (the reference fetch_data parity
     function, main.py:113-125) over a real socket: list on 200, None
