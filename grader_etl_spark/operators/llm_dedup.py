@@ -128,17 +128,20 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def shared_shingle_pairs(sh: DataFrame, id_col: str = "doc_id", shingle_col: str = "sset") -> DataFrame:
-    """EXACT candidate generation via an inverted index: explode
-    shingles, equi-join on the shingle, distinct the (a, b) pairs.
-    Any pair with Jaccard > 0 shares >= 1 shingle, so no qualifying
-    pair can be missed — unlike LSH this is a lossless pruning.
+    """BASELINE exact candidate generation via the plain inverted
+    index: explode shingles, equi-join on the shingle, distinct the
+    (a, b) pairs. Any pair with Jaccard > 0 shares >= 1 shingle, so no
+    qualifying pair can be missed — unlike LSH this is a lossless
+    pruning.
 
-    Scale math: candidates = sum over shingles of C(freq, 2), which is
-    bounded by the corpus's shingle-frequency skew, not by n^2 (sf0.1:
-    1.3M candidate slots vs 12.5M all-pairs; truly hot shingles would
-    be handled by a frequency cap + prefix filtering, the PPJoin
-    refinement). The join shuffles (shingle, id) pairs — linear in
-    corpus shingle volume."""
+    Scale math: candidates = sum over shingles of C(freq, 2) — bounded
+    by the corpus's shingle-frequency SKEW, not by n², and that skew
+    is exactly what blows up on real corpora (the round-4 shuffle
+    audit measured this family at 27× bytes for 10× input). The
+    production path is therefore ``prefix_filtered_candidates`` below,
+    which prunes the skew head losslessly; this plain form stays as
+    the audit baseline the prefix path is pytest-pinned equal to
+    (restricted to pairs at the threshold)."""
     ex = sh.select(id_col, F.explode(shingle_col).alias("__s"))
     a = ex.alias("a")
     b = ex.alias("b")
@@ -149,7 +152,146 @@ def shared_shingle_pairs(sh: DataFrame, id_col: str = "doc_id", shingle_col: str
     )
 
 
+def _df_ordered_arrays(sh: DataFrame) -> DataFrame:
+    """(doc_id, sz, arr): every document's shingles sorted under the
+    global (document-frequency asc, shingle asc) TOTAL order — the
+    shared index both prefix-filter candidate generators slice. The
+    df table is vocabulary-sized (partial-agg before its shuffle);
+    hot shingles sort to the END of each document's array, which is
+    what lets a prefix slice drop the frequency-skew head."""
+    ex = sh.select("doc_id", F.explode("sset").alias("s"))
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ex.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("arr"))
+        .select(
+            "doc_id",
+            F.size("arr").alias("sz"),
+            F.transform("arr", lambda x: x["s"]).alias("arr"),
+        )
+    )
+
+
+def prefix_filtered_candidates(sh: DataFrame, tau_num: int, tau_den: int) -> DataFrame:
+    """PPJoin-style prefix-filtered candidate pairs (Xiao et al., WWW
+    2008), LOSSLESS for Jaccard ≥ τ = tau_num/tau_den: every pair with
+    J ≥ τ appears in the output; pairs below τ may or may not.
+
+    Each document indexes only its PREFIX under the global
+    (document-frequency asc, shingle asc) total order — the first
+    |d| − ⌈τ·|d|⌉ + 1 shingles. The classical prefix lemma makes this
+    lossless: J(A,B) ≥ τ ⟹ |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and two sets
+    with overlap ≥ α under a shared total order must collide within
+    their first |X| − α + 1 elements. The real win at scale: the HOT
+    shingles (high df) sort to the END of the order, so the
+    frequency-skewed posting lists that make Σ C(freq,2) super-linear
+    in the plain inverted index are exactly the ones dropped from the
+    candidate join — the round-4 shuffle audit's one super-linear
+    family, pruned at the source.
+
+    A second integer POSITIONAL filter (PPJoin's other lemma) prunes
+    per collision row: the c common tokens appear in the same relative
+    order in both lists, so at the pair's first common token
+    (positions i, j) c ≤ min(|A|−i, |B|−j); rows whose bound cannot
+    reach the τ requirement ((n+d)·c ≥ n·(|A|+|B|)) drop before the
+    distinct, and a qualifying pair's first-common-token row always
+    survives — still lossless. At (0,0) it subsumes the classic
+    length filter.
+
+    All threshold tests are pure INTEGER arithmetic (τ rational), so
+    no float boundary exists anywhere in candidate generation."""
+    n, d = tau_num, tau_den
+    # Prefix length p = sz − ⌈n·sz/d⌉ + 1, in integer arithmetic.
+    plen = f"sz - ((sz * {n} + {d - 1}) div {d}) + 1"
+    pref = _df_ordered_arrays(sh).select(
+        "doc_id",
+        "sz",
+        F.posexplode(F.expr(f"slice(arr, 1, {plen})")).alias("pos", "s"),
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                (n + d)
+                * F.least(
+                    F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+                )
+                >= n * (F.col("a.sz") + F.col("b.sz"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+
+
+def containment_prefix_candidates(sh: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """Candidate (doc_id_1=smaller, doc_id_2=larger) pairs, LOSSLESS
+    for directed containment c/|src| ≥ t = t_num/t_den in EITHER
+    direction. A pair can qualify in some direction iff
+    c ≥ ⌈t·min(|A|,|B|)⌉ (the smaller side is always the easier
+    source), so candidates come from a ONE-SIDED prefix filter: the
+    size-ordered smaller doc indexes only its df-ordered prefix of
+    length |A| − ⌈t·|A|⌉ + 1, probed against the larger doc's FULL
+    token list. (The larger side cannot be prefix-pruned at all — a
+    tiny doc can sit entirely inside a huge doc's hot-shingle
+    suffix — which is exactly why symmetric-Jaccard prefix filtering
+    does not transfer to containment unchanged.)
+
+    Losslessness: if all c common tokens sat outside A's prefix,
+    A would hold ≥ (|A| − ⌈t·|A|⌉ + 1) non-common tokens before them,
+    so |A| ≥ that + c ⟹ c ≤ ⌈t·|A|⌉ − 1 < ⌈t·min⌉ — contradiction.
+    The positional filter is the same first-common-token suffix bound
+    as the symmetric case: c ≤ min(|A|−i, |B|−j), so rows with
+    t_den·min(...) < t_num·|A| drop losslessly. All integer
+    arithmetic. Candidate mass is Σ_s pref_freq(s)·freq(s) instead of
+    the plain index's Σ_s C(freq(s), 2): the hot head collapses
+    because hot shingles rarely make a prefix."""
+    n, d = t_num, t_den
+    base = _df_ordered_arrays(sh)
+    plen = f"sz - ((sz * {n} + {d - 1}) div {d}) + 1"
+    a = base.select(
+        "doc_id", "sz", F.posexplode(F.expr(f"slice(arr, 1, {plen})")).alias("pos", "s")
+    ).alias("a")
+    b = base.select("doc_id", "sz", F.posexplode("arr").alias("pos", "s")).alias("b")
+    # Strict (size, id) total order: each unordered pair is generated
+    # exactly once with `a` the smaller side.
+    size_order = (F.col("a.sz") < F.col("b.sz")) | (
+        (F.col("a.sz") == F.col("b.sz")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & size_order
+            & (
+                d
+                * F.least(
+                    F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+                )
+                >= n * F.col("a.sz")
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+
+
 _JACCARD_THRESHOLD = 0.25
+# The same threshold as an exact rational for the prefix filter's
+# integer arithmetic (J ≥ 1/4 ⟺ 5·|A∩B| ≥ |A| + |B|).
+_JACCARD_TAU = (1, 4)
+assert _JACCARD_TAU[0] / _JACCARD_TAU[1] == _JACCARD_THRESHOLD
 
 
 # Session memo of the verified Jaccard pair list (keyed by corpus
@@ -201,43 +343,44 @@ WHERE CAST(length(list_intersect(a.sset, b.sset)) AS DOUBLE)
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard ≥ 0.25.
 
-    Exact END-TO-END, but never all-pairs and never shipping shingle
-    arrays: the inverted-index self-join counts shared shingles per
-    pair directly (|A∩B| = join hits, since shingle sets are
-    distinct-element arrays), then J = c / (|A| + |B| - c) needs only
-    the two per-doc set SIZES — a broadcast-sized side table. The
-    heavy shuffle carries (shingle, id) pairs once plus the grouped
-    (id1, id2, count) rows; document content never moves twice.
+    Exact END-TO-END and never all-pairs: candidates come from the
+    PPJoin PREFIX-FILTERED index (``prefix_filtered_candidates`` at
+    τ = 1/4) rather than the plain shared-shingle inverted index —
+    the plain index's candidate mass is Σ C(freq,2) over the
+    shingle-frequency distribution, whose skew head made this family
+    the repo's one measured super-linear shuffle (27× bytes at 10×
+    input, round-4 audit); the df-ordered prefix drops exactly that
+    head while the prefix lemma keeps every J ≥ 1/4 pair. Since this
+    query feeds ``jaccard_pairs_memo``, all downstream edge-set
+    consumers (components, keeper, triangles, k-core, …) inherit the
+    near-linear shape.
+
+    Verification ships shingle ARRAYS only for surviving candidates
+    (array_intersect per pair — bounded by the candidate count, not
+    the corpus), then J = c / (|A| + |B| − c) as one float division
+    of bit-identical integers; the ≥ 0.25 boundary cannot flip
+    cross-engine because c/(s−c) = 0.25 exactly iff 5c = s and the
+    correctly-rounded quotient is > 2⁻⁵⁴ away from 0.25 otherwise.
     The DuckDB oracle computes the naive all-pairs semantics, proving
     the pruning loses nothing. q_neardup_minhash below is the
-    probabilistic variant for corpora where even the shared-token
-    candidate set is too large."""
-    # Three consumers (both self-join sides + the sizes table) read
-    # the session-materialized shingle index (shingled_docs).
+    probabilistic variant for corpora where even prefix-filtered
+    exact verification is too expensive."""
     sh = shingled_docs(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("sset").alias("s"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sizes = sh.select("doc_id", F.size("sset").alias("sz"))
-    s1 = sizes.select(F.col("doc_id").alias("doc_id_1"), F.col("sz").alias("sz_1"))
-    s2 = sizes.select(F.col("doc_id").alias("doc_id_2"), F.col("sz").alias("sz_2"))
+    cand = prefix_filtered_candidates(sh, *_JACCARD_TAU)
+    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sset").alias("sset_1"))
+    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sset").alias("sset_2"))
+    c = F.size(F.array_intersect("sset_1", "sset_2"))
     return (
-        inter.join(F.broadcast(s1), "doc_id_1")
-        .join(F.broadcast(s2), "doc_id_2")
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .withColumn("c", c)
         .select(
             "doc_id_1",
             "doc_id_2",
-            (F.col("c").cast("double") / (F.col("sz_1") + F.col("sz_2") - F.col("c"))).alias(
-                "jaccard"
-            ),
+            (
+                F.col("c").cast("double")
+                / (F.size("sset_1") + F.size("sset_2") - F.col("c"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )
@@ -780,39 +923,47 @@ def q_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Broder containment measure; dedup policy usually drops the
     contained doc and keeps the superset.
 
-    Reuses the session shingle index and the SAME inverted-index
-    candidate machinery as q_neardup_jaccard: intersection sizes come
-    from undirected a<b join-hit counts computed ONCE, then both
-    directed readings are emitted from that one pair frame (a 2×
-    projection of the grouped counts, not a second join). Candidates
-    without shared shingles cannot qualify (containment > 0 needs
-    ≥ 1 shared shingle), so the pruning is lossless; the shuffle
-    carries (shingle, id) pairs once, never text. The DuckDB oracle
-    runs the naive directed all-pairs semantics, proving parity."""
+    Candidates come from ``containment_prefix_candidates`` — the
+    ONE-SIDED prefix filter (smaller doc's df-ordered prefix probed
+    against the larger doc's full list, lossless for containment
+    ≥ 0.6 in either direction; see its docstring for the lemma). The
+    plain undirected inverted index here was the last remaining
+    super-linear shuffle row of the round-4 audit after the pair memo
+    switched to prefix filtering; the one-sided prefix collapses its
+    Σ C(freq,2) hot head to Σ pref_freq·freq. Intersection sizes are
+    then exact array_intersect counts per surviving candidate, and
+    both directed readings are emitted from that one undirected frame
+    (a 2× projection, not a second join). The DuckDB oracle runs the
+    naive directed all-pairs semantics, proving parity."""
     sh = shingled_docs(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("sset").alias("s"))
-    a = ex.alias("a")
-    b = ex.alias("b")
+    cand = containment_prefix_candidates(sh, 3, 5)  # 0.6 = 3/5 exact
+    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sset").alias("sset_1"))
+    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sset").alias("sset_2"))
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("id_lo"),
-            F.col("b.doc_id").alias("id_hi"),
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select(
+            F.col("doc_id_1").alias("id_a"),
+            F.col("doc_id_2").alias("id_b"),
+            F.size(F.array_intersect("sset_1", "sset_2")).cast("bigint").alias("overlap"),
+            F.size("sset_1").cast("bigint").alias("sz_a"),
+            F.size("sset_2").cast("bigint").alias("sz_b"),
         )
-        .agg(F.count(F.lit(1)).alias("overlap"))
+        .filter(F.col("overlap") > 0)
     )
-    sizes = sh.select("doc_id", F.size("sset").cast("bigint").alias("sz"))
     directed = inter.select(
-        F.col("id_lo").alias("src_doc"), F.col("id_hi").alias("dst_doc"), "overlap"
+        F.col("id_a").alias("src_doc"), F.col("id_b").alias("dst_doc"),
+        "overlap", F.col("sz_a").alias("src_sz"),
     ).unionByName(
         inter.select(
-            F.col("id_hi").alias("src_doc"), F.col("id_lo").alias("dst_doc"), "overlap"
+            F.col("id_b").alias("src_doc"), F.col("id_a").alias("dst_doc"),
+            "overlap", F.col("sz_b").alias("src_sz"),
         )
     )
-    src_sz = sizes.select(F.col("doc_id").alias("src_doc"), F.col("sz").alias("src_sz"))
     return (
-        directed.join(F.broadcast(src_sz), "src_doc")
-        .withColumn("containment", F.col("overlap").cast("double") / F.col("src_sz"))
+        directed.withColumn(
+            "containment", F.col("overlap").cast("double") / F.col("src_sz")
+        )
         .filter(F.col("containment") >= _CONTAINMENT_THRESHOLD)
         .select("src_doc", "dst_doc", "overlap", "src_sz", "containment")
     )
@@ -999,61 +1150,16 @@ def q_neardup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: shingle-df table is vocabulary-sized (partial-agg
     before its shuffle); the prefix join shuffles about half the
-    (shingle, id) volume of q_neardup_jaccard with its skew head
-    removed; candidate verification is bounded by surviving pairs.
-    Reference parity: extends main.py's exact-key dedup
-    (/root/reference/main.py:192-211) to near-duplicate content."""
+    (shingle, id) volume of the plain inverted index with its skew
+    head removed; candidate verification is bounded by surviving
+    pairs. Candidate generation is the SHARED
+    ``prefix_filtered_candidates`` machinery (one implementation, τ
+    as an exact rational) that also powers q_neardup_jaccard and
+    therefore the session pair memo. Reference parity: extends
+    main.py's exact-key dedup (/root/reference/main.py:192-211) to
+    near-duplicate content."""
     sh = shingled_docs(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("sset").alias("s"))
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    # Per-doc prefix under the (df asc, shingle asc) total order:
-    # p = sz − ⌈sz/2⌉ + 1 = sz div 2 + 1. posexplode keeps each
-    # token's 0-based position for the positional filter below.
-    pref = (
-        ex.join(freq, "s")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("arr"))
-        .select(
-            "doc_id",
-            F.size("arr").alias("sz"),
-            F.posexplode(
-                F.transform(
-                    F.expr("slice(arr, 1, size(arr) div 2 + 1)"), lambda x: x["s"]
-                )
-            ).alias("pos", "s"),
-        )
-    )
-    a = pref.alias("a")
-    b = pref.alias("b")
-    # POSITIONAL filter (PPJoin's second lemma): both docs sort their
-    # shingles by the same strict total order, so the c common tokens
-    # appear in the same relative order in both lists, and ALL of them
-    # lie in the suffixes starting at the pair's FIRST common token —
-    # c ≤ min(|A|−i, |B|−j) at that token's 0-based positions (i, j).
-    # A row whose suffix bound cannot reach the τ=1/2 requirement
-    # (3c ≥ |A|+|B|) is dropped; a qualifying pair's first-common-token
-    # row always survives, so the distinct loses nothing. At (0,0) the
-    # bound reduces to the plain length filter 2·min ≥ max, which it
-    # therefore subsumes.
-    cand = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                3
-                * F.least(
-                    F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
-                )
-                >= F.col("a.sz") + F.col("b.sz")
-            ),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
-        )
-        .distinct()
-    )
+    cand = prefix_filtered_candidates(sh, 1, 2)
     s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sset").alias("sset_1"))
     s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sset").alias("sset_2"))
     c = F.size(F.array_intersect("sset_1", "sset_2"))

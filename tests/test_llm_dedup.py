@@ -113,11 +113,54 @@ def test_prefix_filter_is_lossless_vs_plain_jaccard(spark, sf_dir):
     assert pref == plain
 
 
+def test_jaccard_default_path_matches_plain_inverted_index(spark, sf_dir):
+    """q_neardup_jaccard (and therefore the session pair memo feeding
+    its 14 consumers) generates candidates via the PPJoin prefix
+    filter at τ = 1/4; its verified pair set must EXACTLY equal the
+    plain shared-shingle inverted-index baseline verified the same
+    way — the losslessness of the default path, pinned on real data."""
+    import pyspark.sql.functions as F
+
+    from grader_etl_spark.operators.llm_dedup import (
+        _JACCARD_THRESHOLD,
+        q_neardup_jaccard,
+        shared_shingle_pairs,
+        shingled_docs,
+    )
+
+    sh = shingled_docs(spark, sf_dir)
+    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sset").alias("sset_1"))
+    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sset").alias("sset_2"))
+    c = F.size(F.array_intersect("sset_1", "sset_2"))
+    baseline = (
+        shared_shingle_pairs(sh)
+        .join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            (c.cast("double") / (F.size("sset_1") + F.size("sset_2") - c)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+    plain = {(r["doc_id_1"], r["doc_id_2"]): r["jaccard"] for r in baseline.collect()}
+    new = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in q_neardup_jaccard(spark, sf_dir).collect()
+    }
+    assert new == plain
+    assert new, "fixture must actually contain near-dup pairs"
+
+
 def test_prefix_filter_lemma_holds_on_random_sets():
-    """Pure-Python property check of the prefix-filtering lemma with
-    OUR parameters (τ=1/2, prefix = sz div 2 + 1, (df asc, shingle)
-    order): any pair with Jaccard ≥ τ must share an element within
-    both prefixes — no Spark, validates the pruning rule itself."""
+    """Pure-Python property check of the prefix-filtering lemma at
+    BOTH production thresholds (τ = 1/2 for q_neardup_prefix, τ = 1/4
+    for q_neardup_jaccard / the pair memo), with the generalized
+    parameters of prefix_filtered_candidates: prefix length
+    sz − ⌈n·sz/d⌉ + 1 under the (df asc, token asc) order. Any pair
+    with Jaccard ≥ τ must share an element within both prefixes AND
+    pass the positional suffix bound — no Spark, validates the
+    pruning rule itself."""
     import collections
     import itertools
 
@@ -134,26 +177,74 @@ def test_prefix_filter_lemma_holds_on_random_sets():
     @given(docs=docs_st)
     def check(docs):
         df = collections.Counter(x for s in docs for x in s)
-        orders, prefixes = [], []
-        for s in docs:
-            order = sorted(s, key=lambda x: (df[x], x))
-            orders.append(order)
-            prefixes.append(order[: len(s) // 2 + 1])
-        for (s1, o1, p1), (s2, o2, p2) in itertools.combinations(
-            zip(docs, orders, prefixes), 2
-        ):
-            inter = len(s1 & s2)
-            j = inter / (len(s1) + len(s2) - inter)
-            if j >= 0.5:
-                common = set(p1) & set(p2)
+        for n, d in ((1, 2), (1, 4)):
+            orders, prefixes = [], []
+            for s in docs:
+                order = sorted(s, key=lambda x: (df[x], x))
+                orders.append(order)
+                plen = len(s) - (n * len(s) + d - 1) // d + 1
+                prefixes.append(order[:plen])
+            for (s1, o1, p1), (s2, o2, p2) in itertools.combinations(
+                zip(docs, orders, prefixes), 2
+            ):
+                inter = len(s1 & s2)
+                j = inter / (len(s1) + len(s2) - inter)
+                if j >= n / d:
+                    common = set(p1) & set(p2)
+                    assert common, (n, d, s1, s2)
+                    # positional lemma (the Spark join's third
+                    # conjunct): some shared prefix token must ALSO
+                    # pass the suffix bound
+                    # (n+d)·min(|A|−i, |B|−j) ≥ n·(|A|+|B|) at its
+                    # 0-based positions — qualifying pairs always
+                    # survive it.
+                    assert any(
+                        (n + d) * min(len(s1) - o1.index(t), len(s2) - o2.index(t))
+                        >= n * (len(s1) + len(s2))
+                        for t in common
+                    ), (n, d, s1, s2)
+
+    check()
+
+
+def test_containment_prefix_lemma_holds_on_random_sets():
+    """Pure-Python property check of the ONE-SIDED containment prefix
+    filter (containment_prefix_candidates at t = 3/5): any pair with
+    c/min(|A|,|B|) ≥ t — i.e. qualifying as src→dst in SOME direction
+    — must collide between the SMALLER doc's df-ordered prefix
+    (length |A| − ⌈t·|A|⌉ + 1) and the larger doc's FULL list, with
+    some colliding token also passing the positional suffix bound
+    d·min(|A|−i, |B|−j) ≥ n·|A|."""
+    import collections
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    n, d = 3, 5
+    docs_st = st.lists(
+        st.sets(st.integers(min_value=0, max_value=40), min_size=1, max_size=20),
+        min_size=2,
+        max_size=12,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(docs=docs_st)
+    def check(docs):
+        df = collections.Counter(x for s in docs for x in s)
+        orders = [sorted(s, key=lambda x: (df[x], x)) for s in docs]
+        for (s1, o1), (s2, o2) in itertools.combinations(zip(docs, orders), 2):
+            # orient: a = smaller side under the (size, identity) order
+            if len(s1) > len(s2):
+                (s1, o1), (s2, o2) = (s2, o2), (s1, o1)
+            c = len(s1 & s2)
+            if d * c >= n * len(s1):  # qualifies in the easiest direction
+                plen = len(s1) - (n * len(s1) + d - 1) // d + 1
+                common = set(o1[:plen]) & s2
                 assert common, (s1, s2)
-                # positional lemma (the Spark join's third conjunct):
-                # some shared prefix token must ALSO pass the suffix
-                # bound 3·min(|A|−i, |B|−j) ≥ |A|+|B| at its 0-based
-                # positions — qualifying pairs always survive it.
                 assert any(
-                    3 * min(len(s1) - o1.index(t), len(s2) - o2.index(t))
-                    >= len(s1) + len(s2)
+                    d * min(len(s1) - o1.index(t), len(s2) - o2.index(t))
+                    >= n * len(s1)
                     for t in common
                 ), (s1, s2)
 
