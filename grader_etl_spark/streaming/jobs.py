@@ -28,13 +28,23 @@ DEDUP_KEYS = ["user_id", "event_timestamp"]  # main.py:202
 
 
 def file_stream(
-    spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet"
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over a landing directory — the scale
     replacement for the reference's re-polled REST fetch
     (main.py:103-125): new files are discovered incrementally, each
-    read exactly once, no overlap re-fetch needed."""
-    return spark.readStream.format(fmt).schema(schema).load(path)
+    read exactly once, no overlap re-fetch needed.
+    ``max_files_per_trigger`` bounds micro-batch size (availableNow
+    honors it too — it replays the backlog as several committed
+    batches, which is what the restart-recovery test leans on)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
 
 
 def rate_stream(
