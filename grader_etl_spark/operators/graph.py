@@ -12,9 +12,12 @@ relabeled through the hooks and deduped, so dense near-dup graphs
 collapse geometrically (the per-round join runs on the shrinking
 quotient graph, not the original edge list — the decisive difference
 from min-label propagation, whose every round re-joins the full edge
-set for diameter rounds). Frames are localCheckpointed per round so
-Catalyst never sees an O(2^rounds) lineage; on a real cluster this
-becomes ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``.
+set for diameter rounds). Frames are checkpointed per round through
+``registry.checkpoint_frame`` so Catalyst never sees an O(2^rounds)
+lineage — executor-local blocks by default, or RELIABLE
+``checkpoint()`` into ``SPARK_GRAFT_CHECKPOINT_DIR`` (the cluster
+profile, where a lost executor must not kill the iteration); the full
+registry runs green under that env (BASELINE.md §robustness).
 Contraction's adversary is the long chain (O(1) edges removed per
 round) — a shrink-stall detector hands the contracted graph to the
 alternating large-star/small-star algorithm (Kiveris et al.,
@@ -37,7 +40,7 @@ from grader_etl_spark.operators.llm_dedup import (
     jaccard_pairs_memo,
     q_neardup_jaccard,
 )
-from grader_etl_spark.registry import memo_checkpoint, query
+from grader_etl_spark.registry import checkpoint_frame, memo_checkpoint, query
 
 # Resolved-cluster memo (keyed by corpus dir): localCheckpointed, so
 # it survives catalog cache clears and is shared by every consumer of
@@ -96,13 +99,12 @@ def connected_components(
     hands the already-contracted graph to :func:`_star_components`
     (diameter-independent O(log² n) rounds) and composes the labels.
     """
-    e = (
+    e = checkpoint_frame(
         edges.select(F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
-    mapping = vertices.select("id", F.col("id").alias("label")).localCheckpoint()
+    mapping = checkpoint_frame(vertices.select("id", F.col("id").alias("label")))
     return _contract_loop(mapping, e, max_rounds, tail_threshold)
 
 
@@ -140,7 +142,7 @@ def components_from_pairs(
         return pairs.sparkSession.createDataFrame(
             pd.DataFrame({"id": ids, "component": ids[lab]}), schema
         )
-    e = e.localCheckpoint()
+    e = checkpoint_frame(e)
     # mapping=None: the identity mapping over edge-touched vertices is
     # never materialized — round 1's hook table covers every edge
     # endpoint (each appears as u in the both-directions union), and
@@ -227,30 +229,27 @@ def _contract_loop(
                 list(zip(epdf["u"].tolist(), epdf["v"].tolist())), mapping
             )
         both = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        hooks = (
+        hooks = checkpoint_frame(
             both.groupBy("u")
             .agg(F.min("v").alias("mn"))
             .select(F.col("u").alias("x"), F.least("mn", F.col("u")).alias("lab"))
-            .localCheckpoint()
         )
         if mapping is None:
             # identity ∘ hooks = hooks (hooks covers every endpoint)
             mapping = hooks.select(F.col("x").alias("id"), F.col("lab").alias("label"))
         else:
-            mapping = (
+            mapping = checkpoint_frame(
                 mapping.join(hooks, mapping.label == hooks.x, "left")
                 .select("id", F.coalesce("lab", "label").alias("label"))
-                .localCheckpoint()
             )
         mu = hooks.select(F.col("x").alias("u"), F.col("lab").alias("lu"))
         mv = hooks.select(F.col("x").alias("v"), F.col("lab").alias("lv"))
-        e = (
+        e = checkpoint_frame(
             e.join(mu, "u")
             .join(mv, "v")
             .select(F.greatest("lu", "lv").alias("u"), F.least("lu", "lv").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
         n = e.count()
         if n > 0 and n > 0.7 * prev_n:
@@ -285,11 +284,10 @@ def _star_components(
     At the fixpoint the edge set is a union of stars: every non-root
     node holds exactly its component root as min neighbor.
     """
-    e = (
+    e = checkpoint_frame(
         edges.select(F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
     prev: tuple | None = None
     for _ in range(max_rounds):
@@ -313,11 +311,10 @@ def _star_components(
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .unionByName(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
         )
-        e = (
+        e = checkpoint_frame(
             small.filter(F.col("a") != F.col("b"))
             .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
             .distinct()
-            .localCheckpoint()
         )
         # Fixpoint witness: (edge count, order-insensitive content
         # hash). bit_xor never overflows under ANSI mode (sum of
@@ -1040,7 +1037,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("d1", "d2")
         )
         if i % 3 == 0:
-            edges = edges.localCheckpoint()
+            edges = checkpoint_frame(edges)
     return (
         edges.select(F.col("d1").alias("doc_id"))
         .unionByName(edges.select(F.col("d2").alias("doc_id")))

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
 from grader_etl_spark.io import fan_out, load
-from grader_etl_spark.registry import query
+from grader_etl_spark.registry import checkpoint_frame, query
 
 MMR_K = 10          # final diverse picks
 MMR_C = 50          # bounded candidate pool (top-C by relevance)
@@ -404,8 +404,8 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", cosine(F.col("qv"), F.col("v")).alias("rel"))
         .orderBy(F.desc("rel"), "vec_id")
         .limit(MMR_C)
-        .localCheckpoint()
     )
+    cand = checkpoint_frame(cand)
     a, b = cand.alias("a"), cand.alias("b")
     pair_rows = (
         a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import fan_out, load
 from grader_etl_spark.operators.llm_dedup import dot, with_norm
-from grader_etl_spark.registry import query
+from grader_etl_spark.registry import checkpoint_frame, query
 
 CHUNK_WORDS = 8  # words per dedup chunk (non-overlapping)
 SEMDEDUP_TAU = 0.30  # cosine threshold within a cluster
@@ -329,11 +329,11 @@ def bpe_train(vocab: DataFrame, n_merges: int) -> list[tuple[int, str, str, int]
         # round instead of an eager-materialize job plus an argmax job
         # (measured ~2x on the 6-round trainer; lineage still truncates
         # at every round, so the fold towers never stack).
-        vocab = (
+        vocab = checkpoint_frame(
             vocab.filter(hit)
             .select(_apply_merge(F.col("syms"), best["l"], best["r"]).alias("syms"), "cnt")
-            .unionByName(vocab.filter(~hit).select("syms", "cnt"))
-            .localCheckpoint(eager=False)
+            .unionByName(vocab.filter(~hit).select("syms", "cnt")),
+            eager=False,
         )
     return merges
 
@@ -482,8 +482,8 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight",
             (F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 4 + 1).cast("long"),
         )
-        .localCheckpoint(eager=True)
     )
+    avail = checkpoint_frame(avail, eager=True)
     tot = avail.agg(
         F.sum("avail").alias("tot_avail"),
         F.sum("weight").alias("tot_w"),

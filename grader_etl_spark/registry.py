@@ -19,6 +19,7 @@ the aggregate is order-independent and bit-equal.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -116,17 +117,51 @@ def all_oracles() -> dict[str, str]:
 # clear_session_memos(spark) would force-unpersist frames it doesn't
 # own. The appId scopes each recorded id to the context that made it.
 _MEMO_RDD_IDS: set[tuple[str, int]] = set()
+# Reliable-checkpoint FILE paths per memo, same appId scoping: unlike
+# localCheckpoint blocks (freed by unpersist), reliable checkpoints
+# live as files under the checkpoint dir and must be deleted there.
+_MEMO_CKPT_FILES: set[tuple[str, str]] = set()
+
+
+def checkpoint_frame(df: DataFrame, eager: bool = True) -> DataFrame:
+    """The ONE lineage-truncation point for every iterative / memoized
+    frame in the engine (memo builders, graph contraction rounds, BPE
+    merge rounds, MMR selection rounds).
+
+    Default: ``localCheckpoint`` — executor-local blocks, no
+    distributed-FS round trip; right for local[‍N] where executors
+    cannot be lost. With ``SPARK_GRAFT_CHECKPOINT_DIR`` set the frame
+    takes a RELIABLE ``checkpoint()`` into that directory instead —
+    the cluster profile, because a localCheckpoint block dies with its
+    executor and kills every consumer of the memo mid-job; on a
+    1000-executor cluster executor loss is routine, so iterative
+    lineage must truncate into durable storage (HDFS/S3). The env var
+    is read per call, and ``setCheckpointDir`` is applied once per
+    SparkContext (re-setting it would mint a fresh UUID subdir per
+    call and scatter the files)."""
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if not ckpt_dir:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(ckpt_dir)
+    return df.checkpoint(eager=eager)
 
 
 def memo_checkpoint(df: DataFrame) -> DataFrame:
-    """Checkpoint a session-memo frame and record the backing RDD id
-    (scoped to the owning SparkContext's applicationId). Every
+    """Checkpoint a session-memo frame and record the backing storage
+    (RDD id, plus the checkpoint file for the reliable profile), both
+    scoped to the owning SparkContext's applicationId. Every
     ``*_CACHE`` builder routes its checkpoint through here — the memo
     dicts hold the DataFrames; this tracks the storage."""
-    out = df.localCheckpoint()
+    out = checkpoint_frame(df)
     try:
         app_id = df.sparkSession.sparkContext.applicationId
-        _MEMO_RDD_IDS.add((app_id, out._jdf.queryExecution().analyzed().rdd().id()))
+        rdd = out._jdf.queryExecution().analyzed().rdd()
+        _MEMO_RDD_IDS.add((app_id, rdd.id()))
+        ckpt_file = rdd.getCheckpointFile()
+        if ckpt_file.isDefined():
+            _MEMO_CKPT_FILES.add((app_id, ckpt_file.get()))
     except Exception:
         pass  # non-JVM plan shape: blocks fall back to GC reclamation
     return out
@@ -158,6 +193,7 @@ def clear_session_memos(spark: SparkSession | None = None) -> None:
         # forget the ids too (the old session's blocks fall back to GC
         # reclamation) so nothing stale survives a context restart.
         _MEMO_RDD_IDS.clear()
+        _MEMO_CKPT_FILES.clear()
         return
     try:
         app_id = spark.sparkContext.applicationId
@@ -167,8 +203,23 @@ def clear_session_memos(spark: SparkSession | None = None) -> None:
             kv = it.next()
             if kv._1() in owned:
                 kv._2().unpersist(True)
+        # Reliable-checkpoint files (cluster profile) are storage, not
+        # block-manager blocks: delete them through the Hadoop FS API so
+        # eviction works on any scheme (file:/, hdfs:/, s3a:/), only for
+        # paths recorded under THIS context.
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        jvm = spark.sparkContext._jvm
+        for aid, path in list(_MEMO_CKPT_FILES):
+            if aid != app_id:
+                continue
+            try:
+                jpath = jvm.org.apache.hadoop.fs.Path(path)
+                jpath.getFileSystem(hconf).delete(jpath, True)
+            except Exception:
+                pass  # already gone / permission: dicts are dropped regardless
         # Drop everything: the current context's ids were just released
         # and ids from dead contexts are unreleasable by definition.
         _MEMO_RDD_IDS.clear()
+        _MEMO_CKPT_FILES.clear()
     except Exception:
         pass  # best-effort storage release; the memo dicts are already gone

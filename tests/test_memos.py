@@ -99,6 +99,54 @@ def test_clear_session_memos_skips_ids_from_other_contexts(spark):
     user_df.unpersist()
 
 
+def test_reliable_checkpoint_env_writes_files_and_eviction_reclaims(spark, tmp_path, monkeypatch):
+    """With SPARK_GRAFT_CHECKPOINT_DIR set (the cluster profile —
+    localCheckpoint blocks die with their executor), memo frames take
+    a RELIABLE checkpoint: files must land under the directory, the
+    memo must read back correctly from them, and
+    clear_session_memos(spark) must delete the files deterministically
+    (storage eviction on rollover, same contract as the block path)."""
+    import os
+
+    from grader_etl_spark.operators.llm_dedup import shingled_docs
+    from grader_etl_spark.registry import _MEMO_CKPT_FILES, clear_session_memos
+
+    clear_session_memos(spark)
+    ckdir = tmp_path / "reliable-ckpt"
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(ckdir))
+
+    memo = shingled_docs(spark, SF)
+    n = memo.count()
+    assert n > 0
+    app_id = spark.sparkContext.applicationId
+    recorded = [p for aid, p in _MEMO_CKPT_FILES if aid == app_id]
+    assert recorded, "reliable profile must record the checkpoint file"
+    files = [
+        os.path.join(root, f)
+        for root, _dirs, fs in os.walk(ckdir)
+        for f in fs
+        if f.startswith("part-")
+    ]
+    assert files, "checkpoint part-files must land under SPARK_GRAFT_CHECKPOINT_DIR"
+    # the memo serves from the reliable checkpoint, not a re-scan
+    assert memo.count() == n
+
+    clear_session_memos(spark)
+    leftover = [
+        os.path.join(root, f)
+        for root, _dirs, fs in os.walk(ckdir)
+        for f in fs
+        if f.startswith("part-")
+    ]
+    assert not leftover, "eviction must delete the reliable checkpoint files"
+    assert not _MEMO_CKPT_FILES
+
+    # back on the default profile, the memo rebuilds cleanly
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR")
+    assert shingled_docs(spark, SF).count() == n
+    clear_session_memos(spark)
+
+
 def test_clear_session_memos_spares_unrelated_persisted_frames(spark):
     """Eviction is scoped to MEMO checkpoints: a user-persisted frame
     (or catalog cache) must survive clear_session_memos(spark)."""
