@@ -130,6 +130,17 @@ def _corpus(seed: int, shape: str) -> list[tuple[int, str, str, str, int]]:
     elif shape == "dup-heavy":
         bases = [words(rng.randint(10, 40)) for _ in range(6)]
         rows = [(i, bases[i % 6]) for i in range(36)]
+    elif shape == "hot":
+        # HOT-SHINGLE shape: one fixed trigram appears in EVERY doc
+        # (its posting list is the whole corpus — the degenerate case
+        # the prefix filter exists for), one hot token everywhere, and
+        # a zipf length tail. Candidate generation must stay lossless
+        # while the plain inverted index goes quadratic.
+        hot = "shared anchor phrase"
+        rows = [
+            (i, f"{words(rng.randint(0, 3))} {hot} {words(max(0, int(40 / (1 + i % 7))))}".strip())
+            for i in range(50)
+        ]
     else:  # random
         rows = [(i, words(rng.randint(0, 60))) for i in range(50)]
     return [

@@ -104,12 +104,36 @@ _SEG = ["MACHINERY", "AUTOMOBILE", "FURNITURE", "HOUSEHOLD", "BUILDING"]
 _ETYPE = ["signup", "click", "purchase", "error", "view"]
 
 
-def _gen_dir(tmp, seed: int, price_scale: float = 1.0) -> str:
+def _zipf_pick(rng: random.Random, n: int, hot_frac: float = 0.5):
+    """Key sampler for the hot-key shape: key 0 with probability
+    ``hot_frac``, the rest ~ 1/rank (zipf tail) over 1..n-1."""
+    if rng.random() < hot_frac:
+        return 0
+    # inverse-CDF-ish zipf tail without scipy: weight 1/k
+    r = rng.random() * sum(1.0 / k for k in range(1, n))
+    acc = 0.0
+    for k in range(1, n):
+        acc += 1.0 / k
+        if r <= acc:
+            return k
+    return n - 1
+
+
+def _gen_dir(tmp, seed: int, price_scale: float = 1.0, key_skew: bool = False) -> str:
     """``price_scale`` multiplies every money/value column (o_totalprice,
     l_extendedprice, c_acctbal, events.value) — at 1e6 the tables reach
     the adversarial-magnitude regime (prices ~4e11, group sums ~1e14)
     where any leftover narrow decimal cast or 64-bit product sum
-    diverges cross-engine (the q_trend_slope sxy class)."""
+    diverges cross-engine (the q_trend_slope sxy class).
+
+    ``key_skew`` is the ZIPF/HOT-KEY shape: one customer with ~50% of
+    orders (zipf tail behind it), one part/supplier pair dominating
+    lineitem, one user with ~50% of events at RANDOM timestamps (the
+    base shape's user-0 has one frozen timestamp — different stress),
+    one event_type at ~70%, and a regenerated ``part`` catalog where
+    ONE brand holds half the rows (degenerate fuzzy-blocking key).
+    Exposes AQE skew-join paths, window-per-key operators, and every
+    per-key denominator."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -122,6 +146,35 @@ def _gen_dir(tmp, seed: int, price_scale: float = 1.0) -> str:
 
     def write(name, cols):
         pq.write_table(pa.table(cols), f"{sf_dir}/{name}.parquet")
+
+    if key_skew:
+        # Regenerate part: brand 0 holds HALF the catalog; names drawn
+        # from small pools so near-matches (levenshtein<=4) actually
+        # occur inside the giant block.
+        adjs = ["cold", "warm", "small", "large", "dark", "light", "old", "new"]
+        nouns = ["widget", "bolt", "gear", "valve", "pump", "ring"]
+        types = ["ECONOMY", "PROMO", "STANDARD", "DELUXE"]
+        brands = [
+            "Brand#0" if rng.random() < 0.5 else f"Brand#{rng.randrange(1, 25)}"
+            for _ in range(n_part)
+        ]
+        write(
+            "part",
+            {
+                "p_partkey": pa.array(range(n_part), pa.int64()),
+                "p_name": pa.array(
+                    [f"{rng.choice(adjs)} {rng.choice(nouns)}" for _ in range(n_part)]
+                ),
+                "p_brand": pa.array(brands),
+                "p_type": pa.array([rng.choice(types) for _ in range(n_part)]),
+                "p_size": pa.array(
+                    [rng.randint(1, 50) for _ in range(n_part)], pa.int32()
+                ),
+                "p_retailprice": pa.array(
+                    [round(900 + 0.1 * i, 2) for i in range(n_part)]
+                ),
+            },
+        )
 
     n_cust = 40
     write(
@@ -140,8 +193,12 @@ def _gen_dir(tmp, seed: int, price_scale: float = 1.0) -> str:
     )
 
     # orders: customer 0 is heavily skewed; customers 30-39 have NONE.
+    # zipf shape: cust 0 takes ~50% and the rest follow a 1/rank tail.
     n_ord = 120
-    custs = [0 if rng.random() < 0.3 else rng.randrange(30) for _ in range(n_ord)]
+    if key_skew:
+        custs = [_zipf_pick(rng, 30) for _ in range(n_ord)]
+    else:
+        custs = [0 if rng.random() < 0.3 else rng.randrange(30) for _ in range(n_ord)]
     day0 = dt.datetime(1995, 1, 1)
     odates = [day0 + dt.timedelta(days=rng.randrange(2400)) for _ in range(n_ord)]
     write(
@@ -168,10 +225,18 @@ def _gen_dir(tmp, seed: int, price_scale: float = 1.0) -> str:
         {
             "l_orderkey": pa.array([ok for ok, _ in lines], pa.int64()),
             "l_partkey": pa.array(
-                [rng.randrange(n_part) for _ in lines], pa.int64()
+                [
+                    _zipf_pick(rng, n_part, 0.4) if key_skew else rng.randrange(n_part)
+                    for _ in lines
+                ],
+                pa.int64(),
             ),
             "l_suppkey": pa.array(
-                [rng.randrange(n_supp) for _ in lines], pa.int64()
+                [
+                    _zipf_pick(rng, n_supp, 0.3) if key_skew else rng.randrange(n_supp)
+                    for _ in lines
+                ],
+                pa.int64(),
             ),
             "l_linenumber": pa.array([ln for _, ln in lines], pa.int32()),
             "l_quantity": pa.array([float(rng.randint(1, 50)) for _ in lines]),
@@ -202,11 +267,22 @@ def _gen_dir(tmp, seed: int, price_scale: float = 1.0) -> str:
     # contract and are covered by tests/test_passback.py instead.
     n_ev = 300
     t0 = dt.datetime(2024, 1, 1)
-    uids = [0 if rng.random() < 0.2 else rng.randrange(12) for _ in range(n_ev)]
-    tss = [
-        t0 + dt.timedelta(seconds=0 if u == 0 else rng.randrange(30 * 86400))
-        for u in uids
-    ]
+    if key_skew:
+        # user 0 holds ~50% of events at RANDOM timestamps (stresses
+        # window-per-key state: sessions, streaks, paths, entropy all
+        # concentrate on one partition key); one event_type at ~70%.
+        uids = [_zipf_pick(rng, 12) for _ in range(n_ev)]
+        tss = [t0 + dt.timedelta(seconds=rng.randrange(30 * 86400)) for _ in uids]
+        etypes = [
+            "view" if rng.random() < 0.7 else rng.choice(_ETYPE) for _ in range(n_ev)
+        ]
+    else:
+        uids = [0 if rng.random() < 0.2 else rng.randrange(12) for _ in range(n_ev)]
+        tss = [
+            t0 + dt.timedelta(seconds=0 if u == 0 else rng.randrange(30 * 86400))
+            for u in uids
+        ]
+        etypes = [rng.choice(_ETYPE) for _ in range(n_ev)]
     props = ['{"k": %d}' % rng.randrange(100) for _ in range(n_ev)]
     write(
         "events",
@@ -214,7 +290,7 @@ def _gen_dir(tmp, seed: int, price_scale: float = 1.0) -> str:
             "event_id": pa.array(range(n_ev), pa.int64()),
             "ts": pa.array(tss, pa.timestamp("us")),
             "user_id": pa.array(uids, pa.int64()),
-            "event_type": pa.array([rng.choice(_ETYPE) for _ in range(n_ev)]),
+            "event_type": pa.array(etypes),
             "value": pa.array([round(rng.uniform(0, 350) * price_scale, 2) for _ in range(n_ev)]),
             "props": pa.array(props),
         },

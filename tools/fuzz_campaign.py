@@ -27,7 +27,7 @@ sys.path.insert(0, _REPO)
 
 TABLES = ("region", "nation", "part", "supplier", "customer", "orders",
           "lineitem", "events", "documents", "embeddings")
-SHAPES = ("random", "adversarial", "dup-heavy", "magnitude")
+SHAPES = ("random", "adversarial", "dup-heavy", "magnitude", "zipf")
 
 
 def _load(relpath, name):
@@ -52,9 +52,14 @@ def gen_combined(base, seed, shape):
     # "magnitude": same random shapes but every money column scaled 1e6
     # (prices ~4e11, group sums ~1e14) — stresses decimal-width and
     # product-sum discipline repo-wide; corpus shape stays "random".
+    # "zipf": extreme KEY skew — one customer/user/part/brand holding
+    # 30-50% of its table (AQE skew paths, window-per-key state) and a
+    # hot shingle in EVERY document (the prefix filter's degenerate
+    # posting list).
     price_scale = 1e6 if shape == "magnitude" else 1.0
-    sf_dir = fr._gen_dir(d, seed, price_scale=price_scale)
-    rows = fo._corpus(seed, "random" if shape == "magnitude" else shape)
+    sf_dir = fr._gen_dir(d, seed, price_scale=price_scale, key_skew=shape == "zipf")
+    corpus_shape = {"magnitude": "random", "zipf": "hot"}.get(shape, shape)
+    rows = fo._corpus(seed, corpus_shape)
     pq.write_table(pa.table({
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
         "text": pa.array([r[1] for r in rows], pa.string()),
@@ -72,7 +77,12 @@ def gen_combined(base, seed, shape):
 
 
 def main():
-    seeds = [int(s) for s in sys.argv[1:]] or [311, 409, 503]
+    args = sys.argv[1:]
+    forced_shape = None
+    if args and args[0] == "--shape":  # pin one shape for every seed
+        forced_shape = args[1]
+        args = args[2:]
+    seeds = [int(s) for s in args] or [311, 409, 503]
     from grader_etl_spark.registry import (
         REGISTRY, clear_session_memos, load_all_operators,
     )
@@ -85,7 +95,7 @@ def main():
     base = "/tmp/fuzz_campaign_data"
     total_fail = 0
     for k, seed in enumerate(seeds):
-        shape = SHAPES[k % len(SHAPES)]
+        shape = forced_shape or SHAPES[k % len(SHAPES)]
         sf_dir = gen_combined(base, seed, shape)
         con = duckdb.connect()
         for t in TABLES:
