@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from grader_etl_spark.constants import CHECK_TYPE, REPORT_DATE, RUN_TYPE, SUCCESS_TYPE
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 # ---------------------------------------------------------------------------
 # q_daily_report — the reference's one query (main.py:278-289), Spark-first.
@@ -33,8 +34,10 @@ SELECT
   COUNT(*)                                                     AS total_attempts,
   COUNT(CASE WHEN event_type = '{SUCCESS_TYPE}' THEN 1 END)    AS successful_attempts,
   CASE WHEN COUNT(*) = 0 THEN 0.0
-       ELSE ROUND(CAST(COUNT(CASE WHEN event_type = '{SUCCESS_TYPE}' THEN 1 END) AS DOUBLE)
-                  * 100 / CAST(COUNT(*) AS DOUBLE), 2)
+       ELSE CASE WHEN abs(CAST(COUNT(CASE WHEN event_type = '{SUCCESS_TYPE}' THEN 1 END) AS DOUBLE)
+                  * 100 / CAST(COUNT(*) AS DOUBLE)) < 4.5e9 THEN floor((CAST(COUNT(CASE WHEN event_type = '{SUCCESS_TYPE}' THEN 1 END) AS DOUBLE)
+                  * 100 / CAST(COUNT(*) AS DOUBLE)) * 1e2 + 0.5) / 1e2 ELSE (CAST(COUNT(CASE WHEN event_type = '{SUCCESS_TYPE}' THEN 1 END) AS DOUBLE)
+                  * 100 / CAST(COUNT(*) AS DOUBLE)) END
   END                                                          AS success_percentage,
   COUNT(DISTINCT user_id)                                      AS unique_users,
   COUNT(CASE WHEN event_type = '{RUN_TYPE}' THEN 1 END)        AS run_attempts,
@@ -60,7 +63,7 @@ def daily_report(events: DataFrame, report_date: str = REPORT_DATE) -> DataFrame
             total.alias("total_attempts"),
             success.alias("successful_attempts"),
             F.when(total == 0, F.lit(0.0))
-            .otherwise(F.round(success.cast("double") * 100 / total.cast("double"), 2))
+            .otherwise(floor_quantize(success.cast("double") * 100 / total.cast("double"), 2))
             .alias("success_percentage"),
             F.countDistinct("user_id").alias("unique_users"),
             F.count(F.when(F.col("event_type") == RUN_TYPE, 1)).alias("run_attempts"),

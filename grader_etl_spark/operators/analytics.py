@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 _REVENUE = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
@@ -75,9 +76,9 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_percentiles",
     oracle="""
 SELECT l_returnflag,
-       ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
-       ROUND(quantile_cont(l_extendedprice, 0.9), 4)  AS p90,
-       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+       CASE WHEN abs(quantile_cont(l_extendedprice, 0.5)) < 4.5e9 THEN floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4 ELSE (quantile_cont(l_extendedprice, 0.5)) END  AS p50,
+       CASE WHEN abs(quantile_cont(l_extendedprice, 0.9)) < 4.5e9 THEN floor((quantile_cont(l_extendedprice, 0.9)) * 1e4 + 0.5) / 1e4 ELSE (quantile_cont(l_extendedprice, 0.9)) END  AS p90,
+       CASE WHEN abs(quantile_cont(l_extendedprice, 0.99)) < 4.5e9 THEN floor((quantile_cont(l_extendedprice, 0.99)) * 1e4 + 0.5) / 1e4 ELSE (quantile_cont(l_extendedprice, 0.99)) END AS p99
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -98,9 +99,9 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(ps.alias("ps"))
         .select(
             "l_returnflag",
-            F.round(F.element_at("ps", 1), 4).alias("p50"),
-            F.round(F.element_at("ps", 2), 4).alias("p90"),
-            F.round(F.element_at("ps", 3), 4).alias("p99"),
+            floor_quantize(F.element_at("ps", 1), 4).alias("p50"),
+            floor_quantize(F.element_at("ps", 2), 4).alias("p90"),
+            floor_quantize(F.element_at("ps", 3), 4).alias("p99"),
         )
     )
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 
 @query(
@@ -96,7 +97,7 @@ def q_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+       CASE WHEN abs(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) < 4.5e9 THEN floor((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 ELSE (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) END AS avg_value
 FROM events
 GROUP BY user_id, event_type
 HAVING COUNT(*) >= 3
@@ -135,7 +136,7 @@ def q_map_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "counts",
                 "sums",
                 lambda k, n, s: F.struct(
-                    n.alias("n"), s.alias("total"), F.round(s / n, 6).alias("avg_value")
+                    n.alias("n"), s.alias("total"), floor_quantize(s / n, 6).alias("avg_value")
                 ),
             ),
             lambda k, v: v.getField("n") >= 3,

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 
 @query(
@@ -354,8 +355,10 @@ trans AS (
   GROUP BY 1, 2
 )
 SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
-       round(CAST(n AS DOUBLE)
-             / sum(n) OVER (PARTITION BY event_type), 6) AS p
+       CASE WHEN abs(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY event_type)) < 4.5e9 THEN floor((CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY event_type)) * 1e6 + 0.5) / 1e6 ELSE (CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY event_type)) END AS p
 FROM trans
 """,
 )
@@ -378,7 +381,7 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "next_type",
         F.col("n").cast("long").alias("n"),
-        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
+        floor_quantize(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
     )
 
 
@@ -824,7 +827,7 @@ rates AS (
 )
 SELECT CAST(day_offset AS BIGINT) AS day_offset,
        CAST(COUNT(*) AS BIGINT)   AS n_cohorts,
-       ROUND(AVG(rate), 6)        AS avg_retention
+       CASE WHEN abs(AVG(rate)) < 4.5e9 THEN floor((AVG(rate)) * 1e6 + 0.5) / 1e6 ELSE (AVG(rate)) END        AS avg_retention
 FROM rates GROUP BY day_offset
 """,
 )
@@ -862,7 +865,7 @@ def q_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rates.groupBy(F.col("day_offset").cast("long").alias("day_offset")).agg(
         F.count(F.lit(1)).alias("n_cohorts"),
-        F.round(F.avg("rate"), 6).alias("avg_retention"),
+        floor_quantize(F.avg("rate"), 6).alias("avg_retention"),
     )
 
 
@@ -965,7 +968,7 @@ ent AS (
   SELECT per.user_id,
          CAST(MAX(n) AS BIGINT) AS n_events,
          CAST(COUNT(*) AS BIGINT) AS n_types,
-         ROUND(-SUM((CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n)), 4) AS entropy
+         CASE WHEN abs(-SUM((CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n))) < 4.5e9 THEN floor((-SUM((CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n))) * 1e4 + 0.5) / 1e4 ELSE (-SUM((CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n))) END AS entropy
   FROM per JOIN tot USING (user_id)
   GROUP BY per.user_id
 )
@@ -997,5 +1000,5 @@ def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("user_id").agg(
         F.max("n").cast("long").alias("n_events"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
-        F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+        floor_quantize(-F.sum(p * F.log(p)), 4).alias("entropy"),
     )

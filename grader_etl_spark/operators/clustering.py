@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from grader_etl_spark.functions.literals import lit_doubles
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 K = 8
 ITERATIONS = 5
@@ -161,5 +162,5 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "vec_id",
         F.col("cluster").cast("long").alias("cluster"),
-        F.round("sq_dist", 6).alias("sq_dist"),
+        floor_quantize("sq_dist", 6).alias("sq_dist"),
     )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 # ---------------------------------------------------------------------------
 # q_pii_redact — regex PII detection + redaction
@@ -162,7 +163,7 @@ WITH scored AS (
          least(1.0, CAST(n_chars AS DOUBLE) / 400.0) AS keep_p
   FROM documents
 )
-SELECT doc_id, source, n_chars, round(keep_p, 4) AS keep_p
+SELECT doc_id, source, n_chars, CASE WHEN abs(keep_p) < 4.5e9 THEN floor((keep_p) * 1e4 + 0.5) / 1e4 ELSE (keep_p) END AS keep_p
 FROM scored
 WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
       <= lower(lpad(to_hex(CAST(floor(keep_p * 4294967295) AS BIGINT)), 8, '0'))
@@ -187,7 +188,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.withColumn("keep_p", keep_p)
         .filter(frac <= thresh)
-        .select("doc_id", "source", "n_chars", F.round("keep_p", 4).alias("keep_p"))
+        .select("doc_id", "source", "n_chars", floor_quantize("keep_p", 4).alias("keep_p"))
     )
 
 
@@ -216,11 +217,13 @@ tf AS (
 ),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 SELECT t.doc_id, t.term, t.tf, f.df,
-       round(
-         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       CASE WHEN abs(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
          * (t.tf * ({BM25_K1} + 1.0))
-         / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl)),
-         4) AS bm25
+         / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))) < 4.5e9 THEN floor((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         * (t.tf * ({BM25_K1} + 1.0))
+         / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))) * 1e4 + 0.5) / 1e4 ELSE (ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         * (t.tf * ({BM25_K1} + 1.0))
+         / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))) END AS bm25
 FROM tf t
 JOIN dfreq f USING (term)
 JOIN dl d ON t.doc_id = d.doc_id
@@ -258,7 +261,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", "term", "tf", "df", F.round(score, 4).alias("bm25"))
+        .select("doc_id", "term", "tf", "df", floor_quantize(score, 4).alias("bm25"))
     )
 
 
@@ -288,11 +291,13 @@ dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 scored AS (
   SELECT t.doc_id, t.term,
          LEAST(t.tf, {NDCG_REL_CAP}) AS rel,
-         round(
-           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         CASE WHEN abs(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
            * (t.tf * ({BM25_K1} + 1.0))
-           / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl)),
-           4) AS bm25
+           / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))) < 4.5e9 THEN floor((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (t.tf * ({BM25_K1} + 1.0))
+           / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))) * 1e4 + 0.5) / 1e4 ELSE (ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (t.tf * ({BM25_K1} + 1.0))
+           / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))) END AS bm25
   FROM tf t
   JOIN dfreq f USING (term)
   JOIN dl d ON t.doc_id = d.doc_id
@@ -306,15 +311,25 @@ ranked AS (
 )
 SELECT term,
        CAST(count(*) AS BIGINT) AS n_candidates,
-       round(sum(CASE WHEN rk <= {NDCG_K}
-                      THEN (pow(2, rel) - 1) / log2(rk + 1) END), 4) AS dcg_at_k,
-       round(sum(CASE WHEN irk <= {NDCG_K}
-                      THEN (pow(2, rel) - 1) / log2(irk + 1) END), 4) AS idcg_at_k,
-       round(sum(CASE WHEN rk <= {NDCG_K}
+       CASE WHEN abs(sum(CASE WHEN rk <= {NDCG_K}
+                      THEN (pow(2, rel) - 1) / log2(rk + 1) END)) < 4.5e9 THEN floor((sum(CASE WHEN rk <= {NDCG_K}
+                      THEN (pow(2, rel) - 1) / log2(rk + 1) END)) * 1e4 + 0.5) / 1e4 ELSE (sum(CASE WHEN rk <= {NDCG_K}
+                      THEN (pow(2, rel) - 1) / log2(rk + 1) END)) END AS dcg_at_k,
+       CASE WHEN abs(sum(CASE WHEN irk <= {NDCG_K}
+                      THEN (pow(2, rel) - 1) / log2(irk + 1) END)) < 4.5e9 THEN floor((sum(CASE WHEN irk <= {NDCG_K}
+                      THEN (pow(2, rel) - 1) / log2(irk + 1) END)) * 1e4 + 0.5) / 1e4 ELSE (sum(CASE WHEN irk <= {NDCG_K}
+                      THEN (pow(2, rel) - 1) / log2(irk + 1) END)) END AS idcg_at_k,
+       CASE WHEN abs(sum(CASE WHEN rk <= {NDCG_K}
                       THEN (pow(2, rel) - 1) / log2(rk + 1) END)
              / sum(CASE WHEN irk <= {NDCG_K}
-                        THEN (pow(2, rel) - 1) / log2(irk + 1) END), 4) AS ndcg_at_k,
-       round(coalesce(1.0 / min(CASE WHEN rel = {NDCG_REL_CAP} THEN rk END), 0.0), 4)
+                        THEN (pow(2, rel) - 1) / log2(irk + 1) END)) < 4.5e9 THEN floor((sum(CASE WHEN rk <= {NDCG_K}
+                      THEN (pow(2, rel) - 1) / log2(rk + 1) END)
+             / sum(CASE WHEN irk <= {NDCG_K}
+                        THEN (pow(2, rel) - 1) / log2(irk + 1) END)) * 1e4 + 0.5) / 1e4 ELSE (sum(CASE WHEN rk <= {NDCG_K}
+                      THEN (pow(2, rel) - 1) / log2(rk + 1) END)
+             / sum(CASE WHEN irk <= {NDCG_K}
+                        THEN (pow(2, rel) - 1) / log2(irk + 1) END)) END AS ndcg_at_k,
+       CASE WHEN abs(coalesce(1.0 / min(CASE WHEN rel = {NDCG_REL_CAP} THEN rk END), 0.0)) < 4.5e9 THEN floor((coalesce(1.0 / min(CASE WHEN rel = {NDCG_REL_CAP} THEN rk END), 0.0)) * 1e4 + 0.5) / 1e4 ELSE (coalesce(1.0 / min(CASE WHEN rel = {NDCG_REL_CAP} THEN rk END), 0.0)) END
          AS mrr
 FROM ranked
 GROUP BY term
@@ -363,10 +378,10 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_hit = F.min(F.when(F.col("rel") == NDCG_REL_CAP, F.col("rk")))
     return ranked.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates"),
-        F.round(dcg, 4).alias("dcg_at_k"),
-        F.round(idcg, 4).alias("idcg_at_k"),
-        F.round(dcg / idcg, 4).alias("ndcg_at_k"),
-        F.round(F.coalesce(1.0 / first_hit, F.lit(0.0)), 4).alias("mrr"),
+        floor_quantize(dcg, 4).alias("dcg_at_k"),
+        floor_quantize(idcg, 4).alias("idcg_at_k"),
+        floor_quantize(dcg / idcg, 4).alias("ndcg_at_k"),
+        floor_quantize(F.coalesce(1.0 / first_hit, F.lit(0.0)), 4).alias("mrr"),
     )
 
 
@@ -385,8 +400,10 @@ counts AS (SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY doc_id, ch)
 SELECT doc_id,
        CAST(sum(cnt) AS BIGINT)  AS n_chars,
        CAST(count(*) AS BIGINT)  AS n_distinct_chars,
-       round(log2(CAST(sum(cnt) AS DOUBLE))
-             - sum(cnt * log2(CAST(cnt AS DOUBLE))) / sum(cnt), 4) AS entropy_bits
+       CASE WHEN abs(log2(CAST(sum(cnt) AS DOUBLE))
+             - sum(cnt * log2(CAST(cnt AS DOUBLE))) / sum(cnt)) < 4.5e9 THEN floor((log2(CAST(sum(cnt) AS DOUBLE))
+             - sum(cnt * log2(CAST(cnt AS DOUBLE))) / sum(cnt)) * 1e4 + 0.5) / 1e4 ELSE (log2(CAST(sum(cnt) AS DOUBLE))
+             - sum(cnt * log2(CAST(cnt AS DOUBLE))) / sum(cnt)) END AS entropy_bits
 FROM counts
 GROUP BY doc_id
 """,
@@ -407,10 +424,8 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.groupBy("doc_id").agg(
         n.cast("long").alias("n_chars"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
-        F.round(
-            F.log2(n.cast("double")) - F.sum(F.col("cnt") * F.log2(F.col("cnt").cast("double"))) / n,
-            4,
-        ).alias("entropy_bits"),
+        floor_quantize(
+            F.log2(n.cast("double")) - F.sum(F.col("cnt") * F.log2(F.col("cnt").cast("double"))) / n, 4).alias("entropy_bits"),
     )
 
 
@@ -437,8 +452,10 @@ tots AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM counts)
 SELECT bucket,
        CAST(nb AS BIGINT) AS n_base,
        CAST(nc AS BIGINT) AS n_current,
-       round((((nc + 0.5) / (tc + 5.0)) - ((nb + 0.5) / (tb + 5.0)))
-             * ln(((nc + 0.5) / (tc + 5.0)) / ((nb + 0.5) / (tb + 5.0))), 6) AS psi_term
+       CASE WHEN abs((((nc + 0.5) / (tc + 5.0)) - ((nb + 0.5) / (tb + 5.0)))
+             * ln(((nc + 0.5) / (tc + 5.0)) / ((nb + 0.5) / (tb + 5.0)))) < 4.5e9 THEN floor(((((nc + 0.5) / (tc + 5.0)) - ((nb + 0.5) / (tb + 5.0)))
+             * ln(((nc + 0.5) / (tc + 5.0)) / ((nb + 0.5) / (tb + 5.0)))) * 1e6 + 0.5) / 1e6 ELSE ((((nc + 0.5) / (tc + 5.0)) - ((nb + 0.5) / (tb + 5.0)))
+             * ln(((nc + 0.5) / (tc + 5.0)) / ((nb + 0.5) / (tb + 5.0)))) END AS psi_term
 FROM counts CROSS JOIN tots
 ORDER BY bucket
 """,
@@ -478,7 +495,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             F.col("nb").cast("long").alias("n_base"),
             F.col("nc").cast("long").alias("n_current"),
-            F.round((pc - pb) * F.log(pc / pb), 6).alias("psi_term"),
+            floor_quantize((pc - pb) * F.log(pc / pb), 6).alias("psi_term"),
         )
         .orderBy("bucket")
     )
@@ -505,7 +522,7 @@ pairs AS (
 )
 SELECT term_a, term_b,
        CAST(c_ab AS BIGINT) AS n_cooccur,
-       round(ln((c_ab * n_docs) / (fa.df * fb.df)), 4) AS pmi
+       CASE WHEN abs(ln((c_ab * n_docs) / (fa.df * fb.df))) < 4.5e9 THEN floor((ln((c_ab * n_docs) / (fa.df * fb.df))) * 1e4 + 0.5) / 1e4 ELSE (ln((c_ab * n_docs) / (fa.df * fb.df))) END AS pmi
 FROM pairs
 JOIN df fa ON term_a = fa.term
 JOIN df fb ON term_b = fb.term
@@ -547,9 +564,8 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term_a",
             "term_b",
             F.col("c_ab").cast("long").alias("n_cooccur"),
-            F.round(
-                F.log((F.col("c_ab") * F.col("n_docs")) / (F.col("df_a") * F.col("df_b"))), 4
-            ).alias("pmi"),
+            floor_quantize(
+                F.log((F.col("c_ab") * F.col("n_docs")) / (F.col("df_a") * F.col("df_b"))), 4).alias("pmi"),
         )
     )
 
@@ -564,8 +580,10 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id, source,
        CAST(n_chars AS BIGINT) AS raw_score,
-       ROUND(percent_rank() OVER (
-         PARTITION BY source ORDER BY n_chars, doc_id), 6) AS calibrated
+       CASE WHEN abs(percent_rank() OVER (
+         PARTITION BY source ORDER BY n_chars, doc_id)) < 4.5e9 THEN floor((percent_rank() OVER (
+         PARTITION BY source ORDER BY n_chars, doc_id)) * 1e6 + 0.5) / 1e6 ELSE (percent_rank() OVER (
+         PARTITION BY source ORDER BY n_chars, doc_id)) END AS calibrated
 FROM documents
 """,
 )
@@ -586,7 +604,7 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.col("n_chars").cast("long").alias("raw_score"),
-        F.round(F.percent_rank().over(w), 6).alias("calibrated"),
+        floor_quantize(F.percent_rank().over(w), 6).alias("calibrated"),
     )
 
 
@@ -672,8 +690,10 @@ WITH cells AS (
 )
 SELECT day,
        CAST(MAX(n_d) AS BIGINT) AS n_events,
-       ROUND(SUM(CASE WHEN p > 0 THEN 0.5 * p * LN(p / ((p + q) / 2)) ELSE 0 END)
-             + SUM(0.5 * q * LN(q / ((p + q) / 2))), 6) AS js_nats
+       CASE WHEN abs(SUM(CASE WHEN p > 0 THEN 0.5 * p * LN(p / ((p + q) / 2)) ELSE 0 END)
+             + SUM(0.5 * q * LN(q / ((p + q) / 2)))) < 4.5e9 THEN floor((SUM(CASE WHEN p > 0 THEN 0.5 * p * LN(p / ((p + q) / 2)) ELSE 0 END)
+             + SUM(0.5 * q * LN(q / ((p + q) / 2)))) * 1e6 + 0.5) / 1e6 ELSE (SUM(CASE WHEN p > 0 THEN 0.5 * p * LN(p / ((p + q) / 2)) ELSE 0 END)
+             + SUM(0.5 * q * LN(q / ((p + q) / 2)))) END AS js_nats
 FROM terms
 GROUP BY 1
 """,
@@ -714,7 +734,7 @@ def q_mix_drift_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return terms.groupBy("day").agg(
         F.max("n_d").cast("bigint").alias("n_events"),
-        F.round(F.sum("tp") + F.sum("tq"), 6).alias("js_nats"),
+        floor_quantize(F.sum("tp") + F.sum("tq"), 6).alias("js_nats"),
     )
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 K_ANON = 5  # minimum acceptable quasi-identifier group size
 
@@ -59,8 +60,10 @@ WITH per_key AS (
 SELECT CAST(SUM(cnt) AS BIGINT)                          AS n_rows,
        COUNT(*)                                          AS n_keys,
        MAX(cnt)                                          AS max_cnt,
-       ROUND(CAST(MAX(cnt) AS DOUBLE) * COUNT(*)
-             / CAST(SUM(cnt) AS BIGINT), 6)              AS skew_ratio,
+       CASE WHEN abs(CAST(MAX(cnt) AS DOUBLE) * COUNT(*)
+             / CAST(SUM(cnt) AS BIGINT)) < 4.5e9 THEN floor((CAST(MAX(cnt) AS DOUBLE) * COUNT(*)
+             / CAST(SUM(cnt) AS BIGINT)) * 1e6 + 0.5) / 1e6 ELSE (CAST(MAX(cnt) AS DOUBLE) * COUNT(*)
+             / CAST(SUM(cnt) AS BIGINT)) END              AS skew_ratio,
        CAST(quantile_cont(cnt, 0.5)  AS DOUBLE)          AS p50_cnt,
        CAST(quantile_cont(cnt, 0.99) AS DOUBLE)          AS p99_cnt
 FROM per_key
@@ -84,9 +87,8 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("long").alias("n_rows"),
         F.count("*").alias("n_keys"),
         F.max("cnt").alias("max_cnt"),
-        F.round(
-            F.max("cnt").cast("double") * F.count("*") / F.sum("cnt").cast("long"), 6
-        ).alias("skew_ratio"),
+        floor_quantize(
+            F.max("cnt").cast("double") * F.count("*") / F.sum("cnt").cast("long"), 6).alias("skew_ratio"),
         F.percentile("cnt", F.lit(0.5)).cast("double").alias("p50_cnt"),
         F.percentile("cnt", F.lit(0.99)).cast("double").alias("p99_cnt"),
     )

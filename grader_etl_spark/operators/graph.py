@@ -41,6 +41,7 @@ from grader_etl_spark.operators.llm_dedup import (
     q_neardup_jaccard,
 )
 from grader_etl_spark.registry import checkpoint_frame, memo_checkpoint, query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 # Resolved-cluster memo (keyed by corpus dir): localCheckpointed, so
 # it survives catalog cache clears and is shared by every consumer of
@@ -439,7 +440,7 @@ nodes AS (SELECT n_name FROM nation),
 outw AS MATERIALIZED (SELECT src, sum(w) AS w_out FROM edges GROUP BY src),
 r0 AS MATERIALIZED (SELECT n_name, 1.0 AS rank FROM nodes),
 {chain}
-SELECT n_name, round(rank, 6) AS pagerank FROM r{PR_ITERS}
+SELECT n_name, CASE WHEN abs(rank) < 4.5e9 THEN floor((rank) * 1e6 + 0.5) / 1e6 ELSE (rank) END AS pagerank FROM r{PR_ITERS}
 """
 
 
@@ -533,7 +534,7 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(
         [(nm, float(rank[idx[nm]])) for nm in names], "n_name string, rank double"
     )
-    return out.select("n_name", F.round("rank", 6).alias("pagerank"))
+    return out.select("n_name", floor_quantize("rank", 6).alias("pagerank"))
 
 
 # ---------------------------------------------------------------------------
@@ -653,9 +654,13 @@ SELECT CAST(COUNT(*) AS BIGINT)                                   AS n_docs,
        CAST(SUM(d.n_chars) AS BIGINT)                             AS bytes_total,
        CAST(SUM(CASE WHEN c.doc_id = c.component_id
                      THEN d.n_chars ELSE 0 END) AS BIGINT)        AS bytes_kept,
-       ROUND(1.0 - CAST(SUM(CASE WHEN c.doc_id = c.component_id
+       CASE WHEN abs(1.0 - CAST(SUM(CASE WHEN c.doc_id = c.component_id
                                  THEN d.n_chars ELSE 0 END) AS DOUBLE)
-                   / SUM(d.n_chars), 6)                           AS savings_ratio
+                   / SUM(d.n_chars)) < 4.5e9 THEN floor((1.0 - CAST(SUM(CASE WHEN c.doc_id = c.component_id
+                                 THEN d.n_chars ELSE 0 END) AS DOUBLE)
+                   / SUM(d.n_chars)) * 1e6 + 0.5) / 1e6 ELSE (1.0 - CAST(SUM(CASE WHEN c.doc_id = c.component_id
+                                 THEN d.n_chars ELSE 0 END) AS DOUBLE)
+                   / SUM(d.n_chars)) END                           AS savings_ratio
 FROM comp c JOIN documents d ON d.doc_id = c.doc_id
 """,
 )
@@ -683,9 +688,8 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept",
             "bytes_total",
             "bytes_kept",
-            F.round(
-                F.lit(1.0) - F.col("bytes_kept").cast("double") / F.col("bytes_total"), 6
-            ).alias("savings_ratio"),
+            floor_quantize(
+                F.lit(1.0) - F.col("bytes_kept").cast("double") / F.col("bytes_total"), 6).alias("savings_ratio"),
         )
     )
 
@@ -774,10 +778,16 @@ deg AS (
 SELECT d.doc_id,
        CAST(d.degree AS BIGINT)                  AS degree,
        CAST(COALESCE(t.triangles, 0) AS BIGINT)  AS triangles,
-       ROUND(CASE WHEN d.degree >= 2
+       CASE WHEN abs(CASE WHEN d.degree >= 2
                   THEN 2.0 * COALESCE(t.triangles, 0)
                        / (d.degree * (d.degree - 1))
-                  ELSE 0.0 END, 6)               AS local_cc
+                  ELSE 0.0 END) < 4.5e9 THEN floor((CASE WHEN d.degree >= 2
+                  THEN 2.0 * COALESCE(t.triangles, 0)
+                       / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END) * 1e6 + 0.5) / 1e6 ELSE (CASE WHEN d.degree >= 2
+                  THEN 2.0 * COALESCE(t.triangles, 0)
+                       / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END) END               AS local_cc
 FROM deg d LEFT JOIN node_tri t ON t.doc_id = d.doc_id
 """,
 )
@@ -826,13 +836,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "degree",
         t.alias("triangles"),
-        F.round(
+        floor_quantize(
             F.when(
                 F.col("degree") >= 2,
                 2.0 * t / (F.col("degree") * (F.col("degree") - 1)),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("local_cc"),
+            ).otherwise(F.lit(0.0)), 6).alias("local_cc"),
     )
 
 
@@ -1075,7 +1083,7 @@ sym AS (
   SELECT ka, kb FROM ends UNION ALL SELECT kb, ka FROM ends
 )
 SELECT CAST(COUNT(*) / 2 AS BIGINT)  AS n_edges,
-       ROUND(corr(ka, kb), 6)        AS assortativity
+       CASE WHEN abs(corr(ka, kb)) < 4.5e9 THEN floor((corr(ka, kb)) * 1e6 + 0.5) / 1e6 ELSE (corr(ka, kb)) END        AS assortativity
 FROM sym
 """,
 )
@@ -1118,7 +1126,7 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sym.agg(
         (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
-        F.round(pearson, 6).alias("assortativity"),
+        floor_quantize(pearson, 6).alias("assortativity"),
     )
 
 

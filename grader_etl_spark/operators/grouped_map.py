@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 _OUT_SCHEMA = "vec_id bigint, label int, dist_to_centroid double"
 
@@ -56,7 +57,7 @@ cent AS (
 )
 SELECT d.vec_id,
        d.label,
-       ROUND(sqrt(SUM((d.x - c.cx) * (d.x - c.cx))), 6) AS dist_to_centroid
+       CASE WHEN abs(sqrt(SUM((d.x - c.cx) * (d.x - c.cx)))) < 4.5e9 THEN floor((sqrt(SUM((d.x - c.cx) * (d.x - c.cx)))) * 1e6 + 0.5) / 1e6 ELSE (sqrt(SUM((d.x - c.cx) * (d.x - c.cx)))) END AS dist_to_centroid
 FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
 GROUP BY d.vec_id, d.label
 """,
@@ -71,7 +72,7 @@ def q_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     return centroid_distances(emb).withColumn(
-        "dist_to_centroid", F.round("dist_to_centroid", 6)
+        "dist_to_centroid", floor_quantize("dist_to_centroid", 6)
     )
 
 

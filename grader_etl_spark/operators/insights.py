@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 # Pinned "as of" date for recency: just past the fixtures' order-date
 # range, so recency is a stable positive day count (P6 determinism
@@ -123,7 +124,7 @@ WITH ranked AS (
   FROM lineitem
 )
 SELECT l_returnflag,
-       ROUND(corr(qty_rank, price_rank), 6) AS spearman,
+       CASE WHEN abs(corr(qty_rank, price_rank)) < 4.5e9 THEN floor((corr(qty_rank, price_rank)) * 1e6 + 0.5) / 1e6 ELSE (corr(qty_rank, price_rank)) END AS spearman,
        COUNT(*) AS n
 FROM ranked
 GROUP BY l_returnflag
@@ -149,7 +150,7 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(byflag.orderBy("l_extendedprice")).alias("price_rank"),
     )
     return ranked.groupBy("l_returnflag").agg(
-        F.round(F.corr("qty_rank", "price_rank"), 6).alias("spearman"),
+        floor_quantize(F.corr("qty_rank", "price_rank"), 6).alias("spearman"),
         F.count("*").alias("n"),
     )
 
@@ -171,8 +172,10 @@ WITH daily AS (
 SELECT EXTRACT(dow FROM d) AS dow,
        COUNT(*) AS n_days,
        CAST(SUM(revenue) AS DOUBLE) AS dow_revenue,
-       ROUND((CAST(SUM(revenue) AS DOUBLE) / COUNT(*))
-             / (CAST(MAX(all_rev) AS DOUBLE) / MAX(all_days)), 6)
+       CASE WHEN abs((CAST(SUM(revenue) AS DOUBLE) / COUNT(*))
+             / (CAST(MAX(all_rev) AS DOUBLE) / MAX(all_days))) < 4.5e9 THEN floor(((CAST(SUM(revenue) AS DOUBLE) / COUNT(*))
+             / (CAST(MAX(all_rev) AS DOUBLE) / MAX(all_days))) * 1e6 + 0.5) / 1e6 ELSE ((CAST(SUM(revenue) AS DOUBLE) / COUNT(*))
+             / (CAST(MAX(all_rev) AS DOUBLE) / MAX(all_days))) END
          AS seasonal_index
 FROM daily CROSS JOIN tot
 GROUP BY 1
@@ -204,11 +207,9 @@ def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_days"),
             F.sum("revenue").cast("double").alias("dow_revenue"),
-            F.round(
+            floor_quantize(
                 (F.sum("revenue").cast("double") / F.count("*"))
-                / (F.max("all_rev").cast("double") / F.max("all_days")),
-                6,
-            ).alias("seasonal_index"),
+                / (F.max("all_rev").cast("double") / F.max("all_days")), 6).alias("seasonal_index"),
         )
     )
 
@@ -233,8 +234,10 @@ WITH tagged AS (
   FROM tagged
 )
 SELECT MAX(n1) AS n1, MAX(n2) AS n2,
-       ROUND(MAX(ABS(CAST(c1 AS DOUBLE) / n1
-                     - CAST(c2 AS DOUBLE) / n2)), 6) AS d_stat
+       CASE WHEN abs(MAX(ABS(CAST(c1 AS DOUBLE) / n1
+                     - CAST(c2 AS DOUBLE) / n2))) < 4.5e9 THEN floor((MAX(ABS(CAST(c1 AS DOUBLE) / n1
+                     - CAST(c2 AS DOUBLE) / n2))) * 1e6 + 0.5) / 1e6 ELSE (MAX(ABS(CAST(c1 AS DOUBLE) / n1
+                     - CAST(c2 AS DOUBLE) / n2))) END AS d_stat
 FROM ecdf CROSS JOIN tot
 """,
 )
@@ -267,15 +270,13 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ecdf.crossJoin(F.broadcast(tot)).agg(
         F.max("n1").alias("n1"),
         F.max("n2").alias("n2"),
-        F.round(
+        floor_quantize(
             F.max(
                 F.abs(
                     F.col("c1").cast("double") / F.col("n1")
                     - F.col("c2").cast("double") / F.col("n2")
                 )
-            ),
-            6,
-        ).alias("d_stat"),
+            ), 6).alias("d_stat"),
     )
 
 
@@ -290,13 +291,21 @@ WITH digits AS (
   SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
 )
 SELECT digit, n,
-       ROUND(CAST(n AS DOUBLE)
-             / SUM(n) OVER (), 6)                       AS observed_share,
-       ROUND(log10(1.0 + 1.0 / digit), 6)               AS benford_share,
-       ROUND(POWER(CAST(n AS DOUBLE) / SUM(n) OVER ()
+       CASE WHEN abs(CAST(n AS DOUBLE)
+             / SUM(n) OVER ()) < 4.5e9 THEN floor((CAST(n AS DOUBLE)
+             / SUM(n) OVER ()) * 1e6 + 0.5) / 1e6 ELSE (CAST(n AS DOUBLE)
+             / SUM(n) OVER ()) END                       AS observed_share,
+       CASE WHEN abs(log10(1.0 + 1.0 / digit)) < 4.5e9 THEN floor((log10(1.0 + 1.0 / digit)) * 1e6 + 0.5) / 1e6 ELSE (log10(1.0 + 1.0 / digit)) END               AS benford_share,
+       CASE WHEN abs(POWER(CAST(n AS DOUBLE) / SUM(n) OVER ()
                    - log10(1.0 + 1.0 / digit), 2)
              / log10(1.0 + 1.0 / digit)
-             * SUM(n) OVER (), 4)                       AS chi2_term
+             * SUM(n) OVER ()) < 4.5e9 THEN floor((POWER(CAST(n AS DOUBLE) / SUM(n) OVER ()
+                   - log10(1.0 + 1.0 / digit), 2)
+             / log10(1.0 + 1.0 / digit)
+             * SUM(n) OVER ()) * 1e4 + 0.5) / 1e4 ELSE (POWER(CAST(n AS DOUBLE) / SUM(n) OVER ()
+                   - log10(1.0 + 1.0 / digit), 2)
+             / log10(1.0 + 1.0 / digit)
+             * SUM(n) OVER ()) END                       AS chi2_term
 FROM counted
 """,
 )
@@ -326,9 +335,9 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.select(
         "digit",
         "n",
-        F.round(share, 6).alias("observed_share"),
-        F.round(benford, 6).alias("benford_share"),
-        F.round(F.pow(share - benford, 2) / benford * F.sum("n").over(wall), 4).alias(
+        floor_quantize(share, 6).alias("observed_share"),
+        floor_quantize(benford, 6).alias("benford_share"),
+        floor_quantize(F.pow(share - benford, 2) / benford * F.sum("n").over(wall), 4).alias(
             "chi2_term"
         ),
     )
@@ -350,12 +359,18 @@ WITH assigned AS (
   FROM assigned
 )
 SELECT n_a, n_b, conv_a, conv_b,
-       ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
-       ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
-       ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+       CASE WHEN abs(CAST(conv_a AS DOUBLE) / n_a) < 4.5e9 THEN floor((CAST(conv_a AS DOUBLE) / n_a) * 1e6 + 0.5) / 1e6 ELSE (CAST(conv_a AS DOUBLE) / n_a) END AS rate_a,
+       CASE WHEN abs(CAST(conv_b AS DOUBLE) / n_b) < 4.5e9 THEN floor((CAST(conv_b AS DOUBLE) / n_b) * 1e6 + 0.5) / 1e6 ELSE (CAST(conv_b AS DOUBLE) / n_b) END AS rate_b,
+       CASE WHEN abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
              / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                     * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-                    * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat
+                    * (1.0 / n_a + 1.0 / n_b))) < 4.5e9 THEN floor(((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b))) * 1e4 + 0.5) / 1e4 ELSE ((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b))) END AS z_stat
 FROM cells
 """,
 )
@@ -400,17 +415,15 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         "conv_a",
         "conv_b",
-        F.round(rate_a, 6).alias("rate_a"),
-        F.round(rate_b, 6).alias("rate_b"),
-        F.round(
+        floor_quantize(rate_a, 6).alias("rate_a"),
+        floor_quantize(rate_b, 6).alias("rate_b"),
+        floor_quantize(
             (rate_a - rate_b)
             / F.sqrt(
                 pooled
                 * (F.lit(1.0) - pooled)
                 * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
-            ),
-            4,
-        ).alias("z_stat"),
+            ), 4).alias("z_stat"),
     )
 
 
@@ -429,7 +442,7 @@ WITH du AS (
 )
 SELECT t1, t2, n_inter,
        s1.n AS n1, s2.n AS n2,
-       ROUND(CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter), 6) AS jaccard
+       CASE WHEN abs(CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter)) < 4.5e9 THEN floor((CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter)) * 1e6 + 0.5) / 1e6 ELSE (CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter)) END AS jaccard
 FROM inter
 JOIN sizes s1 ON s1.event_type = t1
 JOIN sizes s2 ON s2.event_type = t2
@@ -466,11 +479,9 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s2), "t2")
         .select(
             "t1", "t2", "n_inter", "n1", "n2",
-            F.round(
+            floor_quantize(
                 F.col("n_inter").cast("double")
-                / (F.col("n1") + F.col("n2") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6).alias("jaccard"),
         )
     )
 
@@ -488,9 +499,9 @@ WITH daily AS (
   FROM daily GROUP BY dow
 )
 SELECT d, daily.dow, revenue,
-       ROUND((revenue - mu) / sigma, 4) AS z
+       CASE WHEN abs((revenue - mu) / sigma) < 4.5e9 THEN floor(((revenue - mu) / sigma) * 1e4 + 0.5) / 1e4 ELSE ((revenue - mu) / sigma) END AS z
 FROM daily JOIN stats USING (dow)
-WHERE ABS(ROUND((revenue - mu) / sigma, 4)) > 1.5
+WHERE ABS(CASE WHEN abs((revenue - mu) / sigma) < 4.5e9 THEN floor(((revenue - mu) / sigma) * 1e4 + 0.5) / 1e4 ELSE ((revenue - mu) / sigma) END) > 1.5
 """,
 )
 def q_anomaly_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,7 +523,7 @@ def q_anomaly_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = daily.groupBy("dow").agg(
         F.avg("revenue").alias("mu"), F.stddev_samp("revenue").alias("sigma")
     )
-    z = F.round((F.col("revenue") - F.col("mu")) / F.col("sigma"), 4)
+    z = floor_quantize((F.col("revenue") - F.col("mu")) / F.col("sigma"), 4)
     return (
         daily.join(F.broadcast(stats), "dow")
         .select("d", "dow", "revenue", z.alias("z"))
@@ -588,9 +599,13 @@ WITH depth AS (
 )
 SELECT CAST(active_days AS BIGINT) AS active_days,
        CAST(COUNT(*) AS BIGINT)    AS n_users,
-       ROUND(CAST(SUM(COUNT(*)) OVER (
+       CASE WHEN abs(CAST(SUM(COUNT(*)) OVER (
          ORDER BY active_days DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-         / SUM(COUNT(*)) OVER (), 6) AS frac_at_least
+         / SUM(COUNT(*)) OVER ()) < 4.5e9 THEN floor((CAST(SUM(COUNT(*)) OVER (
+         ORDER BY active_days DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / SUM(COUNT(*)) OVER ()) * 1e6 + 0.5) / 1e6 ELSE (CAST(SUM(COUNT(*)) OVER (
+         ORDER BY active_days DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / SUM(COUNT(*)) OVER ()) END AS frac_at_least
 FROM depth GROUP BY active_days
 """,
 )
@@ -613,9 +628,8 @@ def q_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         F.col("active_days").cast("long").alias("active_days"),
         "n_users",
-        F.round(
-            F.sum("n_users").over(w_cum).cast("double") / F.sum("n_users").over(w_all), 6
-        ).alias("frac_at_least"),
+        floor_quantize(
+            F.sum("n_users").over(w_cum).cast("double") / F.sum("n_users").over(w_all), 6).alias("frac_at_least"),
     )
 
 
@@ -643,8 +657,10 @@ pairs AS (
 )
 SELECT brand_a, brand_b,
        CAST(n_both AS BIGINT) AS n_both,
-       ROUND(CAST(n_both AS DOUBLE) * n_orders.n
-             / (na.n_b * nb.n_b), 6) AS lift
+       CASE WHEN abs(CAST(n_both AS DOUBLE) * n_orders.n
+             / (na.n_b * nb.n_b)) < 4.5e9 THEN floor((CAST(n_both AS DOUBLE) * n_orders.n
+             / (na.n_b * nb.n_b)) * 1e6 + 0.5) / 1e6 ELSE (CAST(n_both AS DOUBLE) * n_orders.n
+             / (na.n_b * nb.n_b)) END AS lift
 FROM pairs
 JOIN brand_n na ON na.p_brand = brand_a
 JOIN brand_n nb ON nb.p_brand = brand_b
@@ -709,9 +725,8 @@ def q_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             "n_both",
-            F.round(
-                F.col("n_both").cast("double") * F.col("n") / (F.col("na") * F.col("nb")), 6
-            ).alias("lift"),
+            floor_quantize(
+                F.col("n_both").cast("double") * F.col("n") / (F.col("na") * F.col("nb")), 6).alias("lift"),
         )
     )
 
@@ -734,8 +749,10 @@ daily AS (
 SELECT strftime(day, '%Y-%m-%d') AS day,
        CAST(COUNT(CASE WHEN first_day = day THEN 1 END) AS BIGINT) AS n_new,
        CAST(COUNT(CASE WHEN first_day < day THEN 1 END) AS BIGINT) AS n_returning,
-       ROUND(CAST(COUNT(CASE WHEN first_day < day THEN 1 END) AS DOUBLE)
-             / COUNT(*), 6) AS returning_share
+       CASE WHEN abs(CAST(COUNT(CASE WHEN first_day < day THEN 1 END) AS DOUBLE)
+             / COUNT(*)) < 4.5e9 THEN floor((CAST(COUNT(CASE WHEN first_day < day THEN 1 END) AS DOUBLE)
+             / COUNT(*)) * 1e6 + 0.5) / 1e6 ELSE (CAST(COUNT(CASE WHEN first_day < day THEN 1 END) AS DOUBLE)
+             / COUNT(*)) END AS returning_share
 FROM daily GROUP BY day
 """,
 )
@@ -757,11 +774,9 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
         F.count(F.when(F.col("first_day") == F.col("day"), 1)).alias("n_new"),
         F.count(F.when(F.col("first_day") < F.col("day"), 1)).alias("n_returning"),
-        F.round(
+        floor_quantize(
             F.count(F.when(F.col("first_day") < F.col("day"), 1)).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("returning_share"),
+            / F.count(F.lit(1)), 6).alias("returning_share"),
     )
 
 
@@ -786,8 +801,10 @@ d AS (
 )
 SELECT CAST(decile AS BIGINT) AS decile, n_orders,
        CAST(revenue AS DOUBLE) AS revenue,
-       ROUND(CAST(revenue AS DOUBLE)
-             / CAST(SUM(revenue) OVER () AS DOUBLE), 6) AS revenue_share
+       CASE WHEN abs(CAST(revenue AS DOUBLE)
+             / CAST(SUM(revenue) OVER () AS DOUBLE)) < 4.5e9 THEN floor((CAST(revenue AS DOUBLE)
+             / CAST(SUM(revenue) OVER () AS DOUBLE)) * 1e6 + 0.5) / 1e6 ELSE (CAST(revenue AS DOUBLE)
+             / CAST(SUM(revenue) OVER () AS DOUBLE)) END AS revenue_share
 FROM d
 """,
 )
@@ -816,11 +833,9 @@ def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decile").cast("long").alias("decile"),
         "n_orders",
         F.col("revenue").cast("double").alias("revenue"),
-        F.round(
+        floor_quantize(
             F.col("revenue").cast("double")
-            / F.sum("revenue").over(Window.partitionBy()).cast("double"),
-            6,
-        ).alias("revenue_share"),
+            / F.sum("revenue").over(Window.partitionBy()).cast("double"), 6).alias("revenue_share"),
     )
 
 
@@ -853,8 +868,10 @@ classed AS (
 SELECT abc_class,
        CAST(COUNT(*) AS BIGINT) AS n_parts,
        CAST(SUM(revenue) AS DOUBLE) AS revenue,
-       ROUND(CAST(SUM(revenue) AS DOUBLE)
-             / CAST(SUM(SUM(revenue)) OVER () AS DOUBLE), 6) AS revenue_share
+       CASE WHEN abs(CAST(SUM(revenue) AS DOUBLE)
+             / CAST(SUM(SUM(revenue)) OVER () AS DOUBLE)) < 4.5e9 THEN floor((CAST(SUM(revenue) AS DOUBLE)
+             / CAST(SUM(SUM(revenue)) OVER () AS DOUBLE)) * 1e6 + 0.5) / 1e6 ELSE (CAST(SUM(revenue) AS DOUBLE)
+             / CAST(SUM(SUM(revenue)) OVER () AS DOUBLE)) END AS revenue_share
 FROM classed GROUP BY abc_class
 """,
 )
@@ -895,11 +912,9 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         "abc_class",
         "n_parts",
         F.col("rev_dec").cast("double").alias("revenue"),
-        F.round(
+        floor_quantize(
             F.col("rev_dec").cast("double")
-            / F.sum("rev_dec").over(Window.partitionBy()).cast("double"),
-            6,
-        ).alias("revenue_share"),
+            / F.sum("rev_dec").over(Window.partitionBy()).cast("double"), 6).alias("revenue_share"),
     )
 
 
@@ -992,11 +1007,11 @@ wide AS (
     CAST(sum(n) AS BIGINT) AS n_events
   FROM cells
 )
-SELECT round(treat_pre, 6) AS treat_pre,
-       round(treat_post, 6) AS treat_post,
-       round(control_pre, 6) AS control_pre,
-       round(control_post, 6) AS control_post,
-       round((treat_post - treat_pre) - (control_post - control_pre), 6) AS did_lift,
+SELECT CASE WHEN abs(treat_pre) < 4.5e9 THEN floor((treat_pre) * 1e6 + 0.5) / 1e6 ELSE (treat_pre) END AS treat_pre,
+       CASE WHEN abs(treat_post) < 4.5e9 THEN floor((treat_post) * 1e6 + 0.5) / 1e6 ELSE (treat_post) END AS treat_post,
+       CASE WHEN abs(control_pre) < 4.5e9 THEN floor((control_pre) * 1e6 + 0.5) / 1e6 ELSE (control_pre) END AS control_pre,
+       CASE WHEN abs(control_post) < 4.5e9 THEN floor((control_post) * 1e6 + 0.5) / 1e6 ELSE (control_post) END AS control_post,
+       CASE WHEN abs((treat_post - treat_pre) - (control_post - control_pre)) < 4.5e9 THEN floor(((treat_post - treat_pre) - (control_post - control_pre)) * 1e6 + 0.5) / 1e6 ELSE ((treat_post - treat_pre) - (control_post - control_pre)) END AS did_lift,
        n_events
 FROM wide
 """,
@@ -1042,11 +1057,11 @@ def q_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_events"),
     )
     return wide.select(
-        F.round("tp", 6).alias("treat_pre"),
-        F.round("tq", 6).alias("treat_post"),
-        F.round("cp", 6).alias("control_pre"),
-        F.round("cq", 6).alias("control_post"),
-        F.round((F.col("tq") - F.col("tp")) - (F.col("cq") - F.col("cp")), 6).alias("did_lift"),
+        floor_quantize("tp", 6).alias("treat_pre"),
+        floor_quantize("tq", 6).alias("treat_post"),
+        floor_quantize("cp", 6).alias("control_pre"),
+        floor_quantize("cq", 6).alias("control_post"),
+        floor_quantize((F.col("tq") - F.col("tp")) - (F.col("cq") - F.col("cp")), 6).alias("did_lift"),
         "n_events",
     )
 
@@ -1150,7 +1165,7 @@ calc AS (
          (p + p + mde) / 2 AS pbar
   FROM base CROSS JOIN grid
 )
-SELECT ROUND(p, 6) AS baseline_rate,
+SELECT CASE WHEN abs(p) < 4.5e9 THEN floor((p) * 1e6 + 0.5) / 1e6 ELSE (p) END AS baseline_rate,
        mde,
        CAST(CEIL(
          POWER(1.959964 * SQRT(2 * pbar * (1 - pbar))
@@ -1197,7 +1212,7 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / (mde * mde)
     ).cast("long")
-    return c.select(F.round(p, 6).alias("baseline_rate"), "mde", n.alias("n_per_arm"))
+    return c.select(floor_quantize(p, 6).alias("baseline_rate"), "mde", n.alias("n_per_arm"))
 
 
 # ---------------------------------------------------------------------------
@@ -1250,11 +1265,9 @@ def q_revenue_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile",
         "n_orders",
         F.col("revenue").cast("double").alias("revenue"),
-        F.round(
+        floor_quantize(
             F.col("revenue").cast("double")
-            / F.sum("revenue").over(Window.partitionBy()).cast("double"),
-            6,
-        ).alias("revenue_share"),
+            / F.sum("revenue").over(Window.partitionBy()).cast("double"), 6).alias("revenue_share"),
     )
 
 

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 # Censoring rule for the survival curve: customers whose LAST order is
 # within this many days of the pinned as-of date are still active
@@ -68,12 +69,19 @@ SELECT t_days, n_risk, d_events, c_censored,
                  OVER (ORDER BY t_days ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
             THEN 0.0
-            ELSE ROUND(EXP(SUM(CASE WHEN d_events < n_risk
+            ELSE CASE WHEN abs(EXP(SUM(CASE WHEN d_events < n_risk
                                     THEN LN(1.0 - CAST(d_events AS DOUBLE) / n_risk)
                                     ELSE 0.0 END)
                        OVER (ORDER BY t_days ASC
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-                       6)
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) < 4.5e9 THEN floor((EXP(SUM(CASE WHEN d_events < n_risk
+                                    THEN LN(1.0 - CAST(d_events AS DOUBLE) / n_risk)
+                                    ELSE 0.0 END)
+                       OVER (ORDER BY t_days ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) * 1e6 + 0.5) / 1e6 ELSE (EXP(SUM(CASE WHEN d_events < n_risk
+                                    THEN LN(1.0 - CAST(d_events AS DOUBLE) / n_risk)
+                                    ELSE 0.0 END)
+                       OVER (ORDER BY t_days ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) END
        END AS survival
 FROM risk
 """,
@@ -136,7 +144,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_events",
         "c_censored",
         F.when(zeroed == 1, F.lit(0.0))
-        .otherwise(F.round(F.exp(log_surv), 6))
+        .otherwise(floor_quantize(F.exp(log_surv), 6))
         .alias("survival"),
     )
 
@@ -213,7 +221,7 @@ _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 @query(
     "q_corr_matrix",
     oracle="""
-SELECT var_x, var_y, ROUND(c, 6) AS corr, n FROM (
+SELECT var_x, var_y, CASE WHEN abs(c) < 4.5e9 THEN floor((c) * 1e6 + 0.5) / 1e6 ELSE (c) END AS corr, n FROM (
   SELECT 'l_discount' AS var_x, 'l_extendedprice' AS var_y,
          corr(l_discount, l_extendedprice) AS c, COUNT(*) AS n FROM lineitem
   UNION ALL
@@ -246,7 +254,7 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = [
         (a, b) for i, a in enumerate(sorted(_CORR_COLS)) for b in sorted(_CORR_COLS)[i + 1 :]
     ]
-    aggs = [F.round(F.corr(a, b), 6).alias(f"c_{a}_{b}") for a, b in pairs]
+    aggs = [floor_quantize(F.corr(a, b), 6).alias(f"c_{a}_{b}") for a, b in pairs]
     one = li.agg(*aggs, F.count("*").alias("n"))
     stack_args = ", ".join(f"'{a}', '{b}', c_{a}_{b}" for a, b in pairs)
     return one.select(
@@ -267,10 +275,14 @@ WITH cells AS (
   FROM cells
 )
 SELECT lang, source, n_xy,
-       ROUND(LN(CAST(n_xy AS DOUBLE) * n / (n_x * n_y)), 6) AS pmi,
-       ROUND(SUM(CAST(n_xy AS DOUBLE) / n
+       CASE WHEN abs(LN(CAST(n_xy AS DOUBLE) * n / (n_x * n_y))) < 4.5e9 THEN floor((LN(CAST(n_xy AS DOUBLE) * n / (n_x * n_y))) * 1e6 + 0.5) / 1e6 ELSE (LN(CAST(n_xy AS DOUBLE) * n / (n_x * n_y))) END AS pmi,
+       CASE WHEN abs(SUM(CAST(n_xy AS DOUBLE) / n
                  * LN(CAST(n_xy AS DOUBLE) * n / (n_x * n_y)))
-             OVER (), 6) AS mi_nats
+             OVER ()) < 4.5e9 THEN floor((SUM(CAST(n_xy AS DOUBLE) / n
+                 * LN(CAST(n_xy AS DOUBLE) * n / (n_x * n_y)))
+             OVER ()) * 1e6 + 0.5) / 1e6 ELSE (SUM(CAST(n_xy AS DOUBLE) / n
+                 * LN(CAST(n_xy AS DOUBLE) * n / (n_x * n_y)))
+             OVER ()) END AS mi_nats
 FROM m
 """,
 )
@@ -299,8 +311,8 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "n_xy",
-        F.round(pmi, 6).alias("pmi"),
-        F.round(F.sum(contrib).over(Window.partitionBy()), 6).alias("mi_nats"),
+        floor_quantize(pmi, 6).alias("pmi"),
+        floor_quantize(F.sum(contrib).over(Window.partitionBy()), 6).alias("mi_nats"),
     )
 
 
@@ -407,8 +419,10 @@ LTV_TAU_DAYS = 365.0
 WITH w AS (
   SELECT o_custkey,
          CAST(o_totalprice AS DECIMAL(20,2))
-           * CAST(ROUND(EXP(-date_diff('day', CAST(o_orderdate AS DATE),
-                                       DATE '{KM_ASOF}') / {LTV_TAU_DAYS}), 12)
+           * CAST(CASE WHEN abs(EXP(-date_diff('day', CAST(o_orderdate AS DATE),
+                                       DATE '{KM_ASOF}') / {LTV_TAU_DAYS})) < 4.5e9 THEN floor((EXP(-date_diff('day', CAST(o_orderdate AS DATE),
+                                       DATE '{KM_ASOF}') / {LTV_TAU_DAYS})) * 1e12 + 0.5) / 1e12 ELSE (EXP(-date_diff('day', CAST(o_orderdate AS DATE),
+                                       DATE '{KM_ASOF}') / {LTV_TAU_DAYS})) END
                   AS DECIMAL(14,12)) AS contrib,
          CAST(o_totalprice AS DECIMAL(18,2)) AS raw
   FROM orders
@@ -483,8 +497,10 @@ SELECT bucket,
        COUNT(*)            AS n_gaps,
        CAST(MIN(gap) AS BIGINT) AS min_gap,
        CAST(MAX(gap) AS BIGINT) AS max_gap,
-       ROUND(CAST(COUNT(*) AS DOUBLE)
-             / SUM(COUNT(*)) OVER (), 6) AS share
+       CASE WHEN abs(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER ()) < 4.5e9 THEN floor((CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER ()) * 1e6 + 0.5) / 1e6 ELSE (CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER ()) END AS share
 FROM b GROUP BY 1
 """,
 )
@@ -517,7 +533,6 @@ def q_order_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_gaps"),
         F.min("gap").cast("long").alias("min_gap"),
         F.max("gap").cast("long").alias("max_gap"),
-        F.round(
-            F.count("*").cast("double") / F.sum(F.count("*")).over(Window.partitionBy()), 6
-        ).alias("share"),
+        floor_quantize(
+            F.count("*").cast("double") / F.sum(F.count("*")).over(Window.partitionBy()), 6).alias("share"),
     )

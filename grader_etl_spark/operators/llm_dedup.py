@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
 from grader_etl_spark.io import fan_out, load
 from grader_etl_spark.registry import memo_checkpoint, query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 SHINGLE_K = 3  # words per shingle
 
@@ -1204,8 +1205,8 @@ conf AS (
     ON c.doc_id_1 = t.doc_id_1 AND c.doc_id_2 = t.doc_id_2
 )
 SELECT tp, fp, fn,
-       ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
-       ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall
+       CASE WHEN abs(CAST(tp AS DOUBLE) / (tp + fp)) < 4.5e9 THEN floor((CAST(tp AS DOUBLE) / (tp + fp)) * 1e6 + 0.5) / 1e6 ELSE (CAST(tp AS DOUBLE) / (tp + fp)) END AS precision,
+       CASE WHEN abs(CAST(tp AS DOUBLE) / (tp + fn)) < 4.5e9 THEN floor((CAST(tp AS DOUBLE) / (tp + fn)) * 1e6 + 0.5) / 1e6 ELSE (CAST(tp AS DOUBLE) / (tp + fn)) END AS recall
 FROM conf
 """
 
@@ -1243,6 +1244,6 @@ def q_minhash_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tp",
         "fp",
         "fn",
-        F.round(F.try_divide(F.col("tp").cast("double"), F.col("tp") + F.col("fp")), 6).alias("precision"),
-        F.round(F.try_divide(F.col("tp").cast("double"), F.col("tp") + F.col("fn")), 6).alias("recall"),
+        floor_quantize(F.try_divide(F.col("tp").cast("double"), F.col("tp") + F.col("fp")), 6).alias("precision"),
+        floor_quantize(F.try_divide(F.col("tp").cast("double"), F.col("tp") + F.col("fn")), 6).alias("recall"),
     )

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import memo_checkpoint, query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 EMB_DIM = 64
 
@@ -132,8 +133,8 @@ WITH e AS (
   FROM g JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j
 )
 SELECT c.i, c.j,
-       ROUND(c.cov, 6) AS cov,
-       ROUND(c.cov / SQRT(di.cov * dj.cov), 6) AS corr
+       CASE WHEN abs(c.cov) < 4.5e9 THEN floor((c.cov) * 1e6 + 0.5) / 1e6 ELSE (c.cov) END AS cov,
+       CASE WHEN abs(c.cov / SQRT(di.cov * dj.cov)) < 4.5e9 THEN floor((c.cov / SQRT(di.cov * dj.cov)) * 1e6 + 0.5) / 1e6 ELSE (c.cov / SQRT(di.cov * dj.cov)) END AS corr
 FROM cov c
 JOIN cov di ON di.i = c.i AND di.j = c.i
 JOIN cov dj ON dj.i = c.j AND dj.j = c.j
@@ -151,8 +152,8 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         F.col("i").cast("long").alias("i"),
         F.col("j").cast("long").alias("j"),
-        F.round("cov", 6).alias("cov"),
-        F.round("corr", 6).alias("corr"),
+        floor_quantize("cov", 6).alias("cov"),
+        floor_quantize("corr", 6).alias("corr"),
     )
 
 
@@ -199,6 +200,6 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.col("label").cast("long").alias("label"),
-        F.round(project(pcs[0]), 6).alias("pc1"),
-        F.round(project(pcs[1]), 6).alias("pc2"),
+        floor_quantize(project(pcs[0]), 6).alias("pc1"),
+        floor_quantize(project(pcs[1]), 6).alias("pc2"),
     )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 
 def hash_bucket(cols: list[str], buckets: int = 16) -> F.Column:
@@ -144,8 +145,10 @@ WITH assigned AS (
 )
 SELECT source, split,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       ROUND(CAST(COUNT(*) AS DOUBLE)
-             / SUM(COUNT(*)) OVER (PARTITION BY source), 6) AS frac_of_source
+       CASE WHEN abs(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY source)) < 4.5e9 THEN floor((CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY source)) * 1e6 + 0.5) / 1e6 ELSE (CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY source)) END AS frac_of_source
 FROM assigned
 GROUP BY source, split
 """,
@@ -174,7 +177,7 @@ def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "split",
         "n_docs",
-        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6).alias(
+        floor_quantize(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6).alias(
             "frac_of_source"
         ),
     )
@@ -196,7 +199,7 @@ held AS (SELECT * FROM assigned WHERE split <> 'train')
 SELECT h.split,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(t.fp) AS BIGINT) AS n_leaked,
-       ROUND(CAST(COUNT(t.fp) AS DOUBLE) / COUNT(*), 6) AS leak_rate
+       CASE WHEN abs(CAST(COUNT(t.fp) AS DOUBLE) / COUNT(*)) < 4.5e9 THEN floor((CAST(COUNT(t.fp) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 ELSE (CAST(COUNT(t.fp) AS DOUBLE) / COUNT(*)) END AS leak_rate
 FROM held h LEFT JOIN train_fp t ON t.fp = h.fp
 GROUP BY h.split
 """,
@@ -230,7 +233,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count("tfp").alias("n_leaked"),
-            F.round(F.count("tfp").cast("double") / F.count(F.lit(1)), 6).alias("leak_rate"),
+            floor_quantize(F.count("tfp").cast("double") / F.count(F.lit(1)), 6).alias("leak_rate"),
         )
     )
 

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
 from grader_etl_spark.io import fan_out, load
 from grader_etl_spark.registry import checkpoint_frame, query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 MMR_K = 10          # final diverse picks
 MMR_C = 50          # bounded candidate pool (top-C by relevance)
@@ -54,8 +55,10 @@ model AS (
 tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, CAST(count(*) AS DOUBLE) AS v FROM model)
 SELECT doc_id,
        CAST(sum(tf) AS BIGINT) AS n_tokens,
-       round(sum(tf * (ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v))))
-             / sum(tf), 4) AS dsir_weight
+       CASE WHEN abs(sum(tf * (ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v))))
+             / sum(tf)) < 4.5e9 THEN floor((sum(tf * (ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v))))
+             / sum(tf)) * 1e4 + 0.5) / 1e4 ELSE (sum(tf * (ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v))))
+             / sum(tf)) END AS dsir_weight
 FROM tf JOIN model USING (term) CROSS JOIN tot
 GROUP BY doc_id
 ORDER BY dsir_weight DESC, doc_id
@@ -107,7 +110,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),
-            F.round(F.sum(F.col("tf") * ratio) / F.sum("tf"), 4).alias("dsir_weight"),
+            floor_quantize(F.sum(F.col("tf") * ratio) / F.sum("tf"), 4).alias("dsir_weight"),
         )
         .orderBy(F.desc("dsir_weight"), "doc_id")
         .limit(100)
@@ -208,9 +211,13 @@ WITH cells AS (
 SELECT lang, source,
        CAST(n AS BIGINT) AS n_docs,
        CAST(k AS BIGINT) AS n_good,
-       round(((k / n) + 1.9208 / n
+       CASE WHEN abs(((k / n) + 1.9208 / n
               - 1.96 * sqrt(((k / n) * (1.0 - (k / n)) + 0.9604 / n) / n))
-             / (1.0 + 3.8416 / n), 6) AS wilson_lb
+             / (1.0 + 3.8416 / n)) < 4.5e9 THEN floor((((k / n) + 1.9208 / n
+              - 1.96 * sqrt(((k / n) * (1.0 - (k / n)) + 0.9604 / n) / n))
+             / (1.0 + 3.8416 / n)) * 1e6 + 0.5) / 1e6 ELSE (((k / n) + 1.9208 / n
+              - 1.96 * sqrt(((k / n) * (1.0 - (k / n)) + 0.9604 / n) / n))
+             / (1.0 + 3.8416 / n)) END AS wilson_lb
 FROM cells
 """,
 )
@@ -244,7 +251,7 @@ def q_wilson_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("n").cast("long").alias("n_docs"),
         F.col("k").cast("long").alias("n_good"),
-        F.round(wilson, 6).alias("wilson_lb"),
+        floor_quantize(wilson, 6).alias("wilson_lb"),
     )
 
 
@@ -469,8 +476,10 @@ per AS (
 )
 SELECT CAST(decile AS BIGINT) AS decile, n_docs, decile_tokens,
        CAST(sum(decile_tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
-       round(CAST(sum(decile_tokens) OVER (ORDER BY decile) AS DOUBLE)
-             / sum(decile_tokens) OVER (), 6) AS cum_share
+       CASE WHEN abs(CAST(sum(decile_tokens) OVER (ORDER BY decile) AS DOUBLE)
+             / sum(decile_tokens) OVER ()) < 4.5e9 THEN floor((CAST(sum(decile_tokens) OVER (ORDER BY decile) AS DOUBLE)
+             / sum(decile_tokens) OVER ()) * 1e6 + 0.5) / 1e6 ELSE (CAST(sum(decile_tokens) OVER (ORDER BY decile) AS DOUBLE)
+             / sum(decile_tokens) OVER ()) END AS cum_share
 FROM per ORDER BY decile
 """,
 )
@@ -511,11 +520,9 @@ def q_quality_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "decile_tokens",
         F.sum("decile_tokens").over(w_cum).cast("long").alias("cum_tokens"),
-        F.round(
+        floor_quantize(
             F.sum("decile_tokens").over(w_cum).cast("double")
-            / F.sum("decile_tokens").over(w_all),
-            6,
-        ).alias("cum_share"),
+            / F.sum("decile_tokens").over(w_all), 6).alias("cum_share"),
     ).orderBy("decile")
 
 
@@ -546,8 +553,8 @@ vocab AS (
   FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents)
 )
 SELECT n_docs, n_langs, n_sources, n_tokens, vocab_size, n_unique_docs,
-       round(1.0 - CAST(n_unique_docs AS DOUBLE) / n_docs, 6) AS dup_rate,
-       round(CAST(n_tokens AS DOUBLE) / n_docs, 2) AS mean_doc_tokens
+       CASE WHEN abs(1.0 - CAST(n_unique_docs AS DOUBLE) / n_docs) < 4.5e9 THEN floor((1.0 - CAST(n_unique_docs AS DOUBLE) / n_docs) * 1e6 + 0.5) / 1e6 ELSE (1.0 - CAST(n_unique_docs AS DOUBLE) / n_docs) END AS dup_rate,
+       CASE WHEN abs(CAST(n_tokens AS DOUBLE) / n_docs) < 4.5e9 THEN floor((CAST(n_tokens AS DOUBLE) / n_docs) * 1e2 + 0.5) / 1e2 ELSE (CAST(n_tokens AS DOUBLE) / n_docs) END AS mean_doc_tokens
 FROM docstats CROSS JOIN vocab
 """,
 )
@@ -592,8 +599,8 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "vocab_size",
         "n_unique_docs",
-        F.round(1.0 - F.col("n_unique_docs").cast("double") / F.col("n_docs"), 6).alias("dup_rate"),
-        F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 2).alias("mean_doc_tokens"),
+        floor_quantize(1.0 - F.col("n_unique_docs").cast("double") / F.col("n_docs"), 6).alias("dup_rate"),
+        floor_quantize(F.col("n_tokens").cast("double") / F.col("n_docs"), 2).alias("mean_doc_tokens"),
     )
 
 
@@ -646,7 +653,7 @@ z AS (
 )
 SELECT doc_id,
        logit_int,
-       ROUND(1.0 / (1.0 + EXP(-logit_int / {QC_LOGIT_SCALE}.0)), 4) AS score,
+       CASE WHEN abs(1.0 / (1.0 + EXP(-logit_int / {QC_LOGIT_SCALE}.0))) < 4.5e9 THEN floor((1.0 / (1.0 + EXP(-logit_int / {QC_LOGIT_SCALE}.0))) * 1e4 + 0.5) / 1e4 ELSE (1.0 / (1.0 + EXP(-logit_int / {QC_LOGIT_SCALE}.0))) END AS score,
        logit_int > 0 AS keep
 FROM z
 """,
@@ -679,11 +686,9 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "logit_int",
-            F.round(
+            floor_quantize(
                 F.lit(1.0)
-                / (F.lit(1.0) + F.exp(-F.col("logit_int") / F.lit(float(QC_LOGIT_SCALE)))),
-                4,
-            ).alias("score"),
+                / (F.lit(1.0) + F.exp(-F.col("logit_int") / F.lit(float(QC_LOGIT_SCALE)))), 4).alias("score"),
             (F.col("logit_int") > 0).alias("keep"),
         )
     )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 N_SHARDS = 16
 
@@ -59,8 +60,8 @@ WITH per_source AS (
 tot AS (SELECT SUM(n_docs) AS n_total, COUNT(*) AS n_sources FROM per_source)
 SELECT source,
        n_docs,
-       ROUND(CAST(n_docs AS DOUBLE) / n_total, 6) AS share,
-       ROUND(LEAST(1.0, (CAST(n_total AS DOUBLE) / n_sources) / n_docs), 6) AS sample_rate,
+       CASE WHEN abs(CAST(n_docs AS DOUBLE) / n_total) < 4.5e9 THEN floor((CAST(n_docs AS DOUBLE) / n_total) * 1e6 + 0.5) / 1e6 ELSE (CAST(n_docs AS DOUBLE) / n_total) END AS share,
+       CASE WHEN abs(LEAST(1.0, (CAST(n_total AS DOUBLE) / n_sources) / n_docs)) < 4.5e9 THEN floor((LEAST(1.0, (CAST(n_total AS DOUBLE) / n_sources) / n_docs)) * 1e6 + 0.5) / 1e6 ELSE (LEAST(1.0, (CAST(n_total AS DOUBLE) / n_sources) / n_docs)) END AS sample_rate,
        CAST(FLOOR(LEAST(1.0, (CAST(n_total AS DOUBLE) / n_sources) / n_docs) * n_docs)
             AS BIGINT) AS expected_docs
 FROM per_source CROSS JOIN tot
@@ -98,8 +99,8 @@ def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totaled.select(
         "source",
         "n_docs",
-        F.round(F.col("n_docs").cast("double") / F.col("n_total"), 6).alias("share"),
-        F.round(rate, 6).alias("sample_rate"),
+        floor_quantize(F.col("n_docs").cast("double") / F.col("n_total"), 6).alias("share"),
+        floor_quantize(rate, 6).alias("sample_rate"),
         F.floor(rate * F.col("n_docs")).cast("long").alias("expected_docs"),
     )
 
@@ -113,7 +114,7 @@ WITH scored AS (
          percent_rank() OVER (PARTITION BY source ORDER BY length(text), doc_id) AS pr
   FROM documents
 )
-SELECT doc_id, source, n_chars, ROUND(pr, 6) AS len_pct_rank
+SELECT doc_id, source, n_chars, CASE WHEN abs(pr) < 4.5e9 THEN floor((pr) * 1e6 + 0.5) / 1e6 ELSE (pr) END AS len_pct_rank
 FROM scored
 WHERE pr >= 0.2
 """,
@@ -139,7 +140,7 @@ def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percent_rank().over(w).alias("pr"),
         )
         .filter(F.col("pr") >= 0.2)
-        .select("doc_id", "source", "n_chars", F.round("pr", 6).alias("len_pct_rank"))
+        .select("doc_id", "source", "n_chars", floor_quantize("pr", 6).alias("len_pct_rank"))
     )
 
 
@@ -163,8 +164,10 @@ per AS (
   FROM assigned GROUP BY shard_id
 )
 SELECT shard_id, n_docs, n_tokens,
-       ROUND(CAST(n_tokens AS DOUBLE)
-             / (SUM(n_tokens) OVER () / {N_SHARDS}), 6) AS balance_ratio
+       CASE WHEN abs(CAST(n_tokens AS DOUBLE)
+             / (SUM(n_tokens) OVER () / {N_SHARDS})) < 4.5e9 THEN floor((CAST(n_tokens AS DOUBLE)
+             / (SUM(n_tokens) OVER () / {N_SHARDS})) * 1e6 + 0.5) / 1e6 ELSE (CAST(n_tokens AS DOUBLE)
+             / (SUM(n_tokens) OVER () / {N_SHARDS})) END AS balance_ratio
 FROM per
 """,
 )
@@ -197,7 +200,7 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_id",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens").cast("double") / (total / N_SHARDS), 6).alias(
+        floor_quantize(F.col("n_tokens").cast("double") / (total / N_SHARDS), 6).alias(
             "balance_ratio"
         ),
     )
@@ -402,7 +405,7 @@ kept AS (
 SELECT r.source,
        CAST(r.n_docs AS BIGINT)             AS n_docs,
        CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
-       ROUND(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / r.n_docs, 4) AS kept_frac
+       CASE WHEN abs(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / r.n_docs) < 4.5e9 THEN floor((CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / r.n_docs) * 1e4 + 0.5) / 1e4 ELSE (CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / r.n_docs) END AS kept_frac
 FROM rates r LEFT JOIN kept k ON r.source = k.source
 """,
 )
@@ -447,8 +450,7 @@ def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("n_docs").cast("long").alias("n_docs"),
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            F.round(
-                F.coalesce(F.col("n_kept"), F.lit(0)).cast("double") / F.col("n_docs"), 4
-            ).alias("kept_frac"),
+            floor_quantize(
+                F.coalesce(F.col("n_kept"), F.lit(0)).cast("double") / F.col("n_docs"), 4).alias("kept_frac"),
         )
     )

@@ -322,7 +322,7 @@ WITH scaled AS (
   FROM embeddings
 )
 SELECT vec_id,
-       round(maxabs, 6) AS scale6,
+       CASE WHEN abs(maxabs) < 4.5e9 THEN floor((maxabs) * 1e6 + 0.5) / 1e6 ELSE (maxabs) END AS scale6,
        array_to_string(list_transform(v, x -> CAST(round(x * 127.0 / maxabs) AS INT)), ',') AS q_codes,
        CAST(list_sum(list_transform(v, x -> abs(CAST(round(x * 127.0 / maxabs) AS INT))))
             AS BIGINT) AS l1_q
@@ -346,7 +346,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.transform("v", lambda x: F.round(x * 127.0 / F.col("maxabs")).cast("int"))
     return e.select(
         "vec_id",
-        F.round("maxabs", 6).alias("scale6"),
+        floor_quantize("maxabs", 6).alias("scale6"),
         F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))).alias("q_codes"),
         F.aggregate(
             q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x).cast("long")
@@ -368,7 +368,7 @@ def _rrf_oracle() -> str:
     bm25_sql = REGISTRY["q_bm25"].oracle
     return f"""
 WITH text_scores AS (
-  SELECT doc_id, round(sum(bm25), 4) AS text_score
+  SELECT doc_id, CASE WHEN abs(sum(bm25)) < 4.5e9 THEN floor((sum(bm25)) * 1e4 + 0.5) / 1e4 ELSE (sum(bm25)) END AS text_score
   FROM ({bm25_sql}) GROUP BY doc_id
 ),
 text_rank AS (
@@ -380,16 +380,20 @@ qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
 vec_rank AS (
   SELECT vec_id AS doc_id,
          row_number() OVER (
-           ORDER BY round(list_dot_product(v, q)
-                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))), 6) DESC,
+           ORDER BY CASE WHEN abs(list_dot_product(v, q)
+                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q)))) < 4.5e9 THEN floor((list_dot_product(v, q)
+                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q)))) * 1e6 + 0.5) / 1e6 ELSE (list_dot_product(v, q)
+                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q)))) END DESC,
                     vec_id) AS vr
   FROM e CROSS JOIN qv WHERE vec_id <> 0
 )
 SELECT doc_id,
        CAST(tr AS BIGINT) AS text_rank,
        CAST(vr AS BIGINT) AS vec_rank,
-       round(COALESCE(1.0 / ({RRF_K} + tr), 0.0)
-             + COALESCE(1.0 / ({RRF_K} + vr), 0.0), 6) AS rrf
+       CASE WHEN abs(COALESCE(1.0 / ({RRF_K} + tr), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + vr), 0.0)) < 4.5e9 THEN floor((COALESCE(1.0 / ({RRF_K} + tr), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + vr), 0.0)) * 1e6 + 0.5) / 1e6 ELSE (COALESCE(1.0 / ({RRF_K} + tr), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + vr), 0.0)) END AS rrf
 FROM text_rank FULL OUTER JOIN vec_rank USING (doc_id)
 ORDER BY rrf DESC, doc_id
 LIMIT {RRF_TOP}
@@ -414,7 +418,7 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_scores = (
         q_bm25(spark, sf_dir)
         .groupBy("doc_id")
-        .agg(F.round(F.sum("bm25"), 4).alias("text_score"))
+        .agg(floor_quantize(F.sum("bm25"), 4).alias("text_score"))
     )
     text_rank = text_scores.select(
         "doc_id",
@@ -433,7 +437,7 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     )
-    cos = F.round(dot / (norm(F.col("v")) * norm(F.col("q"))), 6)
+    cos = floor_quantize(dot / (norm(F.col("v")) * norm(F.col("q"))), 6)
     vec_rank = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
@@ -455,11 +459,9 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("tr").alias("text_rank"),
             F.col("vr").alias("vec_rank"),
-            F.round(
+            floor_quantize(
                 F.coalesce(1.0 / (RRF_K + F.col("tr")), F.lit(0.0))
-                + F.coalesce(1.0 / (RRF_K + F.col("vr")), F.lit(0.0)),
-                6,
-            ).alias("rrf"),
+                + F.coalesce(1.0 / (RRF_K + F.col("vr")), F.lit(0.0)), 6).alias("rrf"),
         )
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(RRF_TOP)
@@ -472,6 +474,7 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (not only through load_all_operators' ordering).
 from grader_etl_spark import registry as _registry  # noqa: E402
 from grader_etl_spark.operators import corpus_filters as _corpus_filters  # noqa: E402,F401
+from grader_etl_spark.functions.quantize import floor_quantize
 
 _registry.REGISTRY["q_rank_fusion"] = _registry.QuerySpec(
     name="q_rank_fusion",
@@ -499,8 +502,8 @@ stats AS (
   SELECT avg(norm) AS mu, stddev_samp(norm) AS sigma FROM norms
 )
 SELECT vec_id,
-       ROUND(norm, 6) AS norm6,
-       ROUND((norm - mu) / sigma, 4) AS z
+       CASE WHEN abs(norm) < 4.5e9 THEN floor((norm) * 1e6 + 0.5) / 1e6 ELSE (norm) END AS norm6,
+       CASE WHEN abs((norm - mu) / sigma) < 4.5e9 THEN floor(((norm - mu) / sigma) * 1e4 + 0.5) / 1e4 ELSE ((norm - mu) / sigma) END AS z
 FROM norms CROSS JOIN stats
 WHERE ABS((norm - mu) / sigma) > 2.0
 """,
@@ -533,7 +536,7 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         norms.crossJoin(F.broadcast(stats))
         .filter(F.abs(z) > 2.0)
-        .select("vec_id", F.round("norm", 6).alias("norm6"), F.round(z, 4).alias("z"))
+        .select("vec_id", floor_quantize("norm", 6).alias("norm6"), floor_quantize(z, 4).alias("z"))
     )
 
 
@@ -547,7 +550,7 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT label,
        CAST(i - 1 AS BIGINT) AS dim,
-       ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mean_val
+       CASE WHEN abs(AVG(CAST(v AS DOUBLE))) < 4.5e9 THEN floor((AVG(CAST(v AS DOUBLE))) * 1e6 + 0.5) / 1e6 ELSE (AVG(CAST(v AS DOUBLE))) END AS mean_val
 FROM (
   SELECT label,
          unnest(embedding) AS v,
@@ -572,7 +575,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", F.col("dim").cast("long").alias("dim"))
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_val"))
+        .agg(floor_quantize(F.avg(F.col("v").cast("double")), 6).alias("mean_val"))
     )
 
 
@@ -580,7 +583,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_nearest_centroid_confusion",
     oracle="""
 WITH cent AS (
-  SELECT label, i - 1 AS dim, ROUND(avg(CAST(v AS DOUBLE)), 6) AS c
+  SELECT label, i - 1 AS dim, CASE WHEN abs(avg(CAST(v AS DOUBLE))) < 4.5e9 THEN floor((avg(CAST(v AS DOUBLE))) * 1e6 + 0.5) / 1e6 ELSE (avg(CAST(v AS DOUBLE))) END AS c
   FROM (SELECT label, unnest(embedding) AS v,
                generate_subscripts(embedding, 1) AS i
         FROM embeddings)
@@ -588,8 +591,10 @@ WITH cent AS (
 ),
 dists AS (
   SELECT x.vec_id, x.label AS true_label, cent.label AS cand,
-         ROUND(SUM((CAST(x.v AS DOUBLE) - cent.c)
-                   * (CAST(x.v AS DOUBLE) - cent.c)), 6) AS d
+         CASE WHEN abs(SUM((CAST(x.v AS DOUBLE) - cent.c)
+                   * (CAST(x.v AS DOUBLE) - cent.c))) < 4.5e9 THEN floor((SUM((CAST(x.v AS DOUBLE) - cent.c)
+                   * (CAST(x.v AS DOUBLE) - cent.c))) * 1e6 + 0.5) / 1e6 ELSE (SUM((CAST(x.v AS DOUBLE) - cent.c)
+                   * (CAST(x.v AS DOUBLE) - cent.c))) END AS d
   FROM (SELECT vec_id, label, unnest(embedding) AS v,
                generate_subscripts(embedding, 1) - 1 AS dim
         FROM embeddings) x
@@ -641,14 +646,12 @@ def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("true_label"),
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    d = F.round(
+    d = floor_quantize(
         F.aggregate(
             F.zip_with("v", "centroid", lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        ),
-        6,
-    )
+        ), 6)
     dists = vd.join(F.broadcast(cent)).select(
         "vec_id", "true_label", "cand", d.alias("d")
     )
@@ -781,6 +784,6 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "k",
             "n_hit",
-            F.round(F.col("n_hit").cast("double") / F.col("k"), 4).alias("recall"),
+            floor_quantize(F.col("n_hit").cast("double") / F.col("k"), 4).alias("recall"),
         )
     )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 
 @query(
@@ -136,8 +137,8 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_custkey,
        c_nationkey,
        NTILE(4)       OVER w                    AS quartile,
-       ROUND(PERCENT_RANK() OVER w, 6)          AS pct_rank,
-       ROUND(CUME_DIST()    OVER w, 6)          AS cume
+       CASE WHEN abs(PERCENT_RANK() OVER w) < 4.5e9 THEN floor((PERCENT_RANK() OVER w) * 1e6 + 0.5) / 1e6 ELSE (PERCENT_RANK() OVER w) END          AS pct_rank,
+       CASE WHEN abs(CUME_DIST()    OVER w) < 4.5e9 THEN floor((CUME_DIST()    OVER w) * 1e6 + 0.5) / 1e6 ELSE (CUME_DIST()    OVER w) END          AS cume
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 """,
@@ -152,8 +153,8 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        floor_quantize(F.percent_rank().over(w), 6).alias("pct_rank"),
+        floor_quantize(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 
@@ -309,9 +310,9 @@ WITH stats AS (
   FROM events GROUP BY event_type
 )
 SELECT event_id, e.event_type, value,
-       round((value - mu) / sigma, 4) AS z
+       CASE WHEN abs((value - mu) / sigma) < 4.5e9 THEN floor(((value - mu) / sigma) * 1e4 + 0.5) / 1e4 ELSE ((value - mu) / sigma) END AS z
 FROM events e JOIN stats USING (event_type)
-WHERE abs(round((value - mu) / sigma, 4)) > 2.5
+WHERE abs(CASE WHEN abs((value - mu) / sigma) < 4.5e9 THEN floor(((value - mu) / sigma) * 1e4 + 0.5) / 1e4 ELSE ((value - mu) / sigma) END) > 2.5
 """,
 )
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,7 +328,7 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
     )
-    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    z = floor_quantize((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
     return (
         ev.join(F.broadcast(stats), "event_type")
         .select("event_id", "event_type", "value", z.alias("z"))
@@ -374,9 +375,9 @@ dev AS (
 ),
 mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY event_type)
 SELECT event_id, d.event_type, value,
-       round(0.6745 * (value - d.med) / m.mad, 6) AS robust_z
+       CASE WHEN abs(0.6745 * (value - d.med) / m.mad) < 4.5e9 THEN floor((0.6745 * (value - d.med) / m.mad) * 1e6 + 0.5) / 1e6 ELSE (0.6745 * (value - d.med) / m.mad) END AS robust_z
 FROM dev d JOIN mad m USING (event_type)
-WHERE abs(round(0.6745 * (value - d.med) / m.mad, 6)) > 2.0
+WHERE abs(CASE WHEN abs(0.6745 * (value - d.med) / m.mad) < 4.5e9 THEN floor((0.6745 * (value - d.med) / m.mad) * 1e6 + 0.5) / 1e6 ELSE (0.6745 * (value - d.med) / m.mad) END) > 2.0
 """,
 )
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,7 +404,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ad", F.abs(F.col("value") - F.col("med"))
     )
     mad = dev.groupBy("event_type").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
-    rz = F.round(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"), 6)
+    rz = floor_quantize(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"), 6)
     return (
         dev.join(F.broadcast(mad), "event_type")
         .select("event_id", "event_type", "value", rz.alias("robust_z"))
@@ -421,7 +422,7 @@ WITH bounds AS (
   FROM events GROUP BY event_type
 )
 SELECT event_id, e.event_type, value,
-       round(least(greatest(value, lo), hi), 4) AS value_winsorized,
+       CASE WHEN abs(least(greatest(value, lo), hi)) < 4.5e9 THEN floor((least(greatest(value, lo), hi)) * 1e4 + 0.5) / 1e4 ELSE (least(greatest(value, lo), hi)) END AS value_winsorized,
        (value < lo OR value > hi)               AS clipped
 FROM events e JOIN bounds USING (event_type)
 """,
@@ -447,7 +448,7 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             "value",
-            F.round(clipped, 4).alias("value_winsorized"),
+            floor_quantize(clipped, 4).alias("value_winsorized"),
             ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias("clipped"),
         )
     )
@@ -465,8 +466,10 @@ WITH cents AS (
 )
 SELECT c_nationkey,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
-             / CAST(count(*) * sum(x) AS DOUBLE), 6) AS gini
+       CASE WHEN abs(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+             / CAST(count(*) * sum(x) AS DOUBLE)) < 4.5e9 THEN floor((CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+             / CAST(count(*) * sum(x) AS DOUBLE)) * 1e6 + 0.5) / 1e6 ELSE (CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+             / CAST(count(*) * sum(x) AS DOUBLE)) END AS gini
 FROM cents
 GROUP BY c_nationkey
 """,
@@ -492,11 +495,9 @@ def q_gini_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     return cents.groupBy("c_nationkey").agg(
         n.cast("long").alias("n_orders"),
-        F.round(
+        floor_quantize(
             (2 * F.sum(F.col("i") * F.col("x")) - (n + 1) * F.sum("x")).cast("double")
-            / (n * F.sum("x")).cast("double"),
-            6,
-        ).alias("gini"),
+            / (n * F.sum("x")).cast("double"), 6).alias("gini"),
     )
 
 
@@ -670,7 +671,7 @@ lagged AS (
          lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
   FROM daily
 )
-SELECT event_type, round(corr(n, prev_n), 6) AS autocorr_lag1
+SELECT event_type, CASE WHEN abs(corr(n, prev_n)) < 4.5e9 THEN floor((corr(n, prev_n)) * 1e6 + 0.5) / 1e6 ELSE (corr(n, prev_n)) END AS autocorr_lag1
 FROM lagged
 GROUP BY event_type
 """,
@@ -687,7 +688,7 @@ def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("day")
     lagged = daily.withColumn("prev_n", F.lag("n").over(w))
     return lagged.groupBy("event_type").agg(
-        F.round(F.corr("n", "prev_n"), 6).alias("autocorr_lag1")
+        floor_quantize(F.corr("n", "prev_n"), 6).alias("autocorr_lag1")
     )
 
 
@@ -704,7 +705,7 @@ tot AS (
          sum(o) OVER ()                    AS n
   FROM cells
 )
-SELECT round(sum((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n)), 4) AS chi2,
+SELECT CASE WHEN abs(sum((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n))) < 4.5e9 THEN floor((sum((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n))) * 1e4 + 0.5) / 1e4 ELSE (sum((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n))) END AS chi2,
        CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
        CAST(sum(o) AS BIGINT) AS n_docs
 FROM tot
@@ -731,7 +732,7 @@ def q_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cells.select("lang", "source", "o", rt.alias("rt"), ct.alias("ct"), n.alias("n"))
     e = F.col("rt") * F.col("ct") / F.col("n")
     return tot.agg(
-        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 4).alias("chi2"),
+        floor_quantize(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 4).alias("chi2"),
         (
             (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
         ).cast("long").alias("dof"),
@@ -838,14 +839,16 @@ SELECT p_partkey,
        CEIL(p_retailprice)                                 AS price_ceil,
        FLOOR(p_retailprice)                                AS price_floor,
        CAST(SIGN(p_retailprice - 1000.0) AS DOUBLE)        AS price_sign,
-       ROUND(SQRT(p_retailprice), 6)                       AS price_sqrt,
-       ROUND(LN(p_retailprice), 6)                         AS price_ln,
-       ROUND(EXP(CAST(p_size AS DOUBLE) / 25.0), 6)        AS size_exp,
-       ROUND(POWER(p_retailprice, 0.5) * POWER(p_size, 2), 4) AS poly,
+       CASE WHEN abs(SQRT(p_retailprice)) < 4.5e9 THEN floor((SQRT(p_retailprice)) * 1e6 + 0.5) / 1e6 ELSE (SQRT(p_retailprice)) END                       AS price_sqrt,
+       CASE WHEN abs(LN(p_retailprice)) < 4.5e9 THEN floor((LN(p_retailprice)) * 1e6 + 0.5) / 1e6 ELSE (LN(p_retailprice)) END                         AS price_ln,
+       CASE WHEN abs(EXP(CAST(p_size AS DOUBLE) / 25.0)) < 4.5e9 THEN floor((EXP(CAST(p_size AS DOUBLE) / 25.0)) * 1e6 + 0.5) / 1e6 ELSE (EXP(CAST(p_size AS DOUBLE) / 25.0)) END        AS size_exp,
+       CASE WHEN abs(POWER(p_retailprice, 0.5) * POWER(p_size, 2)) < 4.5e9 THEN floor((POWER(p_retailprice, 0.5) * POWER(p_size, 2)) * 1e4 + 0.5) / 1e4 ELSE (POWER(p_retailprice, 0.5) * POWER(p_size, 2)) END AS poly,
        CAST(p_size % 7 AS BIGINT)                          AS size_mod,
-       ROUND(LOG10(p_retailprice), 6)                      AS price_log10,
-       ROUND(SIN(p_retailprice / 100.0)
-             + COS(p_retailprice / 100.0), 6)              AS trig
+       CASE WHEN abs(LOG10(p_retailprice)) < 4.5e9 THEN floor((LOG10(p_retailprice)) * 1e6 + 0.5) / 1e6 ELSE (LOG10(p_retailprice)) END                      AS price_log10,
+       CASE WHEN abs(SIN(p_retailprice / 100.0)
+             + COS(p_retailprice / 100.0)) < 4.5e9 THEN floor((SIN(p_retailprice / 100.0)
+             + COS(p_retailprice / 100.0)) * 1e6 + 0.5) / 1e6 ELSE (SIN(p_retailprice / 100.0)
+             + COS(p_retailprice / 100.0)) END              AS trig
 FROM part
 """,
 )
@@ -864,13 +867,13 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(price).cast("double").alias("price_ceil"),
         F.floor(price).cast("double").alias("price_floor"),
         F.signum(price - 1000.0).alias("price_sign"),
-        F.round(F.sqrt(price), 6).alias("price_sqrt"),
-        F.round(F.log(price), 6).alias("price_ln"),
-        F.round(F.exp(F.col("p_size").cast("double") / 25.0), 6).alias("size_exp"),
-        F.round(F.pow(price, 0.5) * F.pow(F.col("p_size"), 2), 4).alias("poly"),
+        floor_quantize(F.sqrt(price), 6).alias("price_sqrt"),
+        floor_quantize(F.log(price), 6).alias("price_ln"),
+        floor_quantize(F.exp(F.col("p_size").cast("double") / 25.0), 6).alias("size_exp"),
+        floor_quantize(F.pow(price, 0.5) * F.pow(F.col("p_size"), 2), 4).alias("poly"),
         (F.col("p_size") % 7).cast("long").alias("size_mod"),
-        F.round(F.log10(price), 6).alias("price_log10"),
-        F.round(F.sin(price / 100.0) + F.cos(price / 100.0), 6).alias("trig"),
+        floor_quantize(F.log10(price), 6).alias("price_log10"),
+        floor_quantize(F.sin(price / 100.0) + F.cos(price / 100.0), 6).alias("trig"),
     )
 
 
@@ -971,8 +974,10 @@ SELECT user_id,
        CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchases,
        CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)    AS clicks,
        CASE WHEN COUNT(CASE WHEN event_type = 'click' THEN 1 END) = 0 THEN NULL
-            ELSE ROUND(CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
-                       / COUNT(CASE WHEN event_type = 'click' THEN 1 END), 6)
+            ELSE CASE WHEN abs(CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+                       / COUNT(CASE WHEN event_type = 'click' THEN 1 END)) < 4.5e9 THEN floor((CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+                       / COUNT(CASE WHEN event_type = 'click' THEN 1 END)) * 1e6 + 0.5) / 1e6 ELSE (CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+                       / COUNT(CASE WHEN event_type = 'click' THEN 1 END)) END
        END AS conv_rate
 FROM events
 GROUP BY user_id
@@ -993,9 +998,8 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         purchases.alias("purchases"),
         clicks.alias("clicks"),
-        F.round(
-            F.try_divide(purchases.cast("double"), clicks.cast("double")), 6
-        ).alias("conv_rate"),
+        floor_quantize(
+            F.try_divide(purchases.cast("double"), clicks.cast("double")), 6).alias("conv_rate"),
     )
 
 
@@ -1073,8 +1077,8 @@ stat AS (
          sum(o) AS n
   FROM tot GROUP BY ()
 )
-SELECT round(chi2, 4)                                   AS chi2,
-       round(sqrt(chi2 / (n * (least(r, c) - 1))), 4)   AS cramers_v,
+SELECT CASE WHEN abs(chi2) < 4.5e9 THEN floor((chi2) * 1e4 + 0.5) / 1e4 ELSE (chi2) END                                   AS chi2,
+       CASE WHEN abs(sqrt(chi2 / (n * (least(r, c) - 1)))) < 4.5e9 THEN floor((sqrt(chi2 / (n * (least(r, c) - 1)))) * 1e4 + 0.5) / 1e4 ELSE (sqrt(chi2 / (n * (least(r, c) - 1)))) END   AS cramers_v,
        r AS n_rows, c AS n_cols, CAST(n AS BIGINT)      AS n_docs
 FROM stat
 """,
@@ -1102,10 +1106,9 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").alias("n"),
     )
     return stat.select(
-        F.round("chi2", 4).alias("chi2"),
-        F.round(
-            F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - 1))), 4
-        ).alias("cramers_v"),
+        floor_quantize("chi2", 4).alias("chi2"),
+        floor_quantize(
+            F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - 1))), 4).alias("cramers_v"),
         F.col("r").alias("n_rows"),
         F.col("c").alias("n_cols"),
         F.col("n").cast("long").alias("n_docs"),
@@ -1142,10 +1145,16 @@ runs AS (
 SELECT CAST(SUM(brk) AS BIGINT)                          AS n_runs,
        CAST(SUM(s) AS BIGINT)                            AS n_above,
        CAST(COUNT(*) - SUM(s) AS BIGINT)                 AS n_below,
-       round((SUM(brk) - (2.0 * SUM(s) * (COUNT(*) - SUM(s)) / COUNT(*) + 1))
+       CASE WHEN abs((SUM(brk) - (2.0 * SUM(s) * (COUNT(*) - SUM(s)) / COUNT(*) + 1))
              / sqrt((2.0 * SUM(s) * (COUNT(*) - SUM(s))
                      * (2.0 * SUM(s) * (COUNT(*) - SUM(s)) - COUNT(*)))
-                    / (CAST(COUNT(*) AS DOUBLE) * COUNT(*) * (COUNT(*) - 1))), 4) AS z
+                    / (CAST(COUNT(*) AS DOUBLE) * COUNT(*) * (COUNT(*) - 1)))) < 4.5e9 THEN floor(((SUM(brk) - (2.0 * SUM(s) * (COUNT(*) - SUM(s)) / COUNT(*) + 1))
+             / sqrt((2.0 * SUM(s) * (COUNT(*) - SUM(s))
+                     * (2.0 * SUM(s) * (COUNT(*) - SUM(s)) - COUNT(*)))
+                    / (CAST(COUNT(*) AS DOUBLE) * COUNT(*) * (COUNT(*) - 1)))) * 1e4 + 0.5) / 1e4 ELSE ((SUM(brk) - (2.0 * SUM(s) * (COUNT(*) - SUM(s)) / COUNT(*) + 1))
+             / sqrt((2.0 * SUM(s) * (COUNT(*) - SUM(s))
+                     * (2.0 * SUM(s) * (COUNT(*) - SUM(s)) - COUNT(*)))
+                    / (CAST(COUNT(*) AS DOUBLE) * COUNT(*) * (COUNT(*) - 1)))) END AS z
 FROM runs
 """,
 )
@@ -1190,7 +1199,7 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("brk").cast("long").alias("n_runs"),
         F.sum("s").cast("long").alias("n_above"),
         (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n_below"),
-        F.round((F.sum("brk") - mu) / F.sqrt(var), 4).alias("z"),
+        floor_quantize((F.sum("brk") - mu) / F.sqrt(var), 4).alias("z"),
     )
 
 
@@ -1210,7 +1219,7 @@ WITH daily AS (
   GROUP BY 1
 ),
 slopes AS (
-  SELECT ROUND((b.rev - a.rev) / (datediff('day', a.d, b.d)), 6) AS slope,
+  SELECT CASE WHEN abs((b.rev - a.rev) / (datediff('day', a.d, b.d))) < 4.5e9 THEN floor(((b.rev - a.rev) / (datediff('day', a.d, b.d))) * 1e6 + 0.5) / 1e6 ELSE ((b.rev - a.rev) / (datediff('day', a.d, b.d))) END AS slope,
          a.d AS d1, b.d AS d2
   FROM daily a JOIN daily b ON a.d < b.d
 ),
@@ -1247,9 +1256,8 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(
-        F.round(
-            (F.col("b.rev") - F.col("a.rev")) / F.datediff(F.col("b.d"), F.col("a.d")), 6
-        ).alias("slope"),
+        floor_quantize(
+            (F.col("b.rev") - F.col("a.rev")) / F.datediff(F.col("b.d"), F.col("a.d")), 6).alias("slope"),
         F.col("a.d").alias("d1"),
         F.col("b.d").alias("d2"),
     )

@@ -480,7 +480,7 @@ SELECT doc_id,
        CAST(n_shingles AS BIGINT) AS n_shingles,
        CAST(n_distinct AS BIGINT) AS n_distinct,
        CASE WHEN n_shingles = 0 THEN 0.0
-            ELSE round(1.0 - CAST(n_distinct AS DOUBLE) / n_shingles, 6) END AS dup_ngram_ratio
+            ELSE CASE WHEN abs(1.0 - CAST(n_distinct AS DOUBLE) / n_shingles) < 4.5e9 THEN floor((1.0 - CAST(n_distinct AS DOUBLE) / n_shingles) * 1e6 + 0.5) / 1e6 ELSE (1.0 - CAST(n_distinct AS DOUBLE) / n_shingles) END END AS dup_ngram_ratio
 FROM t
 """,
 )
@@ -499,7 +499,7 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_shingles = F.greatest(n_words - 2, F.lit(0)).cast("long")
     n_distinct = F.size(shingles(F.col("text"))).cast("long")
     ratio = F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
-        F.round(F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_shingles"), 6)
+        floor_quantize(F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_shingles"), 6)
     )
     return (
         docs.select("doc_id", n_shingles.alias("n_shingles"), n_distinct.alias("n_distinct"))
@@ -599,7 +599,7 @@ vocab AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS c FROM tf GROUP BY term),
 tot AS (SELECT sum(c) AS t FROM vocab)
 SELECT doc_id,
        CAST(sum(tf) AS BIGINT) AS n_tokens,
-       round(sum(tf * -ln(c / t)) / sum(tf), 4) AS mean_neg_logprob
+       CASE WHEN abs(sum(tf * -ln(c / t)) / sum(tf)) < 4.5e9 THEN floor((sum(tf * -ln(c / t)) / sum(tf)) * 1e4 + 0.5) / 1e4 ELSE (sum(tf * -ln(c / t)) / sum(tf)) END AS mean_neg_logprob
 FROM tf JOIN vocab USING (term) CROSS JOIN tot
 GROUP BY doc_id
 """,
@@ -629,9 +629,8 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),
-            F.round(
-                F.sum(F.col("tf") * -F.log(F.col("c") / F.col("t"))) / F.sum("tf"), 4
-            ).alias("mean_neg_logprob"),
+            floor_quantize(
+                F.sum(F.col("tf") * -F.log(F.col("c") / F.col("t"))) / F.sum("tf"), 4).alias("mean_neg_logprob"),
         )
     )
 
@@ -695,7 +694,7 @@ starts AS (
 )
 SELECT doc_id,
        CAST(SUM(n) AS BIGINT) AS n_bigrams,
-       round(SUM(n * -ln(c12 / c1)) / SUM(n), 4) AS mean_neg_logprob
+       CASE WHEN abs(SUM(n * -ln(c12 / c1)) / SUM(n)) < 4.5e9 THEN floor((SUM(n * -ln(c12 / c1)) / SUM(n)) * 1e4 + 0.5) / 1e4 ELSE (SUM(n * -ln(c12 / c1)) / SUM(n)) END AS mean_neg_logprob
 FROM doc_big JOIN model USING (w1, w2) JOIN starts USING (w1)
 GROUP BY doc_id
 """,
@@ -728,9 +727,8 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("n").cast("long").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("n") * -F.log(F.col("c12") / F.col("c1"))) / F.sum("n"), 4
-            ).alias("mean_neg_logprob"),
+            floor_quantize(
+                F.sum(F.col("n") * -F.log(F.col("c12") / F.col("c1"))) / F.sum("n"), 4).alias("mean_neg_logprob"),
         )
     )
 
@@ -754,8 +752,10 @@ WITH tf AS (
 )
 SELECT CAST(k AS BIGINT) AS k,
        CAST(COUNT(CASE WHEN rnk <= k THEN 1 END) AS BIGINT) AS vocab_used,
-       ROUND(CAST(SUM(CASE WHEN rnk <= k THEN c ELSE 0 END) AS BIGINT)
-             / CAST(MAX(t) AS DOUBLE), 6) AS coverage
+       CASE WHEN abs(CAST(SUM(CASE WHEN rnk <= k THEN c ELSE 0 END) AS BIGINT)
+             / CAST(MAX(t) AS DOUBLE)) < 4.5e9 THEN floor((CAST(SUM(CASE WHEN rnk <= k THEN c ELSE 0 END) AS BIGINT)
+             / CAST(MAX(t) AS DOUBLE)) * 1e6 + 0.5) / 1e6 ELSE (CAST(SUM(CASE WHEN rnk <= k THEN c ELSE 0 END) AS BIGINT)
+             / CAST(MAX(t) AS DOUBLE)) END AS coverage
 FROM ranked
 CROSS JOIN (VALUES {", ".join(f"({k})" for k in VOCAB_COVERAGE_KS)}) ks(k)
 CROSS JOIN tot
@@ -794,11 +794,9 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.count(F.when(F.col("rnk") <= F.col("k"), 1)).cast("long").alias("vocab_used"),
-            F.round(
+            floor_quantize(
                 F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("c")).otherwise(0)).cast("long")
-                / F.max("t").cast("double"),
-                6,
-            ).alias("coverage"),
+                / F.max("t").cast("double"), 6).alias("coverage"),
         )
     )
 
@@ -961,8 +959,10 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT source_1, source_2, shared_terms,
-       ROUND(CAST(shared_terms AS DOUBLE)
-             / (s1.n + s2.n - shared_terms), 6) AS vocab_jaccard
+       CASE WHEN abs(CAST(shared_terms AS DOUBLE)
+             / (s1.n + s2.n - shared_terms)) < 4.5e9 THEN floor((CAST(shared_terms AS DOUBLE)
+             / (s1.n + s2.n - shared_terms)) * 1e6 + 0.5) / 1e6 ELSE (CAST(shared_terms AS DOUBLE)
+             / (s1.n + s2.n - shared_terms)) END AS vocab_jaccard
 FROM inter
 JOIN sz s1 ON s1.source = source_1
 JOIN sz s2 ON s2.source = source_2
@@ -1000,11 +1000,9 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_1",
             "source_2",
             "shared_terms",
-            F.round(
+            floor_quantize(
                 F.col("shared_terms").cast("double")
-                / (F.col("n1") + F.col("n2") - F.col("shared_terms")),
-                6,
-            ).alias("vocab_jaccard"),
+                / (F.col("n1") + F.col("n2") - F.col("shared_terms")), 6).alias("vocab_jaccard"),
         )
     )
 
@@ -1064,7 +1062,7 @@ ranked AS (
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_terms,
-       ROUND(covar_pop(ln(c), ln(r)) / var_pop(ln(r)), 6) AS zipf_slope
+       CASE WHEN abs(covar_pop(ln(c), ln(r)) / var_pop(ln(r))) < 4.5e9 THEN floor((covar_pop(ln(c), ln(r)) / var_pop(ln(r))) * 1e6 + 0.5) / 1e6 ELSE (covar_pop(ln(c), ln(r)) / var_pop(ln(r))) END AS zipf_slope
 FROM ranked
 GROUP BY source
 """,
@@ -1091,9 +1089,8 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = tf.withColumn("r", F.row_number().over(w))
     return ranked.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms"),
-        F.round(
-            F.covar_pop(F.log("c"), F.log("r")) / F.var_pop(F.log("r")), 6
-        ).alias("zipf_slope"),
+        floor_quantize(
+            F.covar_pop(F.log("c"), F.log("r")) / F.var_pop(F.log("r")), 6).alias("zipf_slope"),
     )
 
 
@@ -1160,6 +1157,7 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from grader_etl_spark import registry as _registry  # noqa: E402
+from grader_etl_spark.functions.quantize import floor_quantize
 
 _registry.REGISTRY["q_lang_confusion"] = _registry.QuerySpec(
     name="q_lang_confusion",
@@ -1192,8 +1190,10 @@ firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM ex GROUP BY s)
 SELECT ex.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_shingles,
        CAST(COUNT(CASE WHEN firsts.first_doc = ex.doc_id THEN 1 END) AS BIGINT) AS novel,
-       ROUND(CAST(COUNT(CASE WHEN firsts.first_doc = ex.doc_id THEN 1 END) AS DOUBLE)
-             / COUNT(*), 6) AS novelty_ratio
+       CASE WHEN abs(CAST(COUNT(CASE WHEN firsts.first_doc = ex.doc_id THEN 1 END) AS DOUBLE)
+             / COUNT(*)) < 4.5e9 THEN floor((CAST(COUNT(CASE WHEN firsts.first_doc = ex.doc_id THEN 1 END) AS DOUBLE)
+             / COUNT(*)) * 1e6 + 0.5) / 1e6 ELSE (CAST(COUNT(CASE WHEN firsts.first_doc = ex.doc_id THEN 1 END) AS DOUBLE)
+             / COUNT(*)) END AS novelty_ratio
 FROM ex JOIN firsts ON firsts.s = ex.s
 GROUP BY ex.doc_id
 """,
@@ -1224,7 +1224,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_shingles",
             "novel",
-            F.round(F.col("novel").cast("double") / F.col("n_shingles"), 6).alias(
+            floor_quantize(F.col("novel").cast("double") / F.col("n_shingles"), 6).alias(
                 "novelty_ratio"
             ),
         )
@@ -1255,7 +1255,7 @@ model AS (SELECT w1, w2, CAST(sum(k) AS DOUBLE) AS c12 FROM doc_bi GROUP BY 1, 2
 starts AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY w1)
 SELECT doc_id,
        CAST(sum(k) AS BIGINT) AS n_bigrams,
-       round(sum(k * -ln(0.75 * (c12 / c1) + 0.25 * (cu / n))) / sum(k), 4)
+       CASE WHEN abs(sum(k * -ln(0.75 * (c12 / c1) + 0.25 * (cu / n))) / sum(k)) < 4.5e9 THEN floor((sum(k * -ln(0.75 * (c12 / c1) + 0.25 * (cu / n))) / sum(k)) * 1e4 + 0.5) / 1e4 ELSE (sum(k * -ln(0.75 * (c12 / c1) + 0.25 * (cu / n))) / sum(k)) END
          AS mean_neg_logprob
 FROM doc_bi
 JOIN model USING (w1, w2)
@@ -1306,7 +1306,7 @@ def q_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("k").cast("long").alias("n_bigrams"),
-            F.round(F.sum(F.col("k") * -F.log(p)) / F.sum("k"), 4).alias("mean_neg_logprob"),
+            floor_quantize(F.sum(F.col("k") * -F.log(p)) / F.sum("k"), 4).alias("mean_neg_logprob"),
         )
     )
 
@@ -1340,10 +1340,16 @@ cont AS (SELECT w2, CAST(count(*) AS DOUBLE) AS n1p_bwd FROM model GROUP BY w2),
 types AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM model)
 SELECT doc_id,
        CAST(sum(k) AS BIGINT) AS n_bigrams,
-       round(sum(k * -ln(
+       CASE WHEN abs(sum(k * -ln(
            (c12 - {KN_DISCOUNT}) / c1
            + ({KN_DISCOUNT} * n1p_fwd / c1) * (n1p_bwd / n_types)
-       )) / sum(k), 4) AS mean_neg_logprob
+       )) / sum(k)) < 4.5e9 THEN floor((sum(k * -ln(
+           (c12 - {KN_DISCOUNT}) / c1
+           + ({KN_DISCOUNT} * n1p_fwd / c1) * (n1p_bwd / n_types)
+       )) / sum(k)) * 1e4 + 0.5) / 1e4 ELSE (sum(k * -ln(
+           (c12 - {KN_DISCOUNT}) / c1
+           + ({KN_DISCOUNT} * n1p_fwd / c1) * (n1p_bwd / n_types)
+       )) / sum(k)) END AS mean_neg_logprob
 FROM doc_bi
 JOIN model USING (w1, w2)
 JOIN ctx USING (w1)
@@ -1400,7 +1406,7 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("k").cast("long").alias("n_bigrams"),
-            F.round(F.sum(F.col("k") * -F.log(p_kn)) / F.sum("k"), 4).alias(
+            floor_quantize(F.sum(F.col("k") * -F.log(p_kn)) / F.sum("k"), 4).alias(
                 "mean_neg_logprob"
             ),
         )
@@ -1423,7 +1429,7 @@ tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 vocab AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS c FROM tf GROUP BY term),
 tot AS (SELECT sum(c) AS t FROM vocab),
 lp AS (
-  SELECT doc_id, round(sum(tf * -ln(c / t)) / sum(tf), 4) AS mean_neg_logprob
+  SELECT doc_id, CASE WHEN abs(sum(tf * -ln(c / t)) / sum(tf)) < 4.5e9 THEN floor((sum(tf * -ln(c / t)) / sum(tf)) * 1e4 + 0.5) / 1e4 ELSE (sum(tf * -ln(c / t)) / sum(tf)) END AS mean_neg_logprob
   FROM tf JOIN vocab USING (term) CROSS JOIN tot
   GROUP BY doc_id
 )
@@ -1467,9 +1473,8 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(F.col("tf") * -F.log(F.col("c") / F.col("t"))) / F.sum("tf"), 4
-            ).alias("mean_neg_logprob")
+            floor_quantize(
+                F.sum(F.col("tf") * -F.log(F.col("c") / F.col("t"))) / F.sum("tf"), 4).alias("mean_neg_logprob")
         )
     )
     w = Window.partitionBy("lang").orderBy("mean_neg_logprob", "doc_id")

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 SESSION_GAP = "30 minutes"
 
@@ -107,7 +108,7 @@ cal AS (
                                      INTERVAL 1 DAY)) AS DATE) AS day
 ),
 daily AS (
-  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 4) AS v
+  SELECT user_id, CAST(ts AS DATE) AS day, CASE WHEN abs(sum(value)) < 4.5e9 THEN floor((sum(value)) * 1e4 + 0.5) / 1e4 ELSE (sum(value)) END AS v
   FROM events GROUP BY 1, 2
 )
 SELECT user_id,
@@ -133,7 +134,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events", columns=["user_id", "ts", "value"])
     daily = (
         ev.groupBy("user_id", F.to_date("ts").alias("day"))
-        .agg(F.round(F.sum("value"), 4).alias("v"))
+        .agg(floor_quantize(F.sum("value"), 4).alias("v"))
     )
     cal = spark.range(1).select(
         F.explode(
@@ -171,9 +172,9 @@ WITH RECURSIVE daily AS (
   -- v from an EXACT decimal sum (double summation is order-dependent
   -- and split one row at ~1e9 magnitudes — magnitude seed 5401);
   -- 2-dp inputs make the decimal sum exact, the VARCHAR->double parse
-  -- correctly rounded, and ROUND(...,4) a numeric no-op kept for shape.
+  -- correctly rounded, and CASE WHEN abs(...) < 4.5e9 THEN floor((...) * 1e4 + 0.5) / 1e4 ELSE (...) END a numeric no-op kept for shape.
   SELECT user_id, CAST(ts AS DATE) AS day,
-         round(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE), 4) AS v
+         CASE WHEN abs(CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)) < 4.5e9 THEN floor((CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)) * 1e4 + 0.5) / 1e4 ELSE (CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)) END AS v
   FROM events GROUP BY 1, 2
 ),
 ordered AS (
@@ -208,7 +209,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-dp rounding is belt-and-suspenders."""
     ev = load(spark, sf_dir, "events", columns=["user_id", "ts", "value"])
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4).alias("v")
+        floor_quantize(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4).alias("v")
     )
     series = daily.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")
@@ -258,7 +259,7 @@ wau AS (
 SELECT CAST(dau.d AS VARCHAR) AS day,
        CAST(dau.dau AS BIGINT) AS dau,
        CAST(wau.wau AS BIGINT) AS wau,
-       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+       CASE WHEN abs(CAST(dau.dau AS DOUBLE) / wau.wau) < 4.5e9 THEN floor((CAST(dau.dau AS DOUBLE) / wau.wau) * 1e6 + 0.5) / 1e6 ELSE (CAST(dau.dau AS DOUBLE) / wau.wau) END AS stickiness
 FROM dau JOIN wau ON dau.d = wau.d
 """,
 )
@@ -294,7 +295,7 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").cast("string").alias("day"),
             "dau",
             "wau",
-            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+            floor_quantize(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
         )
     )
 
@@ -314,10 +315,10 @@ WITH keyed AS (
   FROM events
 )
 SELECT strftime(day, '%Y-%m-%d') AS day,
-       round(min_by(value, k), 4) AS open,
-       round(max(value), 4)       AS high,
-       round(min(value), 4)       AS low,
-       round(max_by(value, k), 4) AS close,
+       CASE WHEN abs(min_by(value, k)) < 4.5e9 THEN floor((min_by(value, k)) * 1e4 + 0.5) / 1e4 ELSE (min_by(value, k)) END AS open,
+       CASE WHEN abs(max(value)) < 4.5e9 THEN floor((max(value)) * 1e4 + 0.5) / 1e4 ELSE (max(value)) END       AS high,
+       CASE WHEN abs(min(value)) < 4.5e9 THEN floor((min(value)) * 1e4 + 0.5) / 1e4 ELSE (min(value)) END       AS low,
+       CASE WHEN abs(max_by(value, k)) < 4.5e9 THEN floor((max_by(value, k)) * 1e4 + 0.5) / 1e4 ELSE (max_by(value, k)) END AS close,
        CAST(COUNT(*) AS BIGINT)   AS volume
 FROM keyed GROUP BY day
 """,
@@ -342,10 +343,10 @@ def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(F.to_date("ts").alias("day"), "value", k.alias("k"))
         .groupBy("day")
         .agg(
-            F.round(F.min_by("value", "k"), 4).alias("open"),
-            F.round(F.max("value"), 4).alias("high"),
-            F.round(F.min("value"), 4).alias("low"),
-            F.round(F.max_by("value", "k"), 4).alias("close"),
+            floor_quantize(F.min_by("value", "k"), 4).alias("open"),
+            floor_quantize(F.max("value"), 4).alias("high"),
+            floor_quantize(F.min("value"), 4).alias("low"),
+            floor_quantize(F.max_by("value", "k"), 4).alias("close"),
             F.count(F.lit(1)).alias("volume"),
         )
         .select(F.col("day").cast("string").alias("day"), "open", "high", "low", "close", "volume")
@@ -457,7 +458,7 @@ def q_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "dau",
         "wau",
-        F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        floor_quantize(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
     )
 
 
@@ -487,7 +488,7 @@ ranked AS (
   FROM delays
 )
 SELECT CAST(MAX(n) AS BIGINT)                          AS n_events,
-       ROUND((SELECT AVG(CAST(inverted AS DOUBLE)) FROM delays), 6) AS out_of_order_ratio,
+       CASE WHEN abs((SELECT AVG(CAST(inverted AS DOUBLE)) FROM delays)) < 4.5e9 THEN floor(((SELECT AVG(CAST(inverted AS DOUBLE)) FROM delays)) * 1e6 + 0.5) / 1e6 ELSE ((SELECT AVG(CAST(inverted AS DOUBLE)) FROM delays)) END AS out_of_order_ratio,
        MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.50 * n) AS BIGINT)) THEN delay END) AS p50_delay_s,
        MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.95 * n) AS BIGINT)) THEN delay END) AS p95_delay_s,
        MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT)) THEN delay END) AS p99_delay_s,
@@ -532,7 +533,7 @@ def q_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ranked.agg(
         F.max("n").cast("long").alias("n_events"),
-        F.round(F.avg(F.col("inverted").cast("double")), 6).alias("out_of_order_ratio"),
+        floor_quantize(F.avg(F.col("inverted").cast("double")), 6).alias("out_of_order_ratio"),
         F.max(F.when(F.col("rn") == at(0.50), F.col("delay"))).alias("p50_delay_s"),
         F.max(F.when(F.col("rn") == at(0.95), F.col("delay"))).alias("p95_delay_s"),
         F.max(F.when(F.col("rn") == at(0.99), F.col("delay"))).alias("p99_delay_s"),
@@ -549,7 +550,7 @@ def q_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_holt_trend",
     oracle="""
 WITH RECURSIVE daily AS (
-  SELECT CAST(ts AS DATE) AS day, round(sum(value), 4) AS v
+  SELECT CAST(ts AS DATE) AS day, CASE WHEN abs(sum(value)) < 4.5e9 THEN floor((sum(value)) * 1e4 + 0.5) / 1e4 ELSE (sum(value)) END AS v
   FROM events GROUP BY 1
 ),
 ordered AS (
@@ -596,7 +597,7 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed 1801 — the q_stats_agg discipline)."""
     ev = load(spark, sf_dir, "events", columns=["ts", "value"])
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.round(F.sum("value"), 4).alias("v")
+        floor_quantize(F.sum("value"), 4).alias("v")
     )
     series = daily.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")

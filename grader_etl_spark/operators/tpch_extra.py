@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 _REVENUE = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
@@ -183,8 +184,10 @@ WITH sc AS (
   SELECT s.s_suppkey, s.s_name,
          CAST(COUNT(*) AS BIGINT) AS n_shipments,
          CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS BIGINT) AS n_returned,
-         ROUND(CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS DOUBLE)
-               / COUNT(*), 6) AS return_rate
+         CASE WHEN abs(CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS DOUBLE)
+               / COUNT(*)) < 4.5e9 THEN floor((CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS DOUBLE)
+               / COUNT(*)) * 1e6 + 0.5) / 1e6 ELSE (CAST(COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS DOUBLE)
+               / COUNT(*)) END AS return_rate
   FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
   GROUP BY s.s_suppkey, s.s_name
 )
@@ -209,7 +212,7 @@ def q_supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_shipments"),
             ret.alias("n_returned"),
-            F.round(ret.cast("double") / F.count(F.lit(1)), 6).alias("return_rate"),
+            floor_quantize(ret.cast("double") / F.count(F.lit(1)), 6).alias("return_rate"),
         )
     )
     w = Window.orderBy(F.col("return_rate").desc(), "s_suppkey")

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 _DEC = "decimal(18,2)"
 _REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -109,9 +110,13 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_market_share",
     oracle=f"""
 SELECT o_year,
-       round(100.0 * CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume END),
+       CASE WHEN abs(100.0 * CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume END),
                                    0) AS DOUBLE)
-                   / CAST(SUM(volume) AS DOUBLE), 2) AS mkt_share
+                   / CAST(SUM(volume) AS DOUBLE)) < 4.5e9 THEN floor((100.0 * CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume END),
+                                   0) AS DOUBLE)
+                   / CAST(SUM(volume) AS DOUBLE)) * 1e2 + 0.5) / 1e2 ELSE (100.0 * CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume END),
+                                   0) AS DOUBLE)
+                   / CAST(SUM(volume) AS DOUBLE)) END AS mkt_share
 FROM (
   SELECT EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS o_year,
          {_REVENUE_SQL} AS volume,
@@ -183,9 +188,8 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast(_DEC),
     )
     return joined.groupBy("o_year").agg(
-        F.round(
-            F.lit(100.0) * num.cast("double") / F.sum("volume").cast("double"), 2
-        ).alias("mkt_share")
+        floor_quantize(
+            F.lit(100.0) * num.cast("double") / F.sum("volume").cast("double"), 2).alias("mkt_share")
     )
 
 
@@ -277,8 +281,10 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_promo_revenue",
     oracle=f"""
-SELECT round(100.0 * CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL} END), 0) AS DOUBLE)
-            / CAST(SUM({_REVENUE_SQL}) AS DOUBLE), 2) AS promo_share,
+SELECT CASE WHEN abs(100.0 * CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL} END), 0) AS DOUBLE)
+            / CAST(SUM({_REVENUE_SQL}) AS DOUBLE)) < 4.5e9 THEN floor((100.0 * CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL} END), 0) AS DOUBLE)
+            / CAST(SUM({_REVENUE_SQL}) AS DOUBLE)) * 1e2 + 0.5) / 1e2 ELSE (100.0 * CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL} END), 0) AS DOUBLE)
+            / CAST(SUM({_REVENUE_SQL}) AS DOUBLE)) END AS promo_share,
        CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL} END), 0) AS DOUBLE) AS promo_revenue,
        CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS total_revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -307,7 +313,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(F.lit(100.0) * promo.cast("double") / F.sum(rev).cast("double"), 2)
+            floor_quantize(F.lit(100.0) * promo.cast("double") / F.sum(rev).cast("double"), 2)
             .alias("promo_share"),
             promo.cast("double").alias("promo_revenue"),
             F.sum(rev).cast("double").alias("total_revenue"),

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from grader_etl_spark.io import fan_out, load
 from grader_etl_spark.operators.llm_dedup import dot, with_norm
 from grader_etl_spark.registry import checkpoint_frame, query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 CHUNK_WORDS = 8  # words per dedup chunk (non-overlapping)
 SEMDEDUP_TAU = 0.30  # cosine threshold within a cluster
@@ -449,7 +450,7 @@ WITH avail AS (
   FROM ranked
 )
 SELECT r.source, r.avail, r.weight,
-       round(least(CAST(r.avail AS DOUBLE), l.lam * r.weight), 6) AS alloc,
+       CASE WHEN abs(least(CAST(r.avail AS DOUBLE), l.lam * r.weight)) < 4.5e9 THEN floor((least(CAST(r.avail AS DOUBLE), l.lam * r.weight)) * 1e6 + 0.5) / 1e6 ELSE (least(CAST(r.avail AS DOUBLE), l.lam * r.weight)) END AS alloc,
        r.avail <= l.lam * r.weight AS saturated
 FROM ranked r, lam l
 """,
@@ -519,9 +520,8 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "avail",
         "weight",
-        F.round(
-            F.least(F.col("avail").cast("double"), F.col("lam") * F.col("weight")), 6
-        ).alias("alloc"),
+        floor_quantize(
+            F.least(F.col("avail").cast("double"), F.col("lam") * F.col("weight")), 6).alias("alloc"),
         (F.col("avail") <= F.col("lam") * F.col("weight")).alias("saturated"),
     )
 
@@ -607,8 +607,8 @@ SELECT lang,
        CAST(sum(c) AS BIGINT) AS n_words,
        CAST(sum(c * ntok) AS BIGINT) AS n_tokens,
        CAST(sum(c * nchars) AS BIGINT) AS n_chars,
-       round(CAST(sum(c * ntok) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS fertility,
-       round(CAST(sum(c * nchars) AS DOUBLE) / CAST(sum(c * ntok) AS DOUBLE), 4)
+       CASE WHEN abs(CAST(sum(c * ntok) AS DOUBLE) / CAST(sum(c) AS DOUBLE)) < 4.5e9 THEN floor((CAST(sum(c * ntok) AS DOUBLE) / CAST(sum(c) AS DOUBLE)) * 1e4 + 0.5) / 1e4 ELSE (CAST(sum(c * ntok) AS DOUBLE) / CAST(sum(c) AS DOUBLE)) END AS fertility,
+       CASE WHEN abs(CAST(sum(c * nchars) AS DOUBLE) / CAST(sum(c * ntok) AS DOUBLE)) < 4.5e9 THEN floor((CAST(sum(c * nchars) AS DOUBLE) / CAST(sum(c * ntok) AS DOUBLE)) * 1e4 + 0.5) / 1e4 ELSE (CAST(sum(c * nchars) AS DOUBLE) / CAST(sum(c * ntok) AS DOUBLE)) END
          AS chars_per_token
 FROM enc GROUP BY lang
 """,
@@ -648,8 +648,8 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("n_words"),
         n_tok.cast("long").alias("n_tokens"),
         n_chr.cast("long").alias("n_chars"),
-        F.round(n_tok.cast("double") / F.sum("c").cast("double"), 4).alias("fertility"),
-        F.round(n_chr.cast("double") / n_tok.cast("double"), 4).alias("chars_per_token"),
+        floor_quantize(n_tok.cast("double") / F.sum("c").cast("double"), 4).alias("fertility"),
+        floor_quantize(n_chr.cast("double") / n_tok.cast("double"), 4).alias("chars_per_token"),
     )
 
 
@@ -670,8 +670,8 @@ WITH avail AS (
   FROM avail
 ), tot AS (SELECT sum(n_tokens) AS tn, sum(s) AS ts FROM scaled)
 SELECT source, n_tokens,
-       round(CAST(n_tokens AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS raw_share,
-       round(CAST(s AS DOUBLE) / CAST(ts AS DOUBLE), 6) AS temp_share
+       CASE WHEN abs(CAST(n_tokens AS DOUBLE) / CAST(tn AS DOUBLE)) < 4.5e9 THEN floor((CAST(n_tokens AS DOUBLE) / CAST(tn AS DOUBLE)) * 1e6 + 0.5) / 1e6 ELSE (CAST(n_tokens AS DOUBLE) / CAST(tn AS DOUBLE)) END AS raw_share,
+       CASE WHEN abs(CAST(s AS DOUBLE) / CAST(ts AS DOUBLE)) < 4.5e9 THEN floor((CAST(s AS DOUBLE) / CAST(ts AS DOUBLE)) * 1e6 + 0.5) / 1e6 ELSE (CAST(s AS DOUBLE) / CAST(ts AS DOUBLE)) END AS temp_share
 FROM scaled CROSS JOIN tot
 """,
 )
@@ -704,6 +704,6 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tokens",
-        F.round(F.col("n_tokens").cast("double") / F.col("tn").cast("double"), 6).alias("raw_share"),
-        F.round(F.col("s").cast("double") / F.col("ts").cast("double"), 6).alias("temp_share"),
+        floor_quantize(F.col("n_tokens").cast("double") / F.col("tn").cast("double"), 6).alias("raw_share"),
+        floor_quantize(F.col("s").cast("double") / F.col("ts").cast("double"), 6).alias("temp_share"),
     )

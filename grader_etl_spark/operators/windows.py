@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 # ---------------------------------------------------------------------------
 # W1 — ranking windows
@@ -248,8 +249,8 @@ SELECT event_id,
        first_value(event_id) OVER w            AS first_event,
        last_value(event_id)  OVER wful         AS last_event,
        nth_value(event_id, 2) OVER wful        AS second_event,
-       ROUND(percent_rank() OVER w, 6)         AS pct_rank,
-       ROUND(cume_dist() OVER w, 6)            AS cume
+       CASE WHEN abs(percent_rank() OVER w) < 4.5e9 THEN floor((percent_rank() OVER w) * 1e6 + 0.5) / 1e6 ELSE (percent_rank() OVER w) END         AS pct_rank,
+       CASE WHEN abs(cume_dist() OVER w) < 4.5e9 THEN floor((cume_dist() OVER w) * 1e6 + 0.5) / 1e6 ELSE (cume_dist() OVER w) END            AS cume
 FROM events
 WINDOW w    AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
        wful AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
@@ -277,6 +278,6 @@ def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(w).alias("first_event"),
         F.last("event_id").over(wful).alias("last_event"),
         F.nth_value("event_id", 2).over(wful).alias("second_event"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        floor_quantize(F.percent_rank().over(w), 6).alias("pct_rank"),
+        floor_quantize(F.cume_dist().over(w), 6).alias("cume"),
     )

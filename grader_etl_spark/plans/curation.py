@@ -33,6 +33,7 @@ from grader_etl_spark.operators.llm_dedup import (
 )
 from grader_etl_spark.operators.text_analysis import STOPWORDS, tokens
 from grader_etl_spark.registry import memo_checkpoint, query
+from grader_etl_spark.functions.quantize import floor_quantize
 
 MIN_WORDS = 10
 MAX_STOPWORD_RATIO = 0.60
@@ -228,7 +229,7 @@ SELECT d.source,
        CAST(COUNT(g.doc_id) AS BIGINT)   AS n_gated,
        CAST(COUNT(k.doc_id) AS BIGINT)   AS n_unique,
        CAST(COUNT(f.doc_id) AS BIGINT)   AS n_final,
-       ROUND(CAST(COUNT(f.doc_id) AS DOUBLE) / COUNT(*), 6) AS keep_rate
+       CASE WHEN abs(CAST(COUNT(f.doc_id) AS DOUBLE) / COUNT(*)) < 4.5e9 THEN floor((CAST(COUNT(f.doc_id) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6 ELSE (CAST(COUNT(f.doc_id) AS DOUBLE) / COUNT(*)) END AS keep_rate
 FROM documents d
 LEFT JOIN (SELECT doc_id FROM gated)   g ON g.doc_id = d.doc_id
 LEFT JOIN (SELECT doc_id FROM keepers) k ON k.doc_id = d.doc_id
@@ -266,6 +267,6 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("g").alias("n_gated"),
             F.count("k").alias("n_unique"),
             F.count("f").alias("n_final"),
-            F.round(F.count("f").cast("double") / F.count(F.lit(1)), 6).alias("keep_rate"),
+            floor_quantize(F.count("f").cast("double") / F.count(F.lit(1)), 6).alias("keep_rate"),
         )
     )

@@ -28,6 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from grader_etl_spark.plans.pipeline import ParquetStore
+from grader_etl_spark.functions.quantize import floor_quantize
 
 
 def per_day_report(stats: DataFrame) -> DataFrame:
@@ -44,7 +45,7 @@ def per_day_report(stats: DataFrame) -> DataFrame:
             total.alias("total_attempts"),
             succ.alias("successful_attempts"),
             F.when(total == 0, F.lit(0.0))
-            .otherwise(F.round(succ * 100.0 / total, 2))
+            .otherwise(floor_quantize(succ * 100.0 / total, 2))
             .alias("success_percentage"),
             F.countDistinct("user_id").alias("unique_users"),
             F.count(F.when(F.col("attempt_type") == "run", 1)).alias("run_attempts"),

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from grader_etl_spark.functions.passback import with_passback_parsed
 from grader_etl_spark.operators.dedup import first_writer_wins, insert_new_keys_only
 from grader_etl_spark.operators.validation import split_valid
+from grader_etl_spark.functions.quantize import floor_quantize
 
 DEDUP_KEYS = ["user_id", "event_timestamp"]  # main.py:202's composite key
 
@@ -291,7 +292,7 @@ def statistics_report(stats: DataFrame, report_date: str) -> DataFrame:
             total.alias("total_attempts"),
             success.alias("successful_attempts"),
             F.when(total == 0, F.lit(0.0))
-            .otherwise(F.round(success.cast("double") * 100 / total.cast("double"), 2))
+            .otherwise(floor_quantize(success.cast("double") * 100 / total.cast("double"), 2))
             .alias("success_percentage"),
             F.countDistinct("user_id").alias("unique_users"),
             F.count(F.when(F.col("attempt_type") == "run", 1)).alias("run_attempts"),

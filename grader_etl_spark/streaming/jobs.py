@@ -23,6 +23,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from grader_etl_spark.functions.quantize import floor_quantize
+
 WATERMARK_DELAY = "7 days"  # main.py:25's DAYS_BACK as a late-data bound
 DEDUP_KEYS = ["user_id", "event_timestamp"]  # main.py:202
 
@@ -162,7 +164,7 @@ def daily_tumbling_report(
             F.col("day.start").cast("date").cast("string").alias("report_date"),
             "total_attempts",
             "successful_attempts",
-            F.round(
+            floor_quantize(
                 F.col("successful_attempts").cast("double")
                 * 100
                 / F.col("total_attempts").cast("double"),
