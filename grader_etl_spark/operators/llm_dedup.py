@@ -153,25 +153,41 @@ def shared_shingle_pairs(sh: DataFrame, id_col: str = "doc_id", shingle_col: str
     )
 
 
+# df-ordered index memo, keyed by the IDENTITY of the shingle frame it
+# derives from (the shingle memo returns one stable frame per
+# (session, corpus), so identity is the right key — and when
+# clear_session_memos drops the shingle cache, the rebuilt frame is a
+# new object and this index rebuilds with it). The value tuple holds a
+# strong ref to the key frame so a GC'd id can never alias. Three
+# consumers share it per session: the pair-memo build, q_neardup_prefix
+# and q_containment_dup.
+_DF_ORDER_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+
+
 def _df_ordered_arrays(sh: DataFrame) -> DataFrame:
     """(doc_id, sz, arr): every document's shingles sorted under the
     global (document-frequency asc, shingle asc) TOTAL order — the
-    shared index both prefix-filter candidate generators slice. The
-    df table is vocabulary-sized (partial-agg before its shuffle);
-    hot shingles sort to the END of each document's array, which is
-    what lets a prefix slice drop the frequency-skew head."""
-    ex = sh.select("doc_id", F.explode("sset").alias("s"))
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    return (
-        ex.join(freq, "s")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("arr"))
-        .select(
-            "doc_id",
-            F.size("arr").alias("sz"),
-            F.transform("arr", lambda x: x["s"]).alias("arr"),
+    shared, session-memoized index every prefix-filter candidate
+    generator slices. The df table is vocabulary-sized (partial-agg
+    before its shuffle); hot shingles sort to the END of each
+    document's array, which is what lets a prefix slice drop the
+    frequency-skew head."""
+    key = id(sh)
+    if key not in _DF_ORDER_CACHE:
+        ex = sh.select("doc_id", F.explode("sset").alias("s"))
+        freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        built = (
+            ex.join(freq, "s")
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("arr"))
+            .select(
+                "doc_id",
+                F.size("arr").alias("sz"),
+                F.transform("arr", lambda x: x["s"]).alias("arr"),
+            )
         )
-    )
+        _DF_ORDER_CACHE[key] = (sh, memo_checkpoint(built))
+    return _DF_ORDER_CACHE[key][1]
 
 
 def prefix_filtered_candidates(sh: DataFrame, tau_num: int, tau_den: int) -> DataFrame:
