@@ -85,6 +85,27 @@ def test_constant_shuffle_class_stays_constant(measurements, name):
     )
 
 
+def test_no_display_class_f_round_survives():
+    """Native ROUND(double, n>0) is measured cross-engine-divergent on
+    ~1% of half-boundary inputs (functions/quantize.py module doc), so
+    display rounding must go through floor_quantize. The inventory
+    tool classifies every F.round site; a DISPLAY-class site
+    reappearing is a correctness regression waiting for a fuzz seed.
+    No Spark needed — this is a source-level contract."""
+    sa = _audit_mod  # noqa: F841  (same loader pattern)
+    spec = importlib.util.spec_from_file_location(
+        "round_inventory", os.path.join(_REPO, "tools", "round_inventory.py")
+    )
+    ri = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ri)
+    display = [r for r in ri.sites() if r[2] == "DISPLAY"]
+    assert not display, (
+        "display-class F.round sites found (use "
+        "grader_etl_spark.functions.quantize.floor_quantize + the SQL CASE "
+        f"twin instead): {display}"
+    )
+
+
 @pytest.mark.parametrize("name", ZERO_SHUFFLE)
 def test_zero_shuffle_class_stays_zero(measurements, name):
     small, big = measurements
