@@ -165,25 +165,37 @@ _DF_ORDER_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
 
 
 def _df_ordered_arrays(sh: DataFrame) -> DataFrame:
-    """(doc_id, sz, arr): every document's shingles sorted under the
-    global (document-frequency asc, shingle asc) TOTAL order — the
-    shared, session-memoized index every prefix-filter candidate
-    generator slices. The df table is vocabulary-sized (partial-agg
-    before its shuffle); hot shingles sort to the END of each
-    document's array, which is what lets a prefix slice drop the
-    frequency-skew head."""
+    """(doc_id, sz, ids): every document's shingles as INT64 SHINGLE
+    IDS, sorted under the global (document-frequency asc, shingle asc)
+    TOTAL order — the shared, session-memoized index every
+    prefix-filter candidate generator slices and every verify
+    intersects. The df table is vocabulary-sized (partial-agg before
+    its shuffle); hot shingles sort to the END of the order, which is
+    what lets a prefix slice drop the frequency-skew head.
+
+    The ids come from ``monotonically_increasing_id`` over the DISTINCT
+    vocabulary — an INJECTIVE shingle→int64 map (no window, no
+    single-partition sort, no hash-collision caveat), frozen by the
+    memo checkpoint so every consumer sees one consistent dictionary
+    per session. Intersection COUNTS and the candidate join are
+    invariant to the id values, so results are deterministic even
+    though the ids themselves are not. Carrying 8-byte ids instead of
+    ~20-char shingle strings cuts the candidate-join key width and —
+    the measured win — the verify stage's per-pair payload ~10×
+    (string-array assembly dominated the profile at sf0.1)."""
     key = id(sh)
     if key not in _DF_ORDER_CACHE:
         ex = sh.select("doc_id", F.explode("sset").alias("s"))
         freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        vocab = freq.withColumn("sid", F.monotonically_increasing_id())
         built = (
-            ex.join(freq, "s")
+            ex.join(vocab, "s")
             .groupBy("doc_id")
-            .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("arr"))
+            .agg(F.array_sort(F.collect_list(F.struct("df", "s", "sid"))).alias("arr"))
             .select(
                 "doc_id",
                 F.size("arr").alias("sz"),
-                F.transform("arr", lambda x: x["s"]).alias("arr"),
+                F.transform("arr", lambda x: x["sid"]).alias("ids"),
             )
         )
         _DF_ORDER_CACHE[key] = (sh, memo_checkpoint(built))
@@ -224,7 +236,7 @@ def prefix_filtered_candidates(sh: DataFrame, tau_num: int, tau_den: int) -> Dat
     pref = _df_ordered_arrays(sh).select(
         "doc_id",
         "sz",
-        F.posexplode(F.expr(f"slice(arr, 1, {plen})")).alias("pos", "s"),
+        F.posexplode(F.expr(f"slice(ids, 1, {plen})")).alias("pos", "s"),
     )
     a = pref.alias("a")
     b = pref.alias("b")
@@ -275,9 +287,9 @@ def containment_prefix_candidates(sh: DataFrame, t_num: int, t_den: int) -> Data
     base = _df_ordered_arrays(sh)
     plen = f"sz - ((sz * {n} + {d - 1}) div {d}) + 1"
     a = base.select(
-        "doc_id", "sz", F.posexplode(F.expr(f"slice(arr, 1, {plen})")).alias("pos", "s")
+        "doc_id", "sz", F.posexplode(F.expr(f"slice(ids, 1, {plen})")).alias("pos", "s")
     ).alias("a")
-    b = base.select("doc_id", "sz", F.posexplode("arr").alias("pos", "s")).alias("b")
+    b = base.select("doc_id", "sz", F.posexplode("ids").alias("pos", "s")).alias("b")
     # Strict (size, id) total order: each unordered pair is generated
     # exactly once with `a` the smaller side.
     size_order = (F.col("a.sz") < F.col("b.sz")) | (
@@ -383,20 +395,26 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilistic variant for corpora where even prefix-filtered
     exact verification is too expensive."""
     sh = shingled_docs(spark, sf_dir)
+    idx = _df_ordered_arrays(sh)
     cand = prefix_filtered_candidates(sh, *_JACCARD_TAU)
-    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sset").alias("sset_1"))
-    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sset").alias("sset_2"))
-    c = F.size(F.array_intersect("sset_1", "sset_2"))
+    # Verify on the index's INT64 id arrays (injective dictionary, so
+    # |ids_1 ∩ ids_2| IS |A∩B| exactly); both sides are |docs|-row
+    # frames (MiB-scale) broadcast so the candidate frame never
+    # shuffles, and the per-pair payload is 8-byte ids, not shingle
+    # strings (~10x lighter — this stage dominated the sf0.1 profile).
+    s1 = idx.select(F.col("doc_id").alias("doc_id_1"), F.col("sz").alias("sz_1"), F.col("ids").alias("ids_1"))
+    s2 = idx.select(F.col("doc_id").alias("doc_id_2"), F.col("sz").alias("sz_2"), F.col("ids").alias("ids_2"))
+    c = F.size(F.array_intersect("ids_1", "ids_2"))
     return (
-        cand.join(s1, "doc_id_1")
-        .join(s2, "doc_id_2")
+        cand.join(F.broadcast(s1), "doc_id_1")
+        .join(F.broadcast(s2), "doc_id_2")
         .withColumn("c", c)
         .select(
             "doc_id_1",
             "doc_id_2",
             (
                 F.col("c").cast("double")
-                / (F.size("sset_1") + F.size("sset_2") - F.col("c"))
+                / (F.col("sz_1") + F.col("sz_2") - F.col("c"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
@@ -953,18 +971,21 @@ def q_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a 2× projection, not a second join). The DuckDB oracle runs the
     naive directed all-pairs semantics, proving parity."""
     sh = shingled_docs(spark, sf_dir)
+    idx = _df_ordered_arrays(sh)
     cand = containment_prefix_candidates(sh, 3, 5)  # 0.6 = 3/5 exact
-    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sset").alias("sset_1"))
-    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sset").alias("sset_2"))
+    # Verify on the index's int64 id arrays (injective dictionary —
+    # counts are exact); broadcast the |docs|-row sides.
+    s1 = idx.select(F.col("doc_id").alias("doc_id_1"), F.col("sz").alias("sz_a"), F.col("ids").alias("ids_1"))
+    s2 = idx.select(F.col("doc_id").alias("doc_id_2"), F.col("sz").alias("sz_b"), F.col("ids").alias("ids_2"))
     inter = (
-        cand.join(s1, "doc_id_1")
-        .join(s2, "doc_id_2")
+        cand.join(F.broadcast(s1), "doc_id_1")
+        .join(F.broadcast(s2), "doc_id_2")
         .select(
             F.col("doc_id_1").alias("id_a"),
             F.col("doc_id_2").alias("id_b"),
-            F.size(F.array_intersect("sset_1", "sset_2")).cast("bigint").alias("overlap"),
-            F.size("sset_1").cast("bigint").alias("sz_a"),
-            F.size("sset_2").cast("bigint").alias("sz_b"),
+            F.size(F.array_intersect("ids_1", "ids_2")).cast("bigint").alias("overlap"),
+            F.col("sz_a").cast("bigint").alias("sz_a"),
+            F.col("sz_b").cast("bigint").alias("sz_b"),
         )
         .filter(F.col("overlap") > 0)
     )
@@ -1176,25 +1197,26 @@ def q_neardup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     main.py's exact-key dedup (/root/reference/main.py:192-211) to
     near-duplicate content."""
     sh = shingled_docs(spark, sf_dir)
+    idx = _df_ordered_arrays(sh)
     cand = prefix_filtered_candidates(sh, 1, 2)
-    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("sset").alias("sset_1"))
-    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("sset").alias("sset_2"))
-    c = F.size(F.array_intersect("sset_1", "sset_2"))
+    s1 = idx.select(F.col("doc_id").alias("doc_id_1"), F.col("sz").alias("sz_1"), F.col("ids").alias("ids_1"))
+    s2 = idx.select(F.col("doc_id").alias("doc_id_2"), F.col("sz").alias("sz_2"), F.col("ids").alias("ids_2"))
+    c = F.size(F.array_intersect("ids_1", "ids_2"))
     return (
-        cand.join(s1, "doc_id_1")
-        .join(s2, "doc_id_2")
+        cand.join(F.broadcast(s1), "doc_id_1")
+        .join(F.broadcast(s2), "doc_id_2")
         .withColumn("c", c)
         .filter(
-            (3 * F.col("c") >= F.size("sset_1") + F.size("sset_2"))
-            & (F.size("sset_1") > 0)
-            & (F.size("sset_2") > 0)
+            (3 * F.col("c") >= F.col("sz_1") + F.col("sz_2"))
+            & (F.col("sz_1") > 0)
+            & (F.col("sz_2") > 0)
         )
         .select(
             "doc_id_1",
             "doc_id_2",
             (
                 F.col("c").cast("double")
-                / (F.size("sset_1") + F.size("sset_2") - F.col("c"))
+                / (F.col("sz_1") + F.col("sz_2") - F.col("c"))
             ).alias("jaccard"),
         )
     )
