@@ -817,8 +817,9 @@ def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic and engine-identical — without the key tie-break,
     equal-value rows straddling a decile boundary would make the
     split engine-dependent. The global sort is the cost; at extreme
-    scale the documented swap is approx_percentile decile cutoffs +
-    map-side bucketing (one pass, no sort), same output contract."""
+    scale the documented swap is fixed-grid histogram decile cutoffs +
+    map-side bucketing (q_revenue_deciles_approx: no row sort, bounded
+    sketch state), same output contract."""
     od = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     d = (
@@ -1220,43 +1221,104 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_revenue_deciles_approx", oracle=None)
+@query(
+    "q_revenue_deciles_approx",
+    oracle="""
+WITH h AS (
+  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS cell, COUNT(*) AS c
+  FROM orders GROUP BY cell
+),
+cum AS (
+  SELECT cell, c,
+         SUM(c) OVER (ORDER BY cell ROWS UNBOUNDED PRECEDING) AS cm,
+         SUM(c) OVER () AS n
+  FROM h
+),
+cuts AS (
+  SELECT MIN(CASE WHEN cm >= (1 * n + 9) // 10 THEN cell END) AS c1,
+         MIN(CASE WHEN cm >= (2 * n + 9) // 10 THEN cell END) AS c2,
+         MIN(CASE WHEN cm >= (3 * n + 9) // 10 THEN cell END) AS c3,
+         MIN(CASE WHEN cm >= (4 * n + 9) // 10 THEN cell END) AS c4,
+         MIN(CASE WHEN cm >= (5 * n + 9) // 10 THEN cell END) AS c5,
+         MIN(CASE WHEN cm >= (6 * n + 9) // 10 THEN cell END) AS c6,
+         MIN(CASE WHEN cm >= (7 * n + 9) // 10 THEN cell END) AS c7,
+         MIN(CASE WHEN cm >= (8 * n + 9) // 10 THEN cell END) AS c8,
+         MIN(CASE WHEN cm >= (9 * n + 9) // 10 THEN cell END) AS c9
+  FROM cum
+),
+bucketed AS (
+  SELECT o_totalprice,
+         10 - ((CAST(FLOOR(o_totalprice) AS BIGINT) > c1)::INT
+             + (CAST(FLOOR(o_totalprice) AS BIGINT) > c2)::INT
+             + (CAST(FLOOR(o_totalprice) AS BIGINT) > c3)::INT
+             + (CAST(FLOOR(o_totalprice) AS BIGINT) > c4)::INT
+             + (CAST(FLOOR(o_totalprice) AS BIGINT) > c5)::INT
+             + (CAST(FLOOR(o_totalprice) AS BIGINT) > c6)::INT
+             + (CAST(FLOOR(o_totalprice) AS BIGINT) > c7)::INT
+             + (CAST(FLOOR(o_totalprice) AS BIGINT) > c8)::INT
+             + (CAST(FLOOR(o_totalprice) AS BIGINT) > c9)::INT) AS decile
+  FROM orders, cuts
+),
+d AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM bucketed GROUP BY decile
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_orders,
+       CAST(revenue AS DOUBLE) AS revenue,
+       CASE WHEN abs(CAST(revenue AS DOUBLE)
+             / CAST(SUM(revenue) OVER () AS DOUBLE)) < 4.5e9 THEN floor((CAST(revenue AS DOUBLE)
+             / CAST(SUM(revenue) OVER () AS DOUBLE)) * 1e6 + 0.5) / 1e6 ELSE (CAST(revenue AS DOUBLE)
+             / CAST(SUM(revenue) OVER () AS DOUBLE)) END AS revenue_share
+FROM d
+""",
+)
 def q_revenue_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented 100 TB swap for q_revenue_deciles, executable:
-    decile CUTOFFS from one approx_percentile aggregate (GK sketch —
-    mergeable, no global sort), then map-side bucketing by comparison
-    against the broadcast 9-value cutoff array and one grouped
-    aggregate. Two passes over the scan, ZERO sort — versus NTILE's
-    single-reducer total order, which is the one part of the exact
-    plan that cannot scale out.
+    decile CUTOFFS from a FIXED-GRID value histogram (whole-dollar
+    cells: one map-side floor + a grouped count whose state is bounded
+    by the money domain, not n — mergeable, commutative), a cumulative
+    pass over the COMPACT histogram (≤|price range| rows — the thing
+    NTILE's single-reducer total order over all n rows cannot scale),
+    then map-side bucketing against the broadcast 9-cell cutoff row.
+    Cutoff rank error ≤ the mass of one grid cell; population error is
+    bounded accordingly (pytest: within 5% of exact n/10, revenue
+    conserved to the cent).
 
-    Rows-only by design: the GK sketch's cutoffs are
-    implementation-specific (Spark's and DuckDB's differ), so there
-    is no cross-engine value oracle — the pytest gate instead bounds
-    every decile's population against the exact n/10 (sketch accuracy
-    =1e-4 relative rank error ⇒ tight) and requires revenue
-    conservation to the cent. Same output contract as the exact
-    operator."""
+    Unlike the GK approx_percentile rendition this replaced (cutoffs
+    engine-specific ⇒ rows-only), the grid pipeline is
+    integer-deterministic end to end, so the DuckDB oracle verifies
+    populations, revenue, and shares value-for-value. For continuous /
+    unbounded domains where no natural grid exists, the GK sketch
+    remains the right tool — q_approx_percentiles carries that
+    pattern with its rank-band contract."""
     od = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-    cuts = od.agg(
-        F.expr(
-            "approx_percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)"
-        ).alias("cuts")
+    cell = F.floor("o_totalprice").cast("long")
+    hist = od.groupBy(cell.alias("cell")).agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "cell",
+        F.sum("c").over(wc).alias("cm"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    cuts = cum.agg(
+        *[
+            F.min(
+                F.when(F.col("cm") >= F.expr(f"({j} * n + 9) div 10"), F.col("cell"))
+            ).alias(f"c{j}")
+            for j in range(1, 10)
+        ]
     )
     # decile 1 = HIGHEST values (q_revenue_deciles orders desc):
-    # value > cuts[8] → 1, > cuts[7] → 2, ..., else 10. aggregate()
-    # counts how many cutoffs the value exceeds — map-side, no sort.
-    bucketed = od.crossJoin(F.broadcast(cuts)).select(
-        "o_totalprice",
-        (
-            F.lit(10)
-            - F.aggregate(
-                F.col("cuts"),
-                F.lit(0),
-                lambda acc, c: acc + F.when(F.col("o_totalprice") > c, 1).otherwise(0),
-            )
-        ).cast("long").alias("decile"),
+    # cell > c9 → 1, > c8 → 2, ..., else 10. Comparing CELLS (not raw
+    # values) keeps every order inside a boundary cell in one decile.
+    above = sum(
+        (F.col("cell") > F.col(f"c{j}")).cast("int") for j in range(1, 10)
     )
+    bucketed = od.select("o_totalprice", cell.alias("cell")).crossJoin(
+        F.broadcast(cuts)
+    ).select("o_totalprice", (F.lit(10) - above).cast("long").alias("decile"))
     d = bucketed.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),

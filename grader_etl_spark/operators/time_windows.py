@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
-from grader_etl_spark.functions.quantize import floor_quantize
+from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
+from grader_etl_spark.functions.quantize import floor_quantize, fq_sql
 
 SESSION_GAP = "30 minutes"
 
@@ -425,40 +426,146 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_active_users_hll — the sketch-merge DAU/WAU variant (B12's scale path)
 # ---------------------------------------------------------------------------
 
+# Classic HyperLogLog (Flajolet et al. 2007) over the cross-engine
+# md5_32 hash (functions/hashing.py): P index bits select one of
+# M_REG registers, the remaining W_BITS bits' leading-zero count + 1
+# is the register's rank. Everything below the final estimate is
+# INTEGER (register maxima; the indicator sum Σ2^-M_j is carried as
+# the exact integer Σ2^(32-M_j) + V·2^32 over the common denominator
+# 2^32), so — unlike the engine-specific DataSketches binaries this
+# replaced — DuckDB replays the sketch bit-for-bit and the ESTIMATE
+# itself is value-oracled, not just accuracy-bounded. Standard error
+# 1.04/√512 ≈ 4.6% in the raw regime; the linear-counting branch
+# (E ≤ 2.5m with empty registers) is far tighter at fixture
+# cardinalities. Accuracy vs the exact q_active_users remains
+# pytest-bounded in tests/test_audit_ops.py.
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P  # 512 registers
+_HLL_W = 32 - _HLL_P  # 23 rank bits
+_HLL_WPOW = 1 << _HLL_W  # 2^23
+# alpha_m · m² · 2^32 — one double literal shared verbatim by both
+# engines, so the raw estimate is a single identical IEEE division.
+_HLL_ALPHA_NUM = repr(0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * float(1 << 32))
+_HLL_LC_CUT = repr(2.5 * _HLL_M)
 
-# No DuckDB oracle possible: Apache DataSketches HLL binaries are
-# Spark-specific. Accuracy is pytest-bounded against the exact
-# q_active_users (tests/test_audit_ops.py); at the fixture's
-# cardinalities the sketch is in sparse mode and typically exact.
-@query("q_active_users_hll", oracle=None)
+
+def _hll_estimate(v: F.Column, z: F.Column) -> F.Column:
+    """HLL estimate from V (empty-register count) and the exact
+    integer indicator numerator Z = Σ2^(32-M_j) + V·2^32. One
+    division, one optional ln — both single IEEE ops on identical
+    operands cross-engine (the LN precedent is q_user_entropy)."""
+    e_raw = F.lit(float(_HLL_ALPHA_NUM)) / z.cast("double")
+    lc = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double"))
+    return F.when((v > 0) & (e_raw <= F.lit(float(_HLL_LC_CUT))), lc).otherwise(e_raw)
+
+
+_HLL_EST_SQL = (
+    f"CASE WHEN {{v}} > 0 AND {_HLL_ALPHA_NUM} / CAST({{z}} AS DOUBLE) <= {_HLL_LC_CUT} "
+    f"THEN {_HLL_M}.0 * LN({_HLL_M}.0 / {{v}}) "
+    f"ELSE {_HLL_ALPHA_NUM} / CAST({{z}} AS DOUBLE) END"
+)
+_HLL_Z_SQL = (
+    f"SUM(CAST(1 AS BIGINT) << (32 - m)) + ({_HLL_M} - COUNT(*)) * 4294967296"
+)
+
+
+@query(
+    "q_active_users_hll",
+    oracle=f"""
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS d,
+         {MD5_32_SQL.format(expr="CAST(user_id AS VARCHAR)")} AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+reg AS (
+  SELECT d, CAST(h // {_HLL_WPOW} AS INT) AS idx,
+         MAX(CASE WHEN h % {_HLL_WPOW} = 0 THEN {_HLL_W + 1}
+                  ELSE {_HLL_W + 1} - length(bin(h % {_HLL_WPOW})) END) AS m
+  FROM ev GROUP BY d, idx
+),
+days AS (SELECT DISTINCT d FROM reg),
+dau AS (
+  SELECT d, {_HLL_Z_SQL} AS z, {_HLL_M} - COUNT(*) AS v FROM reg GROUP BY d
+),
+wreg AS (
+  SELECT days.d AS d, reg.idx, MAX(reg.m) AS m
+  FROM days JOIN reg ON reg.d > days.d - 7 AND reg.d <= days.d
+  GROUP BY days.d, reg.idx
+),
+wau AS (
+  SELECT d, {_HLL_Z_SQL} AS z, {_HLL_M} - COUNT(*) AS v FROM wreg GROUP BY d
+),
+est AS (
+  SELECT dau.d,
+         {_HLL_EST_SQL.format(v="dau.v", z="dau.z")} AS de,
+         {_HLL_EST_SQL.format(v="wau.v", z="wau.z")} AS we
+  FROM dau JOIN wau ON dau.d = wau.d
+)
+SELECT CAST(d AS VARCHAR) AS day,
+       {fq_sql("de", 4)} AS dau,
+       {fq_sql("we", 4)} AS wau,
+       {fq_sql("de / we", 6)} AS stickiness
+FROM est
+""",
+)
 def q_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DAU/WAU/stickiness via MERGEABLE HLL sketches — the 100 TB path
-    q_active_users' docstring promises: one pass builds a per-day
-    sketch (hll_sketch_agg, a few KB each regardless of user
-    cardinality), and the trailing-7-day WAU is a UNION of ≤7 sketches
-    (hll_union_agg over a calendar range window) — no factor-7 row
-    explode, no giant distinct. The per-day sketch table is exactly
-    what a production pipeline would PERSIST and maintain
-    incrementally: yesterday's sketches never recompute, today's batch
-    appends one sketch row, and any window (7/28/90-day) is a union
-    over the stored sketches. The window frame here is calendar-RANGE
-    on the day ordinal, so gaps in the date line shrink the union
-    correctly instead of grabbing 7 arbitrary rows."""
-    ev = load(spark, sf_dir, "events", columns=["ts", "user_id"])
-    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+    """DAU/WAU/stickiness via MERGEABLE register-HLL sketches — the
+    100 TB path q_active_users' docstring promises: one pass collapses
+    events to per-(day, register) maxima (map-side partial max; ≤512
+    rows per day regardless of user cardinality), and the trailing-
+    7-day WAU is a register-wise MAX over ≤7 sketch rows — no factor-7
+    row explode over users, no giant distinct. The per-day register
+    table is exactly what a production pipeline would PERSIST and
+    maintain incrementally: yesterday's registers never recompute,
+    today's batch merges via MAX, and any window (7/28/90-day) is a
+    register union over the stored rows. Unlike hll_sketch_agg's
+    DataSketches binaries (the drop-in Spark-native alternative), the
+    md5_32 register pipeline is integer-deterministic cross-engine, so
+    the DuckDB oracle verifies the ESTIMATES value-for-value. The
+    trailing window joins on real days only, so gaps in the date line
+    shrink the union correctly instead of grabbing 7 arbitrary rows."""
+    ev = load(spark, sf_dir, "events", columns=["ts", "user_id"]).filter(
+        F.col("user_id").isNotNull()
     )
-    dn = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
-    w = Window.orderBy(dn).rangeBetween(-6, 0)
-    return daily.select(
-        F.col("d").cast("string").alias("day"),
-        F.hll_sketch_estimate("sk").alias("dau"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("wau"),
-    ).select(
-        "day",
-        "dau",
-        "wau",
-        floor_quantize(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+    h = md5_32(F.col("user_id").cast("string"))
+    slots = ev.select(F.to_date("ts").alias("d"), h.alias("h")).select(
+        "d",
+        F.expr(f"CAST(h div {_HLL_WPOW} AS INT)").alias("idx"),
+        (F.col("h") % F.lit(_HLL_WPOW)).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(_HLL_W + 1)).otherwise(
+        F.lit(_HLL_W + 1) - F.length(F.bin("w"))
+    )
+    reg = slots.select("d", "idx", rho.cast("int").alias("m")).groupBy("d", "idx").agg(
+        F.max("m").alias("m")
+    )
+    term = F.expr("shiftleft(CAST(1 AS BIGINT), 32 - m)")
+    zv = [
+        (F.sum(term) + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(1 << 32)).alias("z"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("v"),
+    ]
+    dau = reg.groupBy("d").agg(*zv)
+    days = reg.select("d").distinct().select(F.col("d").alias("rd"))
+    wreg = (
+        reg.join(days, (F.col("d") > F.date_sub("rd", 7)) & (F.col("d") <= F.col("rd")))
+        .groupBy("rd", "idx")
+        .agg(F.max("m").alias("m"))
+    )
+    wau = wreg.groupBy("rd").agg(*zv)
+    de = _hll_estimate(F.col("dv"), F.col("dz"))
+    we = _hll_estimate(F.col("wv"), F.col("wz"))
+    return (
+        dau.select(F.col("d"), F.col("z").alias("dz"), F.col("v").alias("dv"))
+        .join(
+            wau.select(F.col("rd").alias("d"), F.col("z").alias("wz"), F.col("v").alias("wv")),
+            "d",
+        )
+        .select(
+            F.col("d").cast("string").alias("day"),
+            floor_quantize(de, 4).alias("dau"),
+            floor_quantize(we, 4).alias("wau"),
+            floor_quantize(de / we, 6).alias("stickiness"),
+        )
     )
 
 

@@ -198,9 +198,10 @@ def test_ohlc_tiebreak_and_twap_weighting(spark, monkeypatch):
 
 
 def test_hll_active_users_tracks_exact(spark, sf_dir):
-    """The sketch-merge DAU/WAU must track the exact explode-based
-    computation within HLL error (lgK=12 -> ~2.5% at large
-    cardinalities; exact in sparse mode at fixture size)."""
+    """The register-HLL DAU/WAU must track the exact explode-based
+    computation within sketch error (m=512 -> 1.04/sqrt(512) ~ 4.6%
+    raw regime; the linear-counting branch active at fixture
+    cardinalities is far tighter)."""
     from grader_etl_spark.operators.time_windows import (
         q_active_users,
         q_active_users_hll,
@@ -213,6 +214,73 @@ def test_hll_active_users_tracks_exact(spark, sf_dir):
         s = sketch[day]
         assert abs(s["dau"] - e["dau"]) <= max(1, 0.05 * e["dau"]), day
         assert abs(s["wau"] - e["wau"]) <= max(1, 0.05 * e["wau"]), day
+
+
+def test_hll_registers_match_python_twin(spark, monkeypatch):
+    """The register pipeline is pinned against a pure-Python HLL on
+    md5_32_py: same index/rank split, same integer indicator sum, same
+    linear-counting branch — dau/wau must agree to float noise (the
+    only non-integer steps are one division and one ln). Includes a
+    date-line GAP so the trailing-window register union is exercised
+    on real days only."""
+    import math
+
+    import grader_etl_spark.operators.time_windows as tw
+    from grader_etl_spark.functions.hashing import md5_32_py
+
+    base = dt.datetime(2024, 3, 1, 9, 0, 0)
+    rows = []
+    eid = 0
+    day_users: dict[str, set[int]] = {}
+    # days 0,1,2 then a gap, then 6,7 — ~40 users, overlapping cohorts
+    for day_off, users in [
+        (0, range(0, 25)),
+        (1, range(10, 35)),
+        (2, range(5, 20)),
+        (6, range(30, 42)),
+        (7, range(0, 8)),
+    ]:
+        d = (base + dt.timedelta(days=day_off)).date().isoformat()
+        day_users.setdefault(d, set())
+        for u in users:
+            eid += 1
+            rows.append((eid, base + dt.timedelta(days=day_off, minutes=u), u))
+            day_users[d].add(u)
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    monkeypatch.setattr(tw, "load", lambda spark, sf, t, columns=None: df)
+
+    def regs(users: set[int]) -> dict[int, int]:
+        m: dict[int, int] = {}
+        for u in users:
+            h = md5_32_py(str(u))
+            idx, w = divmod(h, tw._HLL_WPOW)
+            rho = tw._HLL_W + 1 if w == 0 else tw._HLL_W + 1 - w.bit_length()
+            m[idx] = max(m.get(idx, 0), rho)
+        return m
+
+    def est(m: dict[int, int]) -> float:
+        v = tw._HLL_M - len(m)
+        z = sum(1 << (32 - r) for r in m.values()) + v * (1 << 32)
+        e = float(tw._HLL_ALPHA_NUM) / float(z)
+        if v > 0 and e <= float(tw._HLL_LC_CUT):
+            e = float(tw._HLL_M) * math.log(float(tw._HLL_M) / v)
+        return e
+
+    got = {r["day"]: r for r in tw.q_active_users_hll(spark, "x").collect()}
+    assert set(got) == set(day_users)
+    days_sorted = sorted(day_users)
+    for d in days_sorted:
+        dd = dt.date.fromisoformat(d)
+        week_users: set[int] = set()
+        for d2 in days_sorted:
+            delta = (dd - dt.date.fromisoformat(d2)).days
+            if 0 <= delta < 7:
+                week_users |= day_users[d2]
+        want_dau = est(regs(day_users[d]))
+        want_wau = est(regs(week_users))
+        # displayed values are floor-quantized to 4 dp (|q(x)-x| <= 5e-5)
+        assert abs(got[d]["dau"] - want_dau) < 6e-5, d
+        assert abs(got[d]["wau"] - want_wau) < 6e-5, d
 
 
 def test_try_arithmetic_null_on_zero_denominator(spark, monkeypatch):

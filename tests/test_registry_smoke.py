@@ -1,6 +1,9 @@
 """Registry contract smoke: every registered query executes at
 sf0.001 with a stable non-empty schema, and the oracle coverage is
-exactly as declared (only the 3 approximate operators are rows-only).
+exactly as declared (only the 4 float-iterative pipelines — k-means
+and its IVF/recall consumers, plus the eigendecomposition PCA — are
+rows-only; every sketch with an integer-deterministic core is
+value-oracled).
 """
 
 from __future__ import annotations
@@ -15,15 +18,9 @@ ROWS_ONLY_BY_DESIGN = {
     # via the md5_32 cross-engine hash (functions/hashing.py).
     "q_kmeans_embeddings",  # iterative Lloyd's; invariants in test_clustering.py
     "q_ann_ivf",  # k-means cell layout; recall in test_similarity.py
-    # DataSketches HLL binaries are Spark-specific (no DuckDB twin);
-    # accuracy bounded vs the exact q_active_users in test_audit_ops.py.
-    "q_active_users_hll",
     # Driver-side eigh of the d×d covariance; eigendecomposition isn't
     # SQL — semantics pinned vs numpy's full PCA in test_pca.py.
     "q_pca_project",
-    # GK-sketch decile cutoffs are engine-specific (no cross-engine
-    # twin); populations/conservation bounded in test_approx.py.
-    "q_revenue_deciles_approx",
     # Inherits q_ann_ivf's float-order sensitivity (it IS the audit of
     # that path); mean-recall floor in test_similarity.py.
     "q_ann_recall",
