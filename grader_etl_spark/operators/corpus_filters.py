@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
 from grader_etl_spark.functions.quantize import floor_quantize
+from grader_etl_spark.functions.textnorm import norm_lower
 
 # ---------------------------------------------------------------------------
 # q_pii_redact — regex PII detection + redaction
@@ -99,7 +100,7 @@ DECON_N = 5  # words per contamination n-gram (GPT-3 used 13; fixture docs are s
     "q_decontaminate",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS w FROM documents
 ),
 grams AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -241,7 +242,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     toks = docs.select(
         "doc_id",
-        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
+        F.explode(F.regexp_extract_all(norm_lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
@@ -394,7 +395,7 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_char_entropy",
     oracle="""
 WITH chars AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents
+  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents
 ),
 counts AS (SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY doc_id, ch)
 SELECT doc_id,
@@ -418,7 +419,12 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulps. Two cheap shuffles on doc-keyed counts; at 100 TB the first
     agg partial-combines to ≤|alphabet| rows per doc per task."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    chars = docs.select("doc_id", F.explode(F.regexp_extract_all("text", F.lit("."), 0)).alias("ch"))
+    # (?s) = dotall: bare '.' excludes \n in RE2 but ALL line
+    # terminators (\n \r U+0085 U+2028 U+2029) in Java — only the
+    # dotall form counts every codepoint identically cross-engine.
+    chars = docs.select(
+        "doc_id", F.explode(F.regexp_extract_all("text", F.lit("(?s)."), 0)).alias("ch")
+    )
     counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
     n = F.sum("cnt")
     return counts.groupBy("doc_id").agg(
@@ -543,7 +549,7 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     dt = docs.select(
         "doc_id",
-        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
+        F.explode(F.regexp_extract_all(norm_lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
     ).distinct()
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
@@ -794,7 +800,7 @@ def q_filter_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side to a ≤ 15-row result — one corpus scan, one tiny
     shuffle, any corpus size."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    toks = F.regexp_extract_all(norm_lower("text"), F.lit("[a-z]+"), 0)
     feats = docs.select(
         "doc_id",
         F.size(toks).alias("n_toks"),

@@ -42,6 +42,7 @@ from grader_etl_spark.operators.llm_dedup import (
 )
 from grader_etl_spark.registry import checkpoint_frame, memo_checkpoint, query
 from grader_etl_spark.functions.quantize import floor_quantize
+from grader_etl_spark.functions.textnorm import norm_lower
 
 # Resolved-cluster memo (keyed by corpus dir): localCheckpointed, so
 # it survives catalog cache clears and is shared by every consumer of
@@ -52,10 +53,10 @@ _COMPONENT_CACHE: dict[tuple, DataFrame] = {}
 _SSET_SQL = f"""
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {SHINGLE_K - 2}, 0)),
-           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+2]
+           range(1, greatest(length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) - {SHINGLE_K - 2}, 0)),
+           i -> string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+2]
          )) AS sset
   FROM documents
 """
@@ -904,7 +905,7 @@ def q_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = q_dedup_components(spark, sf_dir)
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     score = F.size(
-        F.array_distinct(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0))
+        F.array_distinct(F.regexp_extract_all(norm_lower("text"), F.lit("[a-z]+"), 0))
     ).alias("score")
     scored = comp.join(docs.select("doc_id", score), "doc_id")
     w = Window.partitionBy("component_id")

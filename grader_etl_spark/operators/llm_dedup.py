@@ -28,6 +28,7 @@ from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
 from grader_etl_spark.io import fan_out, load
 from grader_etl_spark.registry import memo_checkpoint, query
 from grader_etl_spark.functions.quantize import floor_quantize
+from grader_etl_spark.functions.textnorm import WS_RE, norm_lower
 
 SHINGLE_K = 3  # words per shingle
 
@@ -63,7 +64,7 @@ def shingles(text: Column, k: int = SHINGLE_K) -> Column:
         return F.array_distinct(F.filter(out, lambda s: s.isNotNull()))
 
     return F.element_at(
-        F.transform(F.array(F.split(F.trim(text), r"\s+")), build), 1
+        F.transform(F.array(F.split(F.trim(text), WS_RE)), build), 1
     )
 
 
@@ -351,10 +352,10 @@ def jaccard_pairs_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {SHINGLE_K - 2}, 0)),
-           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+2]
+           range(1, greatest(length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) - {SHINGLE_K - 2}, 0)),
+           i -> string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+2]
          )) AS sset
   FROM documents
 )
@@ -527,10 +528,10 @@ def _minhash_ctes() -> str:
     return f"""sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {SHINGLE_K - 2}, 0)),
-           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+2]
+           range(1, greatest(length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) - {SHINGLE_K - 2}, 0)),
+           i -> string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+2]
          )) AS sset
   FROM documents
 ),
@@ -615,7 +616,7 @@ def simhash(text: Column) -> Column:
     The bit loop is a Python-side loop over 32 fixed masks (shift
     amounts must be Python ints in Spark), emitting one aggregate
     lambda per bit — still a single codegen'd projection."""
-    hashes = F.transform(F.split(F.trim(text), r"\s+"), lambda t: md5_32(t))
+    hashes = F.transform(F.split(F.trim(text), WS_RE), lambda t: md5_32(t))
 
     def vote(mask: int) -> Column:
         # closure (not a default arg — pyspark counts lambda params)
@@ -640,7 +641,7 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     projection collapse (32× recompute) — fine for unit-test rows,
     wrong shape for a corpus scan."""
     hashed = docs.select(
-        id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t")
+        id_col, F.explode(F.split(F.trim(F.col(text_col)), WS_RE)).alias("t")
     ).select(id_col, md5_32(F.col("t")).alias("h"))
     # One F.expr parse per tower instead of ~128 py4j column calls
     # (~0.9s of driver time per construction) — the parsed trees are
@@ -679,7 +680,7 @@ def _simhash_oracle() -> str:
 WITH hashed AS (
   SELECT doc_id, {h} AS h
   FROM (SELECT doc_id,
-               unnest(string_split_regex(trim(text), '\\s+')) AS t
+               unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS t
         FROM documents)
 ),
 votes AS (
@@ -821,7 +822,7 @@ INCR_SPLIT = 400  # doc_id < INCR_SPLIT plays the existing corpus
     oracle=f"""
 WITH fp AS (
   SELECT doc_id,
-         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+         md5(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS fp
   FROM documents
 ),
 existing AS (SELECT DISTINCT fp FROM fp WHERE doc_id < {INCR_SPLIT}),
@@ -843,7 +844,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a rescan — exactly how incremental corpus ingestion dedups
     against history. Left join (not anti) so the query also reports
     WHICH batch docs were dropped."""
-    fp = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    fp = F.md5(F.regexp_replace(norm_lower("text"), WS_RE, " "))
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"]).select(
         "doc_id", fp.alias("fp")
     )
@@ -868,10 +869,10 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {SHINGLE_K - 2}, 0)),
-           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+2]
+           range(1, greatest(length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) - {SHINGLE_K - 2}, 0)),
+           i -> string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+2]
          )) AS sset
   FROM documents
 ),
@@ -930,10 +931,10 @@ _CONTAINMENT_THRESHOLD = 0.6
 WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {SHINGLE_K - 2}, 0)),
-           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+2]
+           range(1, greatest(length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) - {SHINGLE_K - 2}, 0)),
+           i -> string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+2]
          )) AS sset
   FROM documents
 )
@@ -1039,10 +1040,10 @@ def _calibration_oracle() -> str:
 WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {SHINGLE_K - 2}, 0)),
-           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+2]
+           range(1, greatest(length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) - {SHINGLE_K - 2}, 0)),
+           i -> string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+2]
          )) AS sset
   FROM documents
 ),
@@ -1140,10 +1141,10 @@ _PREFIX_TAU_SQL = "3 * length(list_intersect(a.sset, b.sset)) >= length(a.sset) 
 WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - {SHINGLE_K - 2}, 0)),
-           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+2]
+           range(1, greatest(length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) - {SHINGLE_K - 2}, 0)),
+           i -> string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+2]
          )) AS sset
   FROM documents
 )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.textnorm import WS_RE
 
 # ---------------------------------------------------------------------------
 # P1 — project + rename (main.py:134-141,164-172)
@@ -227,7 +228,7 @@ def q_time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT doc_id, lang, n_chars,
-         string_split_regex(trim(text), '\\s+') AS toks
+         string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks
   FROM documents
 )
 SELECT doc_id,
@@ -252,7 +253,7 @@ def q_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     map are assembled then immediately field-accessed so the oracle
     compares scalar columns, exercising construction AND extraction."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
-    toks = F.split(F.trim("text"), r"\s+")
+    toks = F.split(F.trim("text"), WS_RE)
     meta = F.struct(F.col("n_chars").alias("chars"), F.col("lang").alias("lang"))
     stats = F.map_from_arrays(
         F.array(F.lit("words")), F.array(F.size(toks).cast("long"))

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
 from grader_etl_spark.functions.quantize import floor_quantize
+from grader_etl_spark.functions.textnorm import WS_RE, norm_lower
 
 
 def hash_bucket(cols: list[str], buckets: int = 16) -> F.Column:
@@ -188,7 +189,7 @@ def q_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH assigned AS (
   SELECT doc_id,
-         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+         md5(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS fp,
          CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
               WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
               ELSE 'test' END AS split
@@ -219,7 +220,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     assigned = docs.select(
-        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp"),
+        F.md5(F.regexp_replace(norm_lower("text"), WS_RE, " ")).alias("fp"),
         F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test").alias("split"),
         # both the train-ledger branch and the held branch read this
         # frame — materialize the text hashing ONCE, not per branch

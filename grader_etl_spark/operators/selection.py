@@ -26,6 +26,7 @@ from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
 from grader_etl_spark.io import fan_out, load
 from grader_etl_spark.registry import checkpoint_frame, query
 from grader_etl_spark.functions.quantize import floor_quantize
+from grader_etl_spark.functions.textnorm import WS_RE, norm_lower
 
 MMR_K = 10          # final diverse picks
 MMR_C = 50          # bounded candidate pool (top-C by relevance)
@@ -91,7 +92,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         "lang",
-        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
+        F.explode(F.regexp_extract_all(norm_lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     model = toks.groupBy("term").agg(
@@ -175,7 +176,7 @@ def q_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured: checkpointing the shingle frame adds time here)."""
     docs = fan_out(load(spark, sf_dir, "documents", columns=["doc_id", "text"]))
     toks = docs.select(
-        "doc_id", F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0).alias("t")
+        "doc_id", F.regexp_extract_all(norm_lower("text"), F.lit("[a-z]+"), 0).alias("t")
     ).filter(F.size("t") >= 5)
     sh = toks.select(
         "doc_id",
@@ -500,7 +501,7 @@ def q_quality_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     path), which turns the sort into one pass + broadcast
     thresholds."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    toks = F.regexp_extract_all(norm_lower("text"), F.lit("[a-z]+"), 0)
     feats = docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_toks"),
@@ -537,7 +538,7 @@ def q_quality_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH feats AS (
   SELECT doc_id, lang, source,
          len(regexp_extract_all(lower(text), '[a-z]+')) AS n_toks,
-         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+         md5(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS fp
   FROM documents
 ),
 docstats AS (
@@ -574,12 +575,12 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames cross-joined via broadcast — nothing downstream of the
     scans exceeds one row."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "lang", "source", "text"])
-    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    toks = F.regexp_extract_all(norm_lower("text"), F.lit("[a-z]+"), 0)
     feats = docs.select(
         "lang",
         "source",
         F.size(toks).cast("long").alias("n_toks"),
-        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp"),
+        F.md5(F.regexp_replace(norm_lower("text"), WS_RE, " ")).alias("fp"),
     )
     docstats = feats.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -626,7 +627,7 @@ def quality_logit(text):
     aggregate fold, usable identically in batch queries and
     Structured Streaming projections (stateless, so it is
     streaming-safe by construction)."""
-    toks = F.split(F.trim(text), r"\s+")
+    toks = F.split(F.trim(text), WS_RE)
 
     def weight(term):
         bucket = (md5_32(F.concat(F.lit("f:"), term)) % QC_DIM).cast("string")
@@ -641,7 +642,7 @@ def quality_logit(text):
     "q_quality_classifier",
     oracle=f"""
 WITH t AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS term
   FROM documents
 ),
 z AS (

@@ -21,6 +21,7 @@ from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
 from grader_etl_spark.io import load
 from grader_etl_spark.registry import query
 from grader_etl_spark.functions.quantize import floor_quantize
+from grader_etl_spark.functions.textnorm import WS_RE
 
 N_SHARDS = 16
 
@@ -154,7 +155,7 @@ def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH assigned AS (
   SELECT {MD5_32_SQL.format(expr="CONCAT('shard:', doc_id)")} % {N_SHARDS} AS shard_id,
-         length(string_split_regex(trim(text), '\\s+')) AS n_tokens
+         length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS n_tokens
   FROM documents
 ),
 per AS (
@@ -287,7 +288,7 @@ WITH d AS (
   SELECT doc_id,
          {MD5_32_SQL.format(expr="CONCAT('shard:', doc_id)")} % {N_SHARDS} AS shard_id,
          {MD5_32_SQL.format(expr="CONCAT('order:', doc_id)")}              AS sort_key,
-         length(string_split_regex(trim(text), '\\s+')) AS n_toks
+         length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS n_toks
   FROM documents
 ),
 o AS (
@@ -343,7 +344,7 @@ def q_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (md5_32(F.concat(F.lit("shard:"), F.col("doc_id"))) % N_SHARDS).alias("shard_id"),
         md5_32(F.concat(F.lit("order:"), F.col("doc_id"))).alias("sort_key"),
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_toks"),
+        F.size(F.split(F.trim("text"), WS_RE)).cast("long").alias("n_toks"),
     )
     w = (
         Window.partitionBy("shard_id")

@@ -85,7 +85,7 @@ def misra_gries_candidates(counter_budget: int):
     "q_heavy_hitters",
     oracle=f"""
 WITH toks AS (
-  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+  SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS term FROM documents
 ),
 tot AS (SELECT COUNT(*) AS n FROM toks),
 c AS (SELECT term, COUNT(*) AS freq FROM toks GROUP BY term)
@@ -148,7 +148,7 @@ def _cms_bucket_sql(row: str, term: str) -> str:
 
 _CMS_ORACLE = f"""
 WITH toks AS (
-  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+  SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS term FROM documents
 ),
 rs AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(r)),
 cells AS (

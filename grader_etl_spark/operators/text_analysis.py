@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
 from grader_etl_spark.io import fan_out, load
 from grader_etl_spark.registry import query
+from grader_etl_spark.functions.textnorm import WS_RE, norm_lower
 
 # Shared stopword list (kept tiny and explicit so the SQL oracle can
 # inline the identical set).
@@ -24,12 +25,14 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in")
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 # BPE-ish token pattern: letter runs, digit runs, or single symbols.
-_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# The negated class spells out the whitespace set instead of \s —
+# Java's \s and RE2's disagree on \x0B (functions/textnorm.py WS_RE).
+_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\f\x0B]"
 
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (trim first so no empty edge tokens)."""
-    return F.split(F.trim(text), r"\s+")
+    return F.split(F.trim(text), WS_RE)
 
 
 # ---------------------------------------------------------------------------
@@ -42,14 +45,14 @@ def tokens(text: Column) -> Column:
     oracle=f"""
 SELECT doc_id,
        length(text)                                   AS n_chars,
-       length(string_split_regex(trim(text), '\\s+')) AS n_words,
+       length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS n_words,
        CAST(length(text) AS DOUBLE)
-         / length(string_split_regex(trim(text), '\\s+')) AS chars_per_word,
-       length(list_filter(string_split_regex(trim(text), '\\s+'),
+         / length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS chars_per_word,
+       length(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+'),
                           t -> t IN ({_STOP_SQL})))   AS n_stopwords,
-       CAST(length(list_filter(string_split_regex(trim(text), '\\s+'),
+       CAST(length(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+'),
                                t -> t IN ({_STOP_SQL}))) AS DOUBLE)
-         / length(string_split_regex(trim(text), '\\s+')) AS stopword_ratio
+         / length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS stopword_ratio
 FROM documents
 """,
 )
@@ -80,7 +83,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_token_count",
     oracle=f"""
 SELECT doc_id,
-       length(string_split_regex(trim(text), '\\s+'))  AS n_ws_tokens,
+       length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+'))  AS n_ws_tokens,
        length(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_re_tokens
 FROM documents
 """,
@@ -121,14 +124,14 @@ def _marker_hits(toks: Column, words: tuple[str, ...]) -> Column:
     oracle=f"""
 WITH scored AS (
   SELECT doc_id,
-         length(string_split_regex(trim(text), '\\s+')) AS n_words,
-         length(list_filter(string_split_regex(trim(text), '\\s+'),
+         length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS n_words,
+         length(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+'),
                 t -> t IN ({", ".join(repr(w) for w in _LANG_MARKERS["en"])}))) AS en_hits,
-         length(list_filter(string_split_regex(trim(text), '\\s+'),
+         length(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+'),
                 t -> t IN ({", ".join(repr(w) for w in _LANG_MARKERS["de"])}))) AS de_hits,
-         length(list_filter(string_split_regex(trim(text), '\\s+'),
+         length(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+'),
                 t -> t IN ({", ".join(repr(w) for w in _LANG_MARKERS["es"])}))) AS es_hits,
-         length(list_filter(string_split_regex(trim(text), '\\s+'),
+         length(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+'),
                 t -> t IN ({", ".join(repr(w) for w in _LANG_MARKERS["fr"])}))) AS fr_hits
   FROM documents
 )
@@ -333,7 +336,7 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        md5(text)                                              AS fp_exact,
-       md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))     AS fp_normalized
+       md5(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))     AS fp_normalized
 FROM documents
 """,
 )
@@ -344,7 +347,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.md5("text").alias("fp_exact"),
-        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp_normalized"),
+        F.md5(F.regexp_replace(norm_lower("text"), WS_RE, " ")).alias("fp_normalized"),
     )
 
 
@@ -388,7 +391,7 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+            F.regexp_extract_all(norm_lower("text"), F.lit("[a-z]+"), 0)
         ).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -442,7 +445,7 @@ def q_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     toks = docs.select(
         "doc_id",
-        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
+        F.explode(F.regexp_extract_all(norm_lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -467,12 +470,12 @@ def q_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT doc_id,
-         greatest(length(string_split_regex(trim(text), '\\s+')) - 2, 0) AS n_shingles,
+         greatest(length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) - 2, 0) AS n_shingles,
          length(list_distinct(list_transform(
-           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - 1, 0)),
-           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+2]
+           range(1, greatest(length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) - 1, 0)),
+           i -> string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+2]
          ))) AS n_distinct
   FROM documents
 )
@@ -495,7 +498,7 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from grader_etl_spark.operators.llm_dedup import shingles
 
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    n_words = F.size(F.split(F.trim("text"), WS_RE))
     n_shingles = F.greatest(n_words - 2, F.lit(0)).cast("long")
     n_distinct = F.size(shingles(F.col("text"))).cast("long")
     ratio = F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
@@ -533,7 +536,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     toks = docs.select(
         "doc_id",
-        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
+        F.explode(F.regexp_extract_all(norm_lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
     ).distinct()
     return toks.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
@@ -618,7 +621,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     toks = docs.select(
         "doc_id",
-        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
+        F.explode(F.regexp_extract_all(norm_lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     vocab = tf.groupBy("term").agg(F.sum("tf").cast("double").alias("c"))
@@ -645,7 +648,7 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
     O(corpus) sort and free at 100 TB. Docs with < 2 tokens produce
     an empty pair array and drop out at the explode, matching the
     lead-window's w2 IS NOT NULL filter."""
-    arr = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    arr = F.regexp_extract_all(norm_lower("text"), F.lit("[a-z]+"), 0)
     n1 = F.greatest(F.size("arr") - F.lit(1), F.lit(0))
     return (
         docs.select("doc_id", arr.alias("arr"))
@@ -777,7 +780,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         docs.select(
             F.explode(
-                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+                F.regexp_extract_all(norm_lower("text"), F.lit("[a-z]+"), 0)
             ).alias("term")
         )
         .groupBy("term")
@@ -812,7 +815,7 @@ NGRAM_TOP_K = 50
     "q_ngram_top",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS tk FROM documents
 ),
 grams AS (
   SELECT n, gram FROM (
@@ -893,7 +896,7 @@ PACK_BUCKET = 64
     oracle=f"""
 WITH counts AS (
   SELECT doc_id,
-         length(string_split_regex(trim(text), '\\s+')) AS n_tokens
+         length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS n_tokens
   FROM documents
 )
 SELECT LEAST(n_tokens // {PACK_BUCKET}, {PACK_CONTEXT // PACK_BUCKET}) * {PACK_BUCKET} AS bucket_lo,
@@ -980,7 +983,7 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents", columns=["source", "text"])
         .select(
             "source",
-            F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
+            F.explode(F.regexp_extract_all(norm_lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
         )
         .distinct()
     )
@@ -1051,7 +1054,7 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH tf AS (
   SELECT source, t AS term, COUNT(*) AS c
-  FROM (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM (SELECT source, unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS t
         FROM documents)
   GROUP BY source, t
 ),
@@ -1105,7 +1108,7 @@ BPE_TOP_K = 30
     "q_bpe_pairs",
     oracle=f"""
 WITH toks AS (
-  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+  SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS w FROM documents
 ),
 pairs AS (
   SELECT substring(w, CAST(i AS INT), 2) AS pair
@@ -1178,10 +1181,10 @@ _registry.REGISTRY["q_lang_confusion"] = _registry.QuerySpec(
 WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - 1, 0)),
-           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+2]
+           range(1, greatest(length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) - 1, 0)),
+           i -> string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+2]
          )) AS sset
   FROM documents
 ),
@@ -1286,7 +1289,7 @@ def q_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     toks = docs.select(
         "doc_id",
-        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias(
+        F.explode(F.regexp_extract_all(norm_lower("text"), F.lit("[a-z]+"), 0)).alias(
             "term"
         ),
     )
@@ -1463,7 +1466,7 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text", "lang"])
     toks = docs.select(
         "doc_id",
-        F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
+        F.explode(F.regexp_extract_all(norm_lower("text"), F.lit("[a-z]+"), 0)).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     vocab = tf.groupBy("term").agg(F.sum("tf").cast("double").alias("c"))

@@ -546,8 +546,18 @@ def q_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     dau = reg.groupBy("d").agg(*zv)
     days = reg.select("d").distinct().select(F.col("d").alias("rd"))
+    # Trailing-window membership via the bounded explode (the
+    # q_active_users idiom, here on the ≤512-rows-per-day REGISTER
+    # table): register row (d, idx) supports report days d..d+6,
+    # intersected with real days by an equi-join — no nested-loop
+    # range join in the plan.
     wreg = (
-        reg.join(days, (F.col("d") > F.date_sub("rd", 7)) & (F.col("d") <= F.col("rd")))
+        reg.select(
+            F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("rd"),
+            "idx",
+            "m",
+        )
+        .join(days, "rd")
         .groupBy("rd", "idx")
         .agg(F.max("m").alias("m"))
     )

@@ -34,6 +34,7 @@ from grader_etl_spark.operators.llm_dedup import (
 from grader_etl_spark.operators.text_analysis import STOPWORDS, tokens
 from grader_etl_spark.registry import memo_checkpoint, query
 from grader_etl_spark.functions.quantize import floor_quantize
+from grader_etl_spark.functions.textnorm import WS_RE, norm_lower
 
 MIN_WORDS = 10
 MAX_STOPWORD_RATIO = 0.60
@@ -60,7 +61,7 @@ def exact_dedup(gated: DataFrame) -> DataFrame:
     min doc_id per fingerprint. Returns persisted keepers (the frame
     feeds the shingle stage AND the final anti-join; persisting runs
     gate+dedup once, not 3-4×)."""
-    fp = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    fp = F.md5(F.regexp_replace(norm_lower("text"), WS_RE, " "))
     return (
         gated.select("doc_id", "n_words", "text", fp.alias("fp"))
         .withColumn("rk", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
@@ -158,7 +159,7 @@ def curation_stages(spark: SparkSession, sf_dir: str) -> dict:
 # oracle and the funnel oracle below so both differential checks pin
 # the SAME semantics.
 _CURATE_CTES = f"""toks AS (
-  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS tk
+  SELECT doc_id, text, string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS tk
   FROM documents
 ),
 gated AS (
@@ -173,7 +174,7 @@ keepers AS (
   FROM (
     SELECT doc_id, text, n_words,
            ROW_NUMBER() OVER (
-             PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+             PARTITION BY md5(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))
              ORDER BY doc_id) AS rk
     FROM gated
   ) WHERE rk = 1
@@ -181,10 +182,10 @@ keepers AS (
 sh AS (
   SELECT doc_id,
          list_distinct(list_transform(
-           range(1, greatest(length(string_split_regex(trim(text), '\\s+')) - 1, 0)),
-           i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
-                string_split_regex(trim(text), '\\s+')[i+2]
+           range(1, greatest(length(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) - 1, 0)),
+           i -> string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+1] || ' ' ||
+                string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[i+2]
          )) AS sset
   FROM keepers
 ),

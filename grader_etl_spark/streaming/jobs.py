@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 from grader_etl_spark.functions.quantize import floor_quantize
+from grader_etl_spark.functions.textnorm import WS_RE, norm_lower
 
 WATERMARK_DELAY = "7 days"  # main.py:25's DAYS_BACK as a late-data bound
 DEDUP_KEYS = ["user_id", "event_timestamp"]  # main.py:202
@@ -331,7 +332,7 @@ def incremental_dedup_stream(docs: DataFrame, ledger: DataFrame) -> DataFrame:
     The gate (curated_doc_stream) + this dedup + the store append is
     the full streaming rendition of the batch curation pipeline —
     each stage the same logical-plan fragment as its batch twin."""
-    fp = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    fp = F.md5(F.regexp_replace(norm_lower("text"), WS_RE, " "))
     return (
         docs.withColumn("fp", fp)
         .dropDuplicates(["fp"])

@@ -130,6 +130,25 @@ def _corpus(seed: int, shape: str) -> list[tuple[int, str, str, str, int]]:
     elif shape == "dup-heavy":
         bases = [words(rng.randint(10, 40)) for _ in range(6)]
         rows = [(i, bases[i % 6]) for i in range(36)]
+    elif shape == "unicode":
+        # Degenerate-unicode shape: every known cross-engine text edge
+        # in one corpus — Java String vs utf8proc/RE2 semantics.
+        cjk = "这是一个没有空格的中文句子模型训练数据质量很重要"
+        rows = [
+            (0, cjk),  # no-space CJK: one giant "token"
+            (1, "🚀 🔥 😀😀😀 🧪 data 🚀 rocket 🚀"),  # astral plane
+            (2, "👩‍💻 coding 👨‍👩‍👧‍👦 family"),  # ZWJ clusters
+            (3, "caf\u00e9 cafe cafe\u0301"),  # precomposed vs combining accent
+            (4, "tab\tand\nnewline\r\nmix \x0bvtab"),  # non-space whitespace
+            (5, "nbsp separated words"),  # NBSP is NOT \s
+            (6, "ΒΟΛΟΣ ΜΕΓΆΛΟ ελληνικό İstanbul STRASSE straße"),  # case folding + final sigma
+            (7, "مرحبا بالعالم النص العربي"),  # RTL
+            (8, "ｆｕｌｌｗｉｄｔｈ ｔｏｋｅｎｓ １２３"),  # fullwidth forms
+            (9, words(25)),
+            (10, words(25)),
+        ]
+        base = "🚀 " + cjk + " mixed ΤΈΛΟΣ"
+        rows += [(11, base), (12, base)]  # unicode exact-dup cluster
     elif shape == "hot":
         # HOT-SHINGLE shape: one fixed trigram appears in EVERY doc
         # (its posting list is the whole corpus — the degenerate case
@@ -154,7 +173,10 @@ def oc():
     return _oracle_check()
 
 
-@pytest.mark.parametrize("seed,shape", [(11, "adversarial"), (23, "dup-heavy"), (37, "random")])
+@pytest.mark.parametrize(
+    "seed,shape",
+    [(11, "adversarial"), (23, "dup-heavy"), (37, "random"), (41, "unicode")],
+)
 def test_doc_family_matches_oracle_on_random_corpus(spark, tmp_path_factory, oc, seed, shape):
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -319,8 +319,10 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
         run_to_memory_sink,
     )
 
+    from grader_etl_spark.functions.textnorm import WS_RE, norm_lower
+
     docs = load(spark, "/root/testdata/sf0.001", "documents")
-    fp = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    fp = F.md5(F.regexp_replace(norm_lower("text"), WS_RE, " "))
     # Ledger: fingerprints of the even half — the "already ingested" corpus.
     ledger = docs.filter(F.col("doc_id") % 2 == 0).select(fp.alias("fp")).distinct()
     ledger.cache().count()
