@@ -619,13 +619,14 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH s AS (
   SELECT doc_id, source, CAST(n_chars AS BIGINT) AS raw,
-         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars NULLS FIRST, doc_id) AS r,
          COUNT(*) OVER (PARTITION BY source) AS n_s,
          COUNT(*) OVER () AS n
   FROM documents
 ), g AS (
   SELECT CAST(n_chars AS BIGINT) AS norm_value,
-         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS g_r
+         ROW_NUMBER() OVER (ORDER BY n_chars NULLS FIRST, doc_id) AS g_r
   FROM documents
 )
 SELECT s.doc_id, s.source, s.raw, g.norm_value
@@ -651,7 +652,12 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     range join, trading exact ranks for a sort-free two-pass plan);
     the rank join is integer-keyed and AQE-splittable."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
-    by_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    # NULLS FIRST pinned EXPLICITLY both sides: it is Spark's
+    # ascending default but DuckDB defaults to NULLS LAST — on a
+    # nullable sort key every rank would shift cross-engine (found by
+    # the nulls fuzz shape).
+    nc = F.col("n_chars").asc_nulls_first()
+    by_src = Window.partitionBy("source").orderBy(nc, "doc_id")
     s = docs.select(
         "doc_id",
         "source",
@@ -662,7 +668,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = docs.select(
         F.col("n_chars").cast("long").alias("norm_value"),
-        F.row_number().over(Window.orderBy("n_chars", "doc_id")).cast("long").alias("g_r"),
+        F.row_number().over(Window.orderBy(nc, "doc_id")).cast("long").alias("g_r"),
     )
     # ceil(r*N/n_s) in pure integer arithmetic — Spark's `/` is double
     # division, so `div` keeps the rank mapping exact.

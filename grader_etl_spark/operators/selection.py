@@ -652,11 +652,11 @@ z AS (
          ) AS BIGINT) AS logit_int
   FROM t GROUP BY doc_id
 )
-SELECT doc_id,
-       logit_int,
-       CASE WHEN abs(1.0 / (1.0 + EXP(-logit_int / {QC_LOGIT_SCALE}.0))) < 4.5e9 THEN floor((1.0 / (1.0 + EXP(-logit_int / {QC_LOGIT_SCALE}.0))) * 1e4 + 0.5) / 1e4 ELSE (1.0 / (1.0 + EXP(-logit_int / {QC_LOGIT_SCALE}.0))) END AS score,
-       logit_int > 0 AS keep
-FROM z
+SELECT d.doc_id,
+       z.logit_int,
+       CASE WHEN abs(1.0 / (1.0 + EXP(-z.logit_int / {QC_LOGIT_SCALE}.0))) < 4.5e9 THEN floor((1.0 / (1.0 + EXP(-z.logit_int / {QC_LOGIT_SCALE}.0))) * 1e4 + 0.5) / 1e4 ELSE (1.0 / (1.0 + EXP(-z.logit_int / {QC_LOGIT_SCALE}.0))) END AS score,
+       z.logit_int > 0 AS keep
+FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id
 """,
 )
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -680,7 +680,12 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlined (here) or a broadcast {QC_DIM}-row table for a real
     trained model. Reference parity: generalizes the reference's
     boolean validity gate (/root/reference/main.py:141-166) from
-    field checks to learned content scoring."""
+    field checks to learned content scoring.
+
+    NULL contract (nulls fuzz shape): a NULL-text doc keeps its row
+    with NULL logit/score/keep — unknown, not junk — matching the
+    doc family's NULL-propagation discipline; the oracle LEFT JOINs
+    the token aggregate back to documents for the same shape."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     return (
         docs.withColumn("logit_int", quality_logit(F.col("text")))

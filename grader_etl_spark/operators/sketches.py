@@ -67,7 +67,14 @@ def misra_gries_candidates(counter_budget: int):
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: collections.Counter = collections.Counter()
         for pdf in batches:
-            counters.update(itertools.chain.from_iterable(pdf["toks"]))
+            # NULL text → None token array: skip (explode-side exact
+            # counts and the DuckDB oracle's unnest drop it the same
+            # way; without the guard a single NULL doc kills the task).
+            counters.update(
+                itertools.chain.from_iterable(
+                    t for t in pdf["toks"] if t is not None
+                )
+            )
             if len(counters) > counter_budget:
                 # Mergeable-summaries shrink: subtract the (k+1)-th
                 # largest counter from all, drop non-positives — at

@@ -500,7 +500,10 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     n_words = F.size(F.split(F.trim("text"), WS_RE))
     n_shingles = F.greatest(n_words - 2, F.lit(0)).cast("long")
-    n_distinct = F.size(shingles(F.col("text"))).cast("long")
+    # coalesce: NULL text has no shingles (size(NULL array) is NULL on
+    # the Spark side, while the oracle's greatest(NULL, 0) range is
+    # already empty → 0) — zero-shingle docs score 0.0, NULL included.
+    n_distinct = F.coalesce(F.size(shingles(F.col("text"))), F.lit(0)).cast("long")
     ratio = F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
         floor_quantize(F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_shingles"), 6)
     )

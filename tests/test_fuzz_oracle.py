@@ -149,6 +149,20 @@ def _corpus(seed: int, shape: str) -> list[tuple[int, str, str, str, int]]:
         ]
         base = "🚀 " + cjk + " mixed ΤΈΛΟΣ"
         rows += [(11, base), (12, base)]  # unicode exact-dup cluster
+    elif shape == "nulls":
+        # NULL-propagation shape: the fixtures contain zero NULLs, so
+        # the engine's whole null story (NULL text/lang/source through
+        # splits, folds, Arrow kernels, grouped aggs) was untested —
+        # this shape found a task-killing None in the Misra-Gries
+        # kernel and a dropped-row mismatch in the classifier oracle.
+        rows = [(i, words(rng.randint(5, 30))) for i in range(20)]
+        rows += [(20, None), (21, words(10)), (22, words(10)), (23, None)]
+        out = []
+        for i, t in rows:
+            lang = None if i in (21, 23) else rng.choice(["en", "de", "es"])
+            source = None if i in (22, 23) else f"src{i % 4}"
+            out.append((i, t, lang, source, len(t) if t is not None else None))
+        return out
     elif shape == "hot":
         # HOT-SHINGLE shape: one fixed trigram appears in EVERY doc
         # (its posting list is the whole corpus — the degenerate case
@@ -175,7 +189,13 @@ def oc():
 
 @pytest.mark.parametrize(
     "seed,shape",
-    [(11, "adversarial"), (23, "dup-heavy"), (37, "random"), (41, "unicode")],
+    [
+        (11, "adversarial"),
+        (23, "dup-heavy"),
+        (37, "random"),
+        (41, "unicode"),
+        (43, "nulls"),
+    ],
 )
 def test_doc_family_matches_oracle_on_random_corpus(spark, tmp_path_factory, oc, seed, shape):
     import pyarrow as pa

@@ -27,7 +27,7 @@ sys.path.insert(0, _REPO)
 
 TABLES = ("region", "nation", "part", "supplier", "customer", "orders",
           "lineitem", "events", "documents", "embeddings")
-SHAPES = ("random", "adversarial", "dup-heavy", "magnitude", "zipf", "unicode")
+SHAPES = ("random", "adversarial", "dup-heavy", "magnitude", "zipf", "unicode", "nulls")
 
 
 def _load(relpath, name):
