@@ -400,22 +400,32 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_argmax",
     oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rl,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id ASC)  AS rf
+  FROM events
+)
 SELECT user_id,
-       arg_max(event_type, event_id) AS last_type,
-       arg_max(value, event_id)     AS last_value,
-       arg_min(event_type, event_id) AS first_type,
-       max(event_id)                 AS last_event_id
-FROM events
+       MAX(CASE WHEN rl = 1 THEN event_type END) AS last_type,
+       MAX(CASE WHEN rl = 1 THEN value END)      AS last_value,
+       MAX(CASE WHEN rf = 1 THEN event_type END) AS first_type,
+       MAX(event_id)                             AS last_event_id
+FROM seq
 GROUP BY user_id
 """,
 )
 def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Argmax/argmin aggregates (max_by/min_by ≡ DuckDB arg_max/
-    arg_min): per user, the attributes of the highest/lowest-sequence
-    event WITHOUT a row_number window or self-join — one hash
-    aggregate carrying (key, ordering value) pairs, partial-merged
-    map-side. The ordering key is the unique event_id so the winner
-    is total-order deterministic on both engines."""
+    """Argmax/argmin aggregates (max_by/min_by): per user, the
+    attributes of the highest/lowest-sequence event WITHOUT a
+    row_number window or self-join — one hash aggregate carrying
+    (key, ordering value) pairs, partial-merged map-side. The
+    ordering key is the unique event_id so the winner is total-order
+    deterministic on both engines. The oracle spells the same
+    semantics with a row_number window instead of DuckDB's arg_max:
+    arg_max SKIPS rows whose attribute is NULL, while max_by returns
+    the winning row's actual attribute, NULL included — the honest
+    reading of "the last event's value" (nulls fuzz shape)."""
     ev = load(spark, sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
     return ev.groupBy("user_id").agg(
         F.max_by("event_type", "event_id").alias("last_type"),

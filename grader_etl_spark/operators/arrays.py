@@ -117,7 +117,15 @@ def q_map_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd JVM expressions; the only shuffle is the per-user
     aggregate, and map sizes are bounded by |event_types|."""
     ev = load(spark, sf_dir, "events", columns=["user_id", "event_type", "value"])
-    per_type = ev.groupBy("user_id", "event_type").agg(
+    # A NULL event_type is a legal GROUP BY key but an ILLEGAL map key
+    # (map_from_entries throws) — sentinel-encode it through the map
+    # and decode back to NULL at the explode, so the NULL group
+    # survives the map round-trip exactly like the oracle's plain
+    # grouped aggregate (nulls fuzz shape).
+    _NK = "\x00null\x00"
+    per_type = ev.groupBy(
+        "user_id", F.coalesce("event_type", F.lit(_NK)).alias("event_type")
+    ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
     )
@@ -146,7 +154,7 @@ def q_map_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.explode("m").alias("event_type", "s")
     ).select(
         "user_id",
-        "event_type",
+        F.nullif("event_type", F.lit(_NK)).alias("event_type"),
         F.col("s.n").alias("n"),
         F.col("s.total").alias("total"),
         F.col("s.avg_value").alias("avg_value"),

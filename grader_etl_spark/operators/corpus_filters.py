@@ -587,9 +587,9 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id, source,
        CAST(n_chars AS BIGINT) AS raw_score,
        CASE WHEN abs(percent_rank() OVER (
-         PARTITION BY source ORDER BY n_chars, doc_id)) < 4.5e9 THEN floor((percent_rank() OVER (
-         PARTITION BY source ORDER BY n_chars, doc_id)) * 1e6 + 0.5) / 1e6 ELSE (percent_rank() OVER (
-         PARTITION BY source ORDER BY n_chars, doc_id)) END AS calibrated
+         PARTITION BY source ORDER BY n_chars NULLS FIRST, doc_id)) < 4.5e9 THEN floor((percent_rank() OVER (
+         PARTITION BY source ORDER BY n_chars NULLS FIRST, doc_id)) * 1e6 + 0.5) / 1e6 ELSE (percent_rank() OVER (
+         PARTITION BY source ORDER BY n_chars NULLS FIRST, doc_id)) END AS calibrated
 FROM documents
 """,
 )
@@ -605,7 +605,8 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back (the q_rfm_segments note), trading exact ranks for
     a sort-free two-pass plan."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    # NULLS FIRST pinned explicitly: Spark default, DuckDB is NULLS LAST
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").asc_nulls_first(), "doc_id")
     return docs.select(
         "doc_id",
         "source",

@@ -122,7 +122,7 @@ def pack_greedy(docs: DataFrame, budget: int = PACK_BUDGET, key: str = "source")
 WITH RECURSIVE ordered AS (
   SELECT source, doc_id, n_chars,
          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-  FROM documents
+  FROM documents WHERE n_chars IS NOT NULL
 ),
 packed AS (
   SELECT source, doc_id, n_chars, rn,
@@ -149,6 +149,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion as a DuckDB recursive CTE, so even this non-relational
     operator is value-checked, not just row-counted. At 100 TB the
     group key is (source, shard) so each packed stream stays
-    worker-sized; packs never span groups by design."""
-    docs = load(spark, sf_dir, "documents", columns=["source", "doc_id", "n_chars"])
+    worker-sized; packs never span groups by design.
+
+    NULL contract: a doc with NULL n_chars cannot be budgeted, so the
+    packer excludes it on BOTH sides (the recursive oracle would
+    otherwise poison every later pack_fill with NULL)."""
+    docs = load(spark, sf_dir, "documents", columns=["source", "doc_id", "n_chars"]).filter(
+        F.col("n_chars").isNotNull()
+    )
     return pack_greedy(docs)

@@ -90,13 +90,16 @@ def decode_assets(assets: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = pdf["payload"].map(fake_decode_meta)
+            # na_action: a NULL payload (missing/corrupt asset) keeps
+            # its row with NULL metadata — the oracle's length(NULL)
+            # arithmetic does the same (nulls fuzz shape).
+            metas = pdf["payload"].map(fake_decode_meta, na_action="ignore")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": metas.map(lambda m: m[0]),
-                    "width": metas.map(lambda m: m[1]),
-                    "height": metas.map(lambda m: m[2]),
+                    "byte_len": metas.map(lambda m: m[0], na_action="ignore"),
+                    "width": metas.map(lambda m: m[1], na_action="ignore"),
+                    "height": metas.map(lambda m: m[2], na_action="ignore"),
                 }
             )
 
@@ -137,6 +140,12 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL asset still fans out its n_frames rows,
+                    # offsets NULL — the oracle's cross join computes
+                    # (i * length(NULL)) // 4 = NULL the same way.
+                    rows.extend((doc_id, i, None) for i in range(n_frames))
+                    continue
                 n = len(payload)
                 for i in range(n_frames):
                     rows.append((doc_id, i, (i * n) // n_frames))
@@ -251,13 +260,18 @@ def decode_assets_arrow(assets: DataFrame) -> DataFrame:
     def run(batches):
         for batch in batches:
             doc_ids = batch.column("doc_id")
-            metas = [fake_decode_meta(b.as_py()) for b in batch.column("payload")]
+            # NULL payload → NULL metadata row, same as the pandas
+            # kernel's na_action and the oracle's length(NULL).
+            metas = [
+                None if b.as_py() is None else fake_decode_meta(b.as_py())
+                for b in batch.column("payload")
+            ]
             yield pa.RecordBatch.from_arrays(
                 [
                     doc_ids,
-                    pa.array([m[0] for m in metas], pa.int32()),
-                    pa.array([m[1] for m in metas], pa.int32()),
-                    pa.array([m[2] for m in metas], pa.int32()),
+                    pa.array([m and m[0] for m in metas], pa.int32()),
+                    pa.array([m and m[1] for m in metas], pa.int32()),
+                    pa.array([m and m[2] for m in metas], pa.int32()),
                 ],
                 names=["doc_id", "byte_len", "width", "height"],
             )
@@ -304,6 +318,11 @@ def extract_features(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL asset: row kept, every feature NULL (the
+                    # oracle's length(NULL) arithmetic agrees).
+                    rows.append((doc_id, None, None, None, None))
+                    continue
                 b = np.frombuffer(payload, dtype=np.uint8)
                 rows.append(
                     (

@@ -263,7 +263,9 @@ def q_complex_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta.getField("chars").alias("meta_chars"),
         meta.getField("lang").alias("meta_lang"),
         F.element_at(stats, "words").alias("stats_words"),
-        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first3"),
+        # concat_ws flattens a NULL array to '' — guard so NULL text
+        # keeps NULL first3 like the oracle's array_to_string(NULL).
+        F.when(toks.isNotNull(), F.concat_ws(" ", F.slice(toks, 1, 3))).alias("first3"),
         F.array_contains(toks, "the").alias("has_the"),
         F.element_at(F.array_sort(toks), 1).alias("min_token"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
@@ -302,9 +304,11 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events", columns=["event_id", "props"])
     v = F.try_parse_json("props")
     k = F.try_variant_get(v, "$.k", "long")
+    # NULL props is ABSENT, not malformed: is_valid NULL (json_valid's
+    # SQL semantics), while a parse failure stays false (nulls shape).
     return ev.select(
         "event_id",
-        v.isNotNull().alias("is_valid"),
+        F.when(F.col("props").isNotNull(), v.isNotNull()).alias("is_valid"),
         k.alias("k_long"),
         (k % 10).cast("long").alias("k_mod10"),
     )

@@ -256,7 +256,7 @@ WITH cnt AS (
   FROM cnt
 ), ranked AS (
   SELECT *,
-         CAST(ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS BIGINT)
+         CAST(ROW_NUMBER() OVER (ORDER BY remainder DESC, source NULLS FIRST) AS BIGINT)
            AS rem_rank,
          {ALLOC_TARGET} - CAST(SUM(floor_quota) OVER () AS BIGINT) AS leftover
   FROM base
@@ -299,7 +299,7 @@ def q_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "floor_quota",
         F.row_number()
-        .over(Window.orderBy(F.desc("remainder"), F.asc("source")))
+        .over(Window.orderBy(F.desc("remainder"), F.col("source").asc_nulls_first()))
         .cast("long")
         .alias("rem_rank"),
         (F.lit(ALLOC_TARGET) - F.sum("floor_quota").over(wall)).alias("leftover"),

@@ -285,7 +285,13 @@ def _dp_thresholds() -> list[tuple[int, str]]:
 
 _DP_TABLE = _dp_thresholds()
 
-_DP_U_SQL = "substr(md5(lang || '|' || source || '|dp-salt-7'), 1, 8)"
+# NULL cells still get real noise: seed on COALESCE'd names (Spark's
+# concat_ws would silently SKIP a NULL while SQL's || nulls the whole
+# seed — the nulls fuzz shape caught the disagreement).
+_DP_U_SQL = (
+    "substr(md5(coalesce(lang, '~null~') || '|' || "
+    "coalesce(source, '~null~') || '|dp-salt-7'), 1, 8)"
+)
 _DP_CASE_SQL = "CASE " + " ".join(
     f"WHEN {_DP_U_SQL} < '{t}' THEN {k}" for k, t in _DP_TABLE
 ) + " END"
@@ -319,7 +325,18 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregating groupBy; noise is O(1) per released cell."""
     docs = load(spark, sf_dir, "documents", columns=["lang", "source"])
     cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_true"))
-    u = F.substring(F.md5(F.concat_ws("|", "lang", "source", F.lit("dp-salt-7"))), 1, 8)
+    u = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.coalesce("lang", F.lit("~null~")),
+                F.coalesce("source", F.lit("~null~")),
+                F.lit("dp-salt-7"),
+            )
+        ),
+        1,
+        8,
+    )
     expr = F.when(u < _DP_TABLE[0][1], F.lit(_DP_TABLE[0][0]))
     for k, t in _DP_TABLE[1:]:
         expr = expr.when(u < t, F.lit(k))

@@ -112,7 +112,7 @@ def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH scored AS (
   SELECT doc_id, source,
          length(text) AS n_chars,
-         percent_rank() OVER (PARTITION BY source ORDER BY length(text), doc_id) AS pr
+         percent_rank() OVER (PARTITION BY source ORDER BY length(text) NULLS FIRST, doc_id) AS pr
   FROM documents
 )
 SELECT doc_id, source, n_chars, CASE WHEN abs(pr) < 4.5e9 THEN floor((pr) * 1e6 + 0.5) / 1e6 ELSE (pr) END AS len_pct_rank
@@ -132,7 +132,8 @@ def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "source", "text"])
-    w = Window.partitionBy("source").orderBy(F.length("text"), "doc_id")
+    # NULLS FIRST pinned explicitly: Spark default, DuckDB is NULLS LAST
+    w = Window.partitionBy("source").orderBy(F.length("text").asc_nulls_first(), "doc_id")
     return (
         docs.select(
             "doc_id",
@@ -218,8 +219,8 @@ FEATURE_DIM = 256
     "q_feature_hash",
     oracle=f"""
 WITH feats AS (
-  SELECT {MD5_32_SQL.format(expr="CONCAT('type=', event_type)")} % {FEATURE_DIM} AS feature_idx,
-         CASE WHEN ({MD5_32_SQL.format(expr="CONCAT('sign:type=', event_type)")}) % 2 = 0
+  SELECT {MD5_32_SQL.format(expr="CONCAT('type=', coalesce(event_type, '~null~'))")} % {FEATURE_DIM} AS feature_idx,
+         CASE WHEN ({MD5_32_SQL.format(expr="CONCAT('sign:type=', coalesce(event_type, '~null~'))")}) % 2 = 0
               THEN 1 ELSE -1 END AS sign
   FROM events
   UNION ALL
@@ -248,15 +249,19 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both feature families ride ONE scan via an in-plan explode, and
     the shuffle carries ≤{FEATURE_DIM} partial rows per task."""
     ev = load(spark, sf_dir, "events", columns=["event_type", "ts"])
-    # one scan: both feature families assembled per row, one explode
+    # one scan: both feature families assembled per row, one explode.
+    # A NULL category is itself a (hashed) feature — coalesce to the
+    # sentinel on BOTH engines; without it Spark NULLed the hash while
+    # DuckDB's CONCAT silently swallowed the NULL (nulls fuzz shape).
+    etype = F.coalesce(F.col("event_type"), F.lit("~null~"))
     dow = (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 7).cast("string")
     feats = ev.select(
         F.explode(
             F.array(
                 F.struct(
-                    (md5_32(F.concat(F.lit("type="), F.col("event_type"))) % FEATURE_DIM).alias("feature_idx"),
+                    (md5_32(F.concat(F.lit("type="), etype)) % FEATURE_DIM).alias("feature_idx"),
                     F.when(
-                        md5_32(F.concat(F.lit("sign:type="), F.col("event_type"))) % 2 == 0, 1
+                        md5_32(F.concat(F.lit("sign:type="), etype)) % 2 == 0, 1
                     ).otherwise(-1).alias("sign"),
                 ),
                 F.struct(

@@ -140,14 +140,15 @@ SELECT c_custkey,
        CASE WHEN abs(PERCENT_RANK() OVER w) < 4.5e9 THEN floor((PERCENT_RANK() OVER w) * 1e6 + 0.5) / 1e6 ELSE (PERCENT_RANK() OVER w) END          AS pct_rank,
        CASE WHEN abs(CUME_DIST()    OVER w) < 4.5e9 THEN floor((CUME_DIST()    OVER w) * 1e6 + 0.5) / 1e6 ELSE (CUME_DIST()    OVER w) END          AS cume
 FROM customer
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal NULLS FIRST, c_custkey)
 """,
 )
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution windows (W1 extended): quartile bucket, percentile
     rank, cumulative distribution per nation — one shuffle + one local
     sort serves all three (shared window spec)."""
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    # NULLS FIRST pinned explicitly (Spark default, DuckDB NULLS LAST)
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").asc_nulls_first(), "c_custkey")
     cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
     return cust.select(
         "c_custkey",

@@ -184,9 +184,18 @@ ordered AS (
   FROM daily
 ),
 ew AS (
-  SELECT user_id, day, v, rn, v AS ewma FROM ordered WHERE rn = 1
+  -- (ewma, prev) pair: a NULL observation emits NULL but CARRIES the
+  -- state past the gap (missing-data contract; the nulls fuzz shape
+  -- caught the poisoned-forever rendition)
+  SELECT user_id, day, v, rn, v AS ewma, v AS prev FROM ordered WHERE rn = 1
   UNION ALL
-  SELECT o.user_id, o.day, o.v, o.rn, 0.2 * o.v + 0.8 * e.ewma
+  SELECT o.user_id, o.day, o.v, o.rn,
+         CASE WHEN o.v IS NULL THEN NULL
+              WHEN e.prev IS NULL THEN o.v
+              ELSE 0.2 * o.v + 0.8 * e.prev END,
+         CASE WHEN o.v IS NULL THEN e.prev
+              WHEN e.prev IS NULL THEN o.v
+              ELSE 0.2 * o.v + 0.8 * e.prev END
   FROM ew e JOIN ordered o ON o.user_id = e.user_id AND o.rn = e.rn + 1
 )
 -- final quantization uses the shared floor spelling: the engines'
@@ -221,14 +230,22 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def step(acc, x):
-        new = F.when(
-            acc.getField("prev").isNull(), x.getField("v")
-        ).otherwise(F.lit(EWMA_ALPHA) * x.getField("v") + F.lit(1 - EWMA_ALPHA) * acc.getField("prev"))
+        # Missing-observation contract (nulls fuzz shape): a NULL v
+        # emits a NULL ewma for its day but CARRIES prev past the gap
+        # — the recursion neither poisons the rest of the series nor
+        # silently restarts it.
+        v, prev = x.getField("v"), acc.getField("prev")
+        new = F.when(prev.isNull(), v).otherwise(
+            F.lit(EWMA_ALPHA) * v + F.lit(1 - EWMA_ALPHA) * prev
+        )
         emitted = F.struct(
-            x.getField("day").alias("day"), x.getField("v").alias("v"), new.alias("ewma")
+            x.getField("day").alias("day"),
+            v.alias("v"),
+            F.when(v.isNull(), F.lit(None).cast("double")).otherwise(new).alias("ewma"),
         )
         return F.struct(
-            new.alias("prev"), F.concat(acc.getField("out"), F.array(emitted)).alias("out")
+            F.when(v.isNull(), prev).otherwise(new).alias("prev"),
+            F.concat(acc.getField("out"), F.array(emitted)).alias("out"),
         )
 
     folded = series.select(
@@ -340,6 +357,11 @@ def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
+    # open/close = first/last OBSERVED price: a NULL-value tick is no
+    # observation. DuckDB's min_by/max_by skip NULL values natively;
+    # Spark's return the winning row's NULL — nulling the ORDER key
+    # for NULL values makes Spark skip them identically (nulls shape).
+    k = F.when(F.col("value").isNotNull(), k)
     return (
         ev.select(F.to_date("ts").alias("day"), "value", k.alias("k"))
         .groupBy("day")

@@ -425,8 +425,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH avail AS (
   SELECT source,
-         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail,
-         CAST(CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 4 + 1 AS BIGINT) AS weight
+         -- coalesce: a source of only-NULL texts still participates
+         -- with avail 0; an unparsable/NULL source gets weight 1 —
+         -- otherwise NULL ratios hit the engines' opposite null sort
+         -- order and the whole waterfill shifts (nulls fuzz shape)
+         CAST(coalesce(sum(len(string_split(text, ' '))), 0) AS BIGINT) AS avail,
+         CAST(coalesce(CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT), 0) % 4 + 1 AS BIGINT) AS weight
   FROM documents GROUP BY source
 ), tot AS (
   SELECT sum(avail) AS tot_avail, sum(weight) AS tot_w,
@@ -478,10 +482,16 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet scans; with the memo, 1).
     avail = (
         docs.groupBy("source")
-        .agg(F.sum(F.size(F.split("text", " "))).cast("long").alias("avail"))
+        .agg(F.coalesce(F.sum(F.size(F.split("text", " "))), F.lit(0)).cast("long").alias("avail"))
         .withColumn(
             "weight",
-            (F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 4 + 1).cast("long"),
+            (
+                F.coalesce(
+                    F.regexp_extract("source", r"src(\d+)", 1).cast("int"), F.lit(0)
+                )
+                % 4
+                + 1
+            ).cast("long"),
         )
     )
     avail = checkpoint_frame(avail, eager=True)

@@ -119,7 +119,13 @@ def _zipf_pick(rng: random.Random, n: int, hot_frac: float = 0.5):
     return n - 1
 
 
-def _gen_dir(tmp, seed: int, price_scale: float = 1.0, key_skew: bool = False) -> str:
+def _gen_dir(
+    tmp,
+    seed: int,
+    price_scale: float = 1.0,
+    key_skew: bool = False,
+    with_nulls: bool = False,
+) -> str:
     """``price_scale`` multiplies every money/value column (o_totalprice,
     l_extendedprice, c_acctbal, events.value) — at 1e6 the tables reach
     the adversarial-magnitude regime (prices ~4e11, group sums ~1e14)
@@ -186,7 +192,12 @@ def _gen_dir(tmp, seed: int, price_scale: float = 1.0, key_skew: bool = False) -
                 [rng.randrange(25) for _ in range(n_cust)], pa.int32()
             ),
             "c_acctbal": pa.array(
-                [round(rng.uniform(-900, 9000) * price_scale, 2) for _ in range(n_cust)]
+                [
+                    None
+                    if with_nulls and rng.random() < 0.1
+                    else round(rng.uniform(-900, 9000) * price_scale, 2)
+                    for _ in range(n_cust)
+                ]
             ),
             "c_mktsegment": pa.array([rng.choice(_SEG) for _ in range(n_cust)]),
         },
@@ -283,7 +294,18 @@ def _gen_dir(tmp, seed: int, price_scale: float = 1.0, key_skew: bool = False) -
             for u in uids
         ]
         etypes = [rng.choice(_ETYPE) for _ in range(n_ev)]
-    props = ['{"k": %d}' % rng.randrange(100) for _ in range(n_ev)]
+    # with_nulls: the REAL-WORLD-nullable event columns go NULL at
+    # ~10% (value, props) and ~5% (event_type) — the relational half
+    # of the nulls shape. Join keys and timestamps stay NOT NULL (the
+    # TPC-H/contract columns the validation gate guarantees).
+    props = [
+        None
+        if with_nulls and rng.random() < 0.1
+        else '{"k": %d}' % rng.randrange(100)
+        for _ in range(n_ev)
+    ]
+    if with_nulls:
+        etypes = [None if rng.random() < 0.05 else e for e in etypes]
     write(
         "events",
         {
@@ -291,7 +313,14 @@ def _gen_dir(tmp, seed: int, price_scale: float = 1.0, key_skew: bool = False) -
             "ts": pa.array(tss, pa.timestamp("us")),
             "user_id": pa.array(uids, pa.int64()),
             "event_type": pa.array(etypes),
-            "value": pa.array([round(rng.uniform(0, 350) * price_scale, 2) for _ in range(n_ev)]),
+            "value": pa.array(
+                [
+                    None
+                    if with_nulls and rng.random() < 0.1
+                    else round(rng.uniform(0, 350) * price_scale, 2)
+                    for _ in range(n_ev)
+                ]
+            ),
             "props": pa.array(props),
         },
     )

@@ -57,7 +57,13 @@ def gen_combined(base, seed, shape):
     # hot shingle in EVERY document (the prefix filter's degenerate
     # posting list).
     price_scale = 1e6 if shape == "magnitude" else 1.0
-    sf_dir = fr._gen_dir(d, seed, price_scale=price_scale, key_skew=shape == "zipf")
+    sf_dir = fr._gen_dir(
+        d,
+        seed,
+        price_scale=price_scale,
+        key_skew=shape == "zipf",
+        with_nulls=shape == "nulls",
+    )
     corpus_shape = {"magnitude": "random", "zipf": "hot"}.get(shape, shape)
     rows = fo._corpus(seed, corpus_shape)
     pq.write_table(pa.table({
