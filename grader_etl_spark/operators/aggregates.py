@@ -445,7 +445,7 @@ WITH counted AS (
 ), ranked AS (
   SELECT user_id, event_type, mode_cnt,
          ROW_NUMBER() OVER (PARTITION BY user_id
-                            ORDER BY mode_cnt DESC, event_type) AS rn
+                            ORDER BY mode_cnt DESC, event_type NULLS FIRST) AS rn
   FROM counted
 )
 SELECT user_id, event_type AS mode_event_type, mode_cnt
@@ -466,7 +466,8 @@ def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user top-1 over ≤5 rows."""
     ev = load(spark, sf_dir, "events", columns=["user_id", "event_type"])
     counted = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("mode_cnt"))
-    w = Window.partitionBy("user_id").orderBy(F.desc("mode_cnt"), F.asc("event_type"))
+    # tiebreak NULLS FIRST pinned (Spark asc default; DuckDB is NULLS LAST)
+    w = Window.partitionBy("user_id").orderBy(F.desc("mode_cnt"), F.col("event_type").asc_nulls_first())
     return (
         counted.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

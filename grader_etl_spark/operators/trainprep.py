@@ -443,7 +443,7 @@ WITH avail AS (
          sum(weight) OVER win AS cum_w,
          lead(CAST(avail AS DOUBLE) / weight) OVER win AS next_ratio
   FROM avail a, tot t
-  WINDOW win AS (ORDER BY CAST(avail AS DOUBLE) / weight, source)
+  WINDOW win AS (ORDER BY CAST(avail AS DOUBLE) / weight, source NULLS FIRST)
 ), lam AS (
   SELECT coalesce(
            max(CASE WHEN ratio <= (budget - cum_avail) / (tot_w - cum_w)
@@ -501,7 +501,7 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.lit(MIX_BUDGET_FRAC) * F.sum("avail")).alias("budget"),
     )
     ratio = F.col("avail").cast("double") / F.col("weight")
-    win = Window.orderBy(ratio, "source")
+    win = Window.orderBy(ratio, F.col("source").asc_nulls_first())
     ranked = (
         avail.crossJoin(F.broadcast(tot))
         .withColumn("ratio", ratio)

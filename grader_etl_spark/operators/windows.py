@@ -30,16 +30,17 @@ from grader_etl_spark.functions.quantize import floor_quantize
     oracle="""
 SELECT c_custkey,
        c_nationkey,
-       ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
-       RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk,
-       DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS drnk
+       ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC NULLS LAST, c_custkey) AS rn,
+       RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC NULLS LAST, c_custkey) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC NULLS LAST, c_custkey) AS drnk
 FROM customer
 """,
 )
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: row_number/rank/dense_rank per nation by balance — all three
     share one window spec, so one shuffle + one sort serves all."""
-    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    # DESC NULLS LAST pinned (Spark desc default; DuckDB desc is NULLS FIRST)
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc_nulls_last(), "c_custkey")
     return load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]).select(
         "c_custkey",
         "c_nationkey",
