@@ -207,6 +207,10 @@ SELECT l_returnflag,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
+-- HAVING: Spark's grouping-set aggregates emit NO groups from zero
+-- rows, while ANSI emits the empty grand-total group; count(*)>0 is
+-- a no-op on non-empty input and pins the Spark semantics
+HAVING COUNT(*) > 0
 """,
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,6 +240,10 @@ SELECT o_orderstatus,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)  AS total_price
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
+-- HAVING: Spark's grouping-set aggregates emit NO groups from zero
+-- rows, while ANSI emits the empty grand-total group; count(*)>0 is
+-- a no-op on non-empty input and pins the Spark semantics
+HAVING COUNT(*) > 0
 """,
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,6 +382,10 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+-- HAVING: Spark's grouping-set aggregates emit NO groups from zero
+-- rows, while ANSI emits the empty grand-total group; count(*)>0 is
+-- a no-op on non-empty input and pins the Spark semantics
+HAVING COUNT(*) > 0
 """,
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -108,6 +108,9 @@ SELECT floor(CAST(CAST(s_all AS VARCHAR) AS DOUBLE) / n_all * 1e6 + 0.5) / 1e6
        CAST({B_REPLICATES} AS BIGINT)                 AS n_replicates
 FROM ranked CROSS JOIN agg
 GROUP BY s_all, n_all
+-- empty population => no interval row (the Spark plan's replicate
+-- aggregates are empty); HAVING is a no-op on any non-empty input
+HAVING n_all > 0
 """
 
 

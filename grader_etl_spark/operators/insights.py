@@ -395,20 +395,25 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("variant"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("converted"),
     )
+    # COUNT (not SUM-of-0/1): zero events must yield ZERO cells like
+    # the oracle's COUNT(CASE ...), not SUM's NULL; the rate/z math
+    # then try_divides so the empty experiment emits NULLs instead of
+    # the ANSI /0 throw (empty fuzz shape).
     cells = assigned.agg(
-        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("n_b"),
-        F.sum(F.when(F.col("variant") == "A", F.col("converted")).otherwise(0)).alias(
+        F.count(F.when(F.col("variant") == "A", 1)).alias("n_a"),
+        F.count(F.when(F.col("variant") == "B", 1)).alias("n_b"),
+        F.count(F.when((F.col("variant") == "A") & (F.col("converted") == 1), 1)).alias(
             "conv_a"
         ),
-        F.sum(F.when(F.col("variant") == "B", F.col("converted")).otherwise(0)).alias(
+        F.count(F.when((F.col("variant") == "B") & (F.col("converted") == 1), 1)).alias(
             "conv_b"
         ),
     )
-    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
-    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
-    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
-        F.col("n_a") + F.col("n_b")
+    rate_a = F.try_divide(F.col("conv_a").cast("double"), F.col("n_a"))
+    rate_b = F.try_divide(F.col("conv_b").cast("double"), F.col("n_b"))
+    pooled = F.try_divide(
+        (F.col("conv_a") + F.col("conv_b")).cast("double"),
+        F.col("n_a") + F.col("n_b"),
     )
     return cells.select(
         "n_a",
@@ -418,11 +423,16 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor_quantize(rate_a, 6).alias("rate_a"),
         floor_quantize(rate_b, 6).alias("rate_b"),
         floor_quantize(
-            (rate_a - rate_b)
-            / F.sqrt(
-                pooled
-                * (F.lit(1.0) - pooled)
-                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            F.try_divide(
+                rate_a - rate_b,
+                F.sqrt(
+                    pooled
+                    * (F.lit(1.0) - pooled)
+                    * (
+                        F.try_divide(F.lit(1.0), F.col("n_a"))
+                        + F.try_divide(F.lit(1.0), F.col("n_b"))
+                    )
+                ),
             ), 4).alias("z_stat"),
     )
 
@@ -1192,10 +1202,12 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived value is the same IEEE expression tree on the same
     doubles, and the output n is CEIL'd to an exact integer."""
     ev = load(spark, sf_dir, "events", columns=["event_type"])
+    # try_divide: zero events → NULL baseline rate (rows still emit,
+    # NULL-propagated) — ANSI /0 throws, DuckDB yields NULL.
     base = ev.agg(
-        (
-            F.count(F.when(F.col("event_type") == "purchase", 1)).cast("double")
-            / F.count(F.lit(1))
+        F.try_divide(
+            F.count(F.when(F.col("event_type") == "purchase", 1)).cast("double"),
+            F.count(F.lit(1)),
         ).alias("p")
     )
     grid = spark.range(3).select(

@@ -451,10 +451,16 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim: dict[int, dict[int, float]] = {}
     for r in pair_rows:
         sim.setdefault(r["ida"], {})[r["idb"]] = r["sim"]
+    schema = "rank long, vec_id long, mmr_score double"
+    # Short/empty candidate pools pick what exists and stop — the
+    # oracle's unrolled steps each select from the same shrinking set
+    # and go empty at the same point (empty fuzz shape).
+    if not rel:
+        return spark.createDataFrame([], schema)
     first_id = min(rel, key=lambda k: (-rel[k], k))
     picked: list[tuple[int, int, float]] = [(1, first_id, rel[first_id])]
     lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 10)
-    for i in range(2, MMR_K + 1):
+    for i in range(2, min(MMR_K, len(rel)) + 1):
         sel_ids = [p[1] for p in picked]
         best = min(
             (
@@ -464,7 +470,7 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         picked.append((i, best[1], -best[0]))
-    return spark.createDataFrame(picked, "rank long, vec_id long, mmr_score double")
+    return spark.createDataFrame(picked, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -617,8 +623,15 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "vocab_size",
         "n_unique_docs",
-        floor_quantize(1.0 - F.col("n_unique_docs").cast("double") / F.col("n_docs"), 6).alias("dup_rate"),
-        floor_quantize(F.col("n_tokens").cast("double") / F.col("n_docs"), 2).alias("mean_doc_tokens"),
+        # try_divide: an EMPTY corpus's datasheet row still emits, with
+        # NULL ratios — ANSI Spark throws on /0 where DuckDB yields
+        # NULL (empty fuzz shape).
+        floor_quantize(
+            1.0 - F.try_divide(F.col("n_unique_docs").cast("double"), F.col("n_docs")), 6
+        ).alias("dup_rate"),
+        floor_quantize(
+            F.try_divide(F.col("n_tokens").cast("double"), F.col("n_docs")), 2
+        ).alias("mean_doc_tokens"),
     )
 
 

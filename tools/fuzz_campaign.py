@@ -27,7 +27,10 @@ sys.path.insert(0, _REPO)
 
 TABLES = ("region", "nation", "part", "supplier", "customer", "orders",
           "lineitem", "events", "documents", "embeddings")
-SHAPES = ("random", "adversarial", "dup-heavy", "magnitude", "zipf", "unicode", "nulls")
+SHAPES = (
+    "random", "adversarial", "dup-heavy", "magnitude", "zipf", "unicode",
+    "nulls", "empty",
+)
 
 
 def _load(relpath, name):
@@ -79,6 +82,15 @@ def gen_combined(base, seed, shape):
         "embedding": pa.array([r[1] for r in vr], pa.list_(pa.float32())),
         "label": pa.array([r[2] for r in vr], pa.int32()),
     }), os.path.join(sf_dir, "embeddings.parquet"))
+    if shape == "empty":
+        # EMPTY shape: every fact table truncated to zero rows with
+        # its schema intact (real dims stay) — empty partitions,
+        # empty days, and empty corpora are routine at 100 TB, and
+        # zero-row global aggregates are where ANSI /0, grand-total
+        # grouping sets, and driver-side min()-of-nothing live.
+        for t in ("orders", "lineitem", "events", "documents", "embeddings"):
+            f = os.path.join(sf_dir, f"{t}.parquet")
+            pq.write_table(pq.read_table(f).slice(0, 0), f)
     return sf_dir
 
 
