@@ -99,7 +99,7 @@ WITH agg AS (
 ), reps AS (
   {reps}
 ), ranked AS (
-  SELECT b, mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rk FROM reps
+  SELECT b, mean_b, ROW_NUMBER() OVER (ORDER BY mean_b NULLS FIRST, b) AS rk FROM reps
 )
 SELECT floor(CAST(CAST(s_all AS VARCHAR) AS DOUBLE) / n_all * 1e6 + 0.5) / 1e6
          AS point_mean,
@@ -165,13 +165,18 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         long.select("price", "b", w.alias("w"))
         .groupBy("b")
         .agg(
+            # try_divide: a replicate whose Poisson weights are ALL
+            # zero (reachable at tiny n) has no mean — NULL, like
+            # the oracle's sxw/0 (ANSI /0 throws; empty/one-row shapes)
             round6(
-                F.sum(F.col("w") * F.col("price")).cast("double") / F.sum("w")
+                F.try_divide(
+                    F.sum(F.col("w") * F.col("price")).cast("double"), F.sum("w")
+                )
             ).alias("mean_b")
         )
     )
     tot = od.agg(F.sum(price).alias("s_all"), F.count("*").alias("n_all"))
-    rk = F.row_number().over(Window.orderBy("mean_b", "b"))
+    rk = F.row_number().over(Window.orderBy(F.col("mean_b").asc_nulls_first(), "b"))
     return (
         reps.withColumn("rk", rk)
         .crossJoin(F.broadcast(tot))

@@ -271,10 +271,12 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n1").alias("n1"),
         F.max("n2").alias("n2"),
         floor_quantize(
+            # try_divide: an empty side (all rows in one sample at
+            # tiny n) has no ECDF — D is NULL, as in the oracle
             F.max(
                 F.abs(
-                    F.col("c1").cast("double") / F.col("n1")
-                    - F.col("c2").cast("double") / F.col("n2")
+                    F.try_divide(F.col("c1").cast("double"), F.col("n1"))
+                    - F.try_divide(F.col("c2").cast("double"), F.col("n2"))
                 )
             ), 6).alias("d_stat"),
     )

@@ -109,7 +109,8 @@ def _covariance_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             "j",
             "cov",
-            (F.col("cov") / F.sqrt(F.col("var_i") * F.col("var_j"))).alias("corr"),
+            # try_divide: zero-variance dims (n=1 corpus) have no corr
+            F.try_divide(F.col("cov"), F.sqrt(F.col("var_i") * F.col("var_j"))).alias("corr"),
         )
     )
 

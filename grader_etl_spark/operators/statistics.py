@@ -405,7 +405,12 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ad", F.abs(F.col("value") - F.col("med"))
     )
     mad = dev.groupBy("event_type").agg(F.percentile("ad", F.lit(0.5)).alias("mad"))
-    rz = floor_quantize(F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"), 6)
+    # try_divide: a degenerate group (MAD 0 — constant or single
+    # value) has no robust z; NULL filters out below, same as the
+    # oracle's /0 NULL (ANSI throws otherwise)
+    rz = floor_quantize(
+        F.try_divide(F.lit(0.6745) * (F.col("value") - F.col("med")), F.col("mad")), 6
+    )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .select("event_id", "event_type", "value", rz.alias("robust_z"))
@@ -1108,8 +1113,10 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stat.select(
         floor_quantize("chi2", 4).alias("chi2"),
+        # try_divide: a 1x1 contingency table has min(r,c)-1 = 0 —
+        # V undefined (NULL both engines; ANSI /0 throws otherwise)
         floor_quantize(
-            F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - 1))), 4).alias("cramers_v"),
+            F.sqrt(F.try_divide(F.col("chi2"), F.col("n") * (F.least("r", "c") - 1))), 4).alias("cramers_v"),
         F.col("r").alias("n_rows"),
         F.col("c").alias("n_cols"),
         F.col("n").cast("long").alias("n_docs"),

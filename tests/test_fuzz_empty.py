@@ -98,3 +98,54 @@ def test_empty_tables_match_oracle(spark, empty_dir, empty_con, name):
     odf = empty_con.execute(REGISTRY[name].oracle).df()
     problems = oc.compare(name, sdf, odf)
     assert not problems, f"{name} diverged on zero-row fact tables: {problems}"
+
+
+# Single-row facts: the n-1 = 0 variance denominators, 1x1 contingency
+# tables, one-sided ECDFs, all-zero Poisson replicates, and zero MADs
+# that ANSI /0 turns into task-killing throws (all now try_divide —
+# NULL, the DuckDB answer).
+ONE_ROW_QUERIES = sorted(
+    {
+        "q_bootstrap_ci",
+        "q_cramers_v",
+        "q_embedding_covariance",
+        "q_ks_test",
+        "q_mad_outliers",
+        "q_stats_agg",
+        "q_ab_test",
+        "q_spearman_corr",
+        "q_trend_slope",
+        "q_group_agg",
+        "q_percentiles",
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def one_dir(tmp_path_factory):
+    fc = _load("tools/fuzz_campaign.py", "one_fc")
+    base = str(tmp_path_factory.mktemp("oneshape"))
+    return fc.gen_combined(base, 4203, "one")
+
+
+@pytest.fixture(scope="module")
+def one_con(one_dir):
+    con = duckdb.connect()
+    for t in ("region", "nation", "part", "supplier", "customer",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{one_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", ONE_ROW_QUERIES)
+def test_single_row_tables_match_oracle(spark, one_dir, one_con, name):
+    from grader_etl_spark.registry import REGISTRY, load_all_operators
+
+    oc = _load("tools/oracle_check.py", "one_oc")
+    load_all_operators()
+    sdf = REGISTRY[name].fn(spark, one_dir).toPandas()
+    odf = one_con.execute(REGISTRY[name].oracle).df()
+    problems = oc.compare(name, sdf, odf)
+    assert not problems, f"{name} diverged on single-row fact tables: {problems}"

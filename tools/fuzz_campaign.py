@@ -29,7 +29,7 @@ TABLES = ("region", "nation", "part", "supplier", "customer", "orders",
           "lineitem", "events", "documents", "embeddings")
 SHAPES = (
     "random", "adversarial", "dup-heavy", "magnitude", "zipf", "unicode",
-    "nulls", "empty",
+    "nulls", "empty", "one",
 )
 
 
@@ -82,15 +82,18 @@ def gen_combined(base, seed, shape):
         "embedding": pa.array([r[1] for r in vr], pa.list_(pa.float32())),
         "label": pa.array([r[2] for r in vr], pa.int32()),
     }), os.path.join(sf_dir, "embeddings.parquet"))
-    if shape == "empty":
+    if shape in ("empty", "one"):
         # EMPTY shape: every fact table truncated to zero rows with
         # its schema intact (real dims stay) — empty partitions,
         # empty days, and empty corpora are routine at 100 TB, and
         # zero-row global aggregates are where ANSI /0, grand-total
         # grouping sets, and driver-side min()-of-nothing live.
+        # ONE shape: single-row facts — n-1 = 0 variance denominators,
+        # 1x1 contingency tables, one-sided ECDFs, zero MADs.
+        n_keep = 0 if shape == "empty" else 1
         for t in ("orders", "lineitem", "events", "documents", "embeddings"):
             f = os.path.join(sf_dir, f"{t}.parquet")
-            pq.write_table(pq.read_table(f).slice(0, 0), f)
+            pq.write_table(pq.read_table(f).slice(0, n_keep), f)
     return sf_dir
 
 
