@@ -150,7 +150,16 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(byflag.orderBy("l_extendedprice")).alias("price_rank"),
     )
     return ranked.groupBy("l_returnflag").agg(
-        floor_quantize(F.corr("qty_rank", "price_rank"), 6).alias("spearman"),
+        # covar_pop/(stddev·stddev) under try_divide, not F.corr: the
+        # built-in corr THROWS under ANSI when a rank column is
+        # constant (all-tied values), DuckDB's yields NULL — the
+        # assortativity spelling (graph.py), proven fuzz-equal on
+        # integer inputs at 6 dp
+        floor_quantize(
+            F.try_divide(
+                F.covar_pop("qty_rank", "price_rank"),
+                F.stddev_pop("qty_rank") * F.stddev_pop("price_rank"),
+            ), 6).alias("spearman"),
         F.count("*").alias("n"),
     )
 

@@ -254,7 +254,16 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = [
         (a, b) for i, a in enumerate(sorted(_CORR_COLS)) for b in sorted(_CORR_COLS)[i + 1 :]
     ]
-    aggs = [floor_quantize(F.corr(a, b), 6).alias(f"c_{a}_{b}") for a, b in pairs]
+    # covar_pop/(stddev·stddev) under try_divide, not F.corr: ANSI
+    # corr of a zero-variance column throws inside the aggregate
+    # (unguardable from the projection); DuckDB corr yields NULL —
+    # the assortativity spelling (graph.py)
+    aggs = [
+        floor_quantize(
+            F.try_divide(F.covar_pop(a, b), F.stddev_pop(a) * F.stddev_pop(b)), 6
+        ).alias(f"c_{a}_{b}")
+        for a, b in pairs
+    ]
     one = li.agg(*aggs, F.count("*").alias("n"))
     stack_args = ", ".join(f"'{a}', '{b}', c_{a}_{b}" for a, b in pairs)
     return one.select(

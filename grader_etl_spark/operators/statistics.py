@@ -676,26 +676,65 @@ lagged AS (
   SELECT event_type, n,
          lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
   FROM daily
+),
+pairs AS (SELECT * FROM lagged WHERE prev_n IS NOT NULL),
+m AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS k,
+         sum(n) AS sx, sum(prev_n) AS sy,
+         sum(n * prev_n) AS sxy, sum(n * n) AS sxx, sum(prev_n * prev_n) AS syy
+  FROM pairs GROUP BY event_type
 )
-SELECT event_type, CASE WHEN abs(corr(n, prev_n)) < 4.5e9 THEN floor((corr(n, prev_n)) * 1e6 + 0.5) / 1e6 ELSE (corr(n, prev_n)) END AS autocorr_lag1
-FROM lagged
-GROUP BY event_type
+SELECT l.event_type,
+       CASE WHEN abs((k * sxy - sx * sy)
+              / sqrt((k * sxx - sx * sx) * (k * syy - sy * sy))) < 4.5e9
+            THEN floor(((k * sxy - sx * sy)
+              / sqrt((k * sxx - sx * sx) * (k * syy - sy * sy))) * 1e6 + 0.5) / 1e6
+            ELSE ((k * sxy - sx * sy)
+              / sqrt((k * sxx - sx * sx) * (k * syy - sy * sy))) END AS autocorr_lag1
+FROM (SELECT DISTINCT event_type FROM lagged) l LEFT JOIN m ON l.event_type IS NOT DISTINCT FROM m.event_type
 """,
 )
 def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1 autocorrelation of each event type's daily volume — the
-    burstiness/seasonality probe. Window lag + corr aggregate compose
-    directly: the per-type day sort serves the lag, and the corr state
-    (Welford pair moments) merges in one pass. Rounded 6 dp."""
+    burstiness/seasonality probe. Window lag + one grouped moment
+    aggregate compose directly: the per-type day sort serves the lag,
+    the five Pearson moment sums merge map-side, and the final
+    formula is one identical IEEE expression tree per group on exact
+    integer-count sums. Spelled as EXPLICIT moments + try_divide (the
+    q_trend_slope discipline) rather than the built-in corr: under
+    Spark 4's default ANSI mode `corr` of a zero-variance series
+    raises DIVIDE_BY_ZERO inside the aggregate — unguardable from the
+    projection — while DuckDB's corr yields NULL (found by the
+    nulls×magnitude interaction probe). Rounded 6 dp."""
     ev = load(spark, sf_dir, "events", columns=["event_type", "ts"])
     daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).cast("double").alias("n")
     )
     w = Window.partitionBy("event_type").orderBy("day")
     lagged = daily.withColumn("prev_n", F.lag("n").over(w))
-    return lagged.groupBy("event_type").agg(
-        floor_quantize(F.corr("n", "prev_n"), 6).alias("autocorr_lag1")
+    pairs = lagged.filter(F.col("prev_n").isNotNull())
+    x, y = F.col("n"), F.col("prev_n")
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
     )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    r = F.try_divide(
+        k * sxy - sx * sy, F.sqrt((k * sxx - sx * sx) * (k * syy - sy * sy))
+    )
+    # eqNullSafe: a NULL event_type group must still find its moments
+    # (plain key-joins drop NULL keys; oracle: IS NOT DISTINCT FROM)
+    types = lagged.select("event_type").distinct()
+    return types.alias("t").join(
+        m.alias("m"),
+        F.col("t.event_type").eqNullSafe(F.col("m.event_type")),
+        "left",
+    ).select(F.col("t.event_type").alias("event_type"), floor_quantize(r, 6).alias("autocorr_lag1"))
 
 
 @query(

@@ -1095,8 +1095,11 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = tf.withColumn("r", F.row_number().over(w))
     return ranked.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_terms"),
+        # try_divide: a single-term vocabulary has var_pop(log r)=0 —
+        # slope undefined (NULL both engines; ANSI /0 throws otherwise)
         floor_quantize(
-            F.covar_pop(F.log("c"), F.log("r")) / F.var_pop(F.log("r")), 6).alias("zipf_slope"),
+            F.try_divide(F.covar_pop(F.log("c"), F.log("r")), F.var_pop(F.log("r"))), 6
+        ).alias("zipf_slope"),
     )
 
 

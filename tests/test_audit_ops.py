@@ -355,3 +355,21 @@ def test_did_lift_cancels_shared_trend(spark, monkeypatch):
     r = ins.q_did_lift(spark, "x").collect()[0]
     assert r["did_lift"] == 5.0
     assert r["n_events"] == 4
+
+
+def test_degenerate_variance_yields_null_not_ansi_throw(spark, monkeypatch):
+    """Zero-variance series must yield NULL correlations, not the
+    ANSI DIVIDE_BY_ZERO that Spark 4's built-in corr raises inside
+    the aggregate (found by the nulls x magnitude interaction probe;
+    fixed with the covar_pop/stddev try_divide spelling)."""
+    import datetime as dt
+
+    import grader_etl_spark.operators.statistics as st
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    # one event per day, every day -> constant daily count series
+    rows = [(i, base + dt.timedelta(days=i), "view") for i in range(6)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    monkeypatch.setattr(st, "load", lambda spark, sf, t, columns=None: df)
+    got = st.q_autocorr_daily(spark, "x").collect()
+    assert len(got) == 1 and got[0]["autocorr_lag1"] is None
