@@ -1189,11 +1189,16 @@ calc AS (
 )
 SELECT CASE WHEN abs(p) < 4.5e9 THEN floor((p) * 1e6 + 0.5) / 1e6 ELSE (p) END AS baseline_rate,
        mde,
+       -- p + mde > 1: the lift is unobservable (baseline already at or
+       -- past 100% - mde) => NULL sample size. Without the guard the
+       -- variance term goes negative and DuckDB's SQRT throws where
+       -- Spark yields NaN (single-row fuzz shape, all-purchase event).
+       CASE WHEN p2 > 1 THEN NULL ELSE
        CAST(CEIL(
          POWER(1.959964 * SQRT(2 * pbar * (1 - pbar))
                + 0.841621 * SQRT(p * (1 - p) + p2 * (1 - p2)), 2)
          / (mde * mde)
-       ) AS BIGINT) AS n_per_arm
+       ) AS BIGINT) END AS n_per_arm
 FROM calc
 """,
 )
@@ -1228,14 +1233,20 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     p, mde = F.col("p"), F.col("mde")
     p2 = p + mde
     pbar = (p + p2) / 2
-    n = F.ceil(
-        F.pow(
-            F.lit(1.959964) * F.sqrt(2 * pbar * (1 - pbar))
-            + F.lit(0.841621) * F.sqrt(p * (1 - p) + p2 * (1 - p2)),
-            2,
-        )
-        / (mde * mde)
-    ).cast("long")
+    # p + mde > 1: the lift is unobservable => NULL n (the guard keeps
+    # the variance term non-negative — DuckDB SQRT throws on negatives
+    # where Spark yields NaN; single-row fuzz shape).
+    n = F.when(
+        p2 <= 1,
+        F.ceil(
+            F.pow(
+                F.lit(1.959964) * F.sqrt(2 * pbar * (1 - pbar))
+                + F.lit(0.841621) * F.sqrt(p * (1 - p) + p2 * (1 - p2)),
+                2,
+            )
+            / (mde * mde)
+        ).cast("long"),
+    )
     return c.select(floor_quantize(p, 6).alias("baseline_rate"), "mde", n.alias("n_per_arm"))
 
 
