@@ -245,8 +245,11 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible across cluster sizes, which matters more at 1000
     executors than the O(k log k) per-group cost."""
     ev = load(spark, sf_dir, "events", columns=["user_id", "event_type"])
+    types = F.array_sort(F.collect_set("event_type"))
     return ev.groupBy("user_id").agg(
-        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types_seen"),
+        # guard: a user with ZERO non-null types aggregates to NULL
+        # (string_agg-of-nothing), not concat_ws's '' (nulls shape)
+        F.when(F.size(types) > 0, F.concat_ws(",", types)).alias("types_seen"),
         F.countDistinct("event_type").alias("n_types"),
     )
 
@@ -493,11 +496,17 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = (
         first_n.groupBy("user_id")
         .agg(
-            F.concat_ws(
-                ">",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
-                    lambda s: s.getField("event_type"),
+            # count guard: a user whose head events are ALL NULL-typed
+            # has no path (string_agg-of-nothing = NULL, not ''—nulls
+            # shape); concat_ws skips interior NULLs like string_agg
+            F.when(
+                F.count("event_type") > 0,
+                F.concat_ws(
+                    ">",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                        lambda s: s.getField("event_type"),
+                    ),
                 ),
             ).alias("path")
         )
