@@ -115,3 +115,33 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# Defensive load for the vector family (BASELINE.md §degenerate-
+# embedding probe): an embedding model's failure rows — NULL vectors,
+# empty arrays, NULL or NaN components — crash 12 of 13 vector
+# operators on BOTH engines (Spark: ANSI /0 on the zero norm or a
+# NULL-poisoned fold; DuckDB: list_inner_product rejects NULL
+# elements). One map-side filter at the scan is the 100 TB answer;
+# VALID_VECTORS_SQL is the oracle's mirrored WHERE, spliced by
+# wrapping the embeddings scan in a filtered subquery of the same name.
+# (All-zero vectors pass the gate: they are VALID input whose cosine
+# is NULL/undefined — the try_divide class, not a load problem.)
+
+VALID_VECTORS_SQL = (
+    "embedding IS NOT NULL AND len(embedding) > 0 AND "
+    "list_aggregate(list_transform(embedding, "
+    "x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), "
+    "'sum') = 0"
+)
+
+
+def valid_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Drop NULL/empty vectors and vectors with NULL/NaN components —
+    the Spark half of the defensive vector load."""
+    c = F.col(col)
+    return df.filter(
+        c.isNotNull()
+        & (F.size(c) > 0)
+        & F.forall(c, lambda x: x.isNotNull() & ~F.isnan(x.cast("double")))
+    )

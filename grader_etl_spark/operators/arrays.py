@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from grader_etl_spark.io import load
+from grader_etl_spark.io import load, valid_vectors
 from grader_etl_spark.registry import query
 from grader_etl_spark.functions.quantize import floor_quantize
 
@@ -61,7 +61,7 @@ SELECT vec_id,
        CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
        CAST(list_sum(list_transform(embedding,
                 x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS norm2_milli
-FROM embeddings
+FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings
 """,
 )
 def q_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +72,7 @@ def q_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation order would differ between engines); the float32 →
     float64 widening is exact on both sides, making the oracle
     bit-stable."""
-    emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = valid_vectors(load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     as_d = lambda x: x.cast("double")  # noqa: E731
     milli = F.transform("embedding", lambda x: F.round(as_d(x) * 1000).cast("long"))
     sq_milli = F.transform("embedding", lambda x: F.round(as_d(x) * as_d(x) * 1000).cast("long"))

@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from grader_etl_spark.functions.literals import lit_doubles
-from grader_etl_spark.io import load
+from grader_etl_spark.io import load, valid_vectors
 from grader_etl_spark.registry import query
 from grader_etl_spark.functions.quantize import floor_quantize
 
@@ -157,7 +157,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster assignment + rounded distance after 5 deterministic
     Lloyd iterations, k=8. Rows-only driver check; the algorithmic
     invariants are pinned in tests/test_clustering.py."""
-    emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = valid_vectors(load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     assigned, _ = kmeans(emb, cache_key=(sf_dir, "embeddings"))
     return assigned.select(
         "vec_id",

@@ -21,7 +21,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from grader_etl_spark.io import load
+from grader_etl_spark.io import load, valid_vectors
 from grader_etl_spark.registry import query
 from grader_etl_spark.functions.quantize import floor_quantize
 
@@ -47,7 +47,7 @@ def centroid_distances(emb: DataFrame, key: str = "label") -> DataFrame:
     oracle="""
 WITH dims AS (
   SELECT vec_id, label, d.i AS dim, d.x AS x
-  FROM embeddings,
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings,
        LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
                        generate_subscripts(embedding, 1) AS i) d
 ),
@@ -68,7 +68,7 @@ def q_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-by in pure SQL. Distances are rounded to 6 dp on both sides —
     numpy's pairwise summation and DuckDB's sequential SUM differ at
     ~1e-15 relative, far below the rounding grain."""
-    emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "label", "embedding"]).select(
+    emb = valid_vectors(load(spark, sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])).select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     return centroid_distances(emb).withColumn(

@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
-from grader_etl_spark.io import fan_out, load
+from grader_etl_spark.io import fan_out, load, valid_vectors
 from grader_etl_spark.registry import memo_checkpoint, query
 from grader_etl_spark.functions.quantize import floor_quantize
 from grader_etl_spark.functions.textnorm import WS_RE, norm_lower
@@ -762,7 +762,9 @@ def cosine(a: Column, b: Column) -> Column:
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    # try_divide: an all-zero vector is VALID input with an undefined
+    # cosine — NULL (DuckDB's /0), not the ANSI throw.
+    return F.try_divide(dot, na * nb)
 
 
 @query(
@@ -770,7 +772,7 @@ def cosine(a: Column, b: Column) -> Column:
     oracle=f"""
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings
 )
 SELECT a.vec_id AS vec_id_1,
        b.vec_id AS vec_id_2,
@@ -790,7 +792,7 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap coarse quantizer; the pairwise work is per-cell, not global.
     Norms are precomputed per vector; each candidate pair pays exactly
     one 64-dim dot product."""
-    emb = fan_out(load(spark, sf_dir, "embeddings", columns=["vec_id", "label", "embedding"]))
+    emb = fan_out(valid_vectors(load(spark, sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])))
     e = with_norm(
         emb.select(
             "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -798,7 +800,7 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = e.alias("a")
     b = e.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    cos = F.try_divide(dot(F.col("a.v"), F.col("b.v")), F.col("a.norm") * F.col("b.norm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(

@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
-from grader_etl_spark.io import fan_out, load
+from grader_etl_spark.io import fan_out, load, valid_vectors
 from grader_etl_spark.registry import checkpoint_frame, query
 from grader_etl_spark.functions.quantize import floor_quantize
 from grader_etl_spark.functions.textnorm import WS_RE, norm_lower
@@ -366,16 +366,18 @@ def _mmr_oracle() -> str:
         "(sqrt(list_dot_product({a}.v, {a}.v)) * sqrt(list_dot_product({b}.v, {b}.v)))"
     )
     parts = [
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings),",
         f"qv AS (SELECT v FROM e WHERE vec_id = {MMR_QUERY_ID}),",
         "cand AS MATERIALIZED (",
         f"  SELECT c.vec_id, c.v, {cos.format(a='qv', b='c')} AS rel",
-        f"  FROM e c, qv WHERE c.vec_id != {MMR_QUERY_ID}",
-        f"  ORDER BY rel DESC, c.vec_id LIMIT {MMR_C}),",
+        # zero-norm candidates have NULL rel — no direction, not
+        # rankable; excluded on both sides (degenerate-embedding probe)
+        f"  FROM e c, qv WHERE c.vec_id != {MMR_QUERY_ID} AND {cos.format(a='qv', b='c')} IS NOT NULL",
+        f"  ORDER BY rel DESC NULLS LAST, c.vec_id LIMIT {MMR_C}),",
         "pairs AS MATERIALIZED (",
         f"  SELECT a.vec_id AS ida, b.vec_id AS idb, {cos.format(a='a', b='b')} AS sim",
         "  FROM cand a JOIN cand b ON a.vec_id != b.vec_id),",
-        "s1 AS MATERIALIZED (SELECT vec_id, rel AS score FROM cand ORDER BY rel DESC, vec_id LIMIT 1),",
+        "s1 AS MATERIALIZED (SELECT vec_id, rel AS score FROM cand ORDER BY rel DESC NULLS LAST, vec_id LIMIT 1),",
         "sel1 AS MATERIALIZED (SELECT vec_id FROM s1),",
     ]
     for i in range(2, MMR_K + 1):
@@ -385,7 +387,7 @@ def _mmr_oracle() -> str:
             "  FROM cand c JOIN pairs p ON p.ida = c.vec_id",
             f"    AND p.idb IN (SELECT vec_id FROM sel{i - 1})",
             f"  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})",
-            "  GROUP BY c.vec_id, c.rel ORDER BY score DESC, c.vec_id LIMIT 1),",
+            "  GROUP BY c.vec_id, c.rel ORDER BY score DESC NULLS LAST, c.vec_id LIMIT 1),",
             f"sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM s{i}),",
         ]
     selects = " UNION ALL ".join(
@@ -419,7 +421,7 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverge between engines; ties break on vec_id both sides."""
     from grader_etl_spark.operators.llm_dedup import cosine
 
-    e = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).select(
+    e = valid_vectors(load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     qv = e.filter(F.col("vec_id") == MMR_QUERY_ID).select(F.col("v").alias("qv"))
@@ -427,6 +429,7 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") != MMR_QUERY_ID)
         .crossJoin(F.broadcast(qv))
         .select("vec_id", "v", cosine(F.col("qv"), F.col("v")).alias("rel"))
+        .filter(F.col("rel").isNotNull())
         .orderBy(F.desc("rel"), "vec_id")
         .limit(MMR_C)
     )

@@ -16,7 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from grader_etl_spark.functions.literals import lit_doubles
-from grader_etl_spark.io import fan_out, load
+from grader_etl_spark.io import fan_out, load, valid_vectors
 from grader_etl_spark.operators.llm_dedup import dot, with_norm
 from grader_etl_spark.registry import query
 
@@ -60,7 +60,8 @@ def brute_force_topk(
     corpus, rank per query; norms precomputed per vector so each
     (query, doc) pair pays one dot product.
     Columns: query_id, neighbor_id, rank, cosine."""
-    cos = dot(F.col("q.v"), F.col("c.v")) / (F.col("q.norm") * F.col("c.norm"))
+    # try_divide: zero-norm vectors have NULL cosine (DuckDB /0), not the ANSI throw
+    cos = F.try_divide(dot(F.col("q.v"), F.col("c.v")), F.col("q.norm") * F.col("c.norm"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         with_norm(corpus).alias("c")
@@ -79,7 +80,7 @@ def brute_force_topk(
     "q_ann_cosine",
     oracle=f"""
 WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings
 ),
 q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
 scored AS (
@@ -90,7 +91,7 @@ scored AS (
          ROW_NUMBER() OVER (
            PARTITION BY q.vec_id
            ORDER BY list_dot_product(q.v, c.v)
-                    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC NULLS LAST,
                     c.vec_id
          ) AS rank
   FROM q JOIN e c ON q.vec_id != c.vec_id
@@ -102,7 +103,7 @@ FROM scored WHERE rank <= {TOP_K}
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-{TOP_K} for the first {N_QUERIES} vectors —
     the exact ANN baseline, oracle-checked value-for-value."""
-    e = fan_out(load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])).select(
+    e = fan_out(valid_vectors(load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))).select(
         "vec_id", _as_double_array(F.col("embedding")).alias("v")
     )
     qs = e.filter(F.col("vec_id") < N_QUERIES)
@@ -172,7 +173,7 @@ def _lsh_oracle() -> str:
         "(sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))"
     )
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings),
 b AS (SELECT vec_id, bucket FROM e, unnest([{buckets}]) AS u(bucket)),
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -181,7 +182,7 @@ cand AS (
 ),
 scored AS (
   SELECT query_id, neighbor_id, {cos} AS cosine,
-         row_number() OVER (PARTITION BY query_id ORDER BY {cos} DESC, neighbor_id) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY {cos} DESC NULLS LAST, neighbor_id) AS rank
   FROM cand JOIN e qe ON qe.vec_id = query_id JOIN e ce ON ce.vec_id = neighbor_id
 )
 SELECT query_id, neighbor_id, rank, cosine FROM scored WHERE rank <= {TOP_K}
@@ -195,7 +196,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     — this is what replaces the corpus cross join at scale), exact
     cosine re-rank of the deduped candidates, top-{TOP_K} per query.
     Recall vs q_ann_cosine is asserted in tests/test_similarity.py."""
-    e = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).select(
+    e = valid_vectors(load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])).select(
         "vec_id", _as_double_array(F.col("embedding")).alias("v")
     )
     buckets = e.select("vec_id", F.explode(lsh_buckets(F.col("v"))).alias("bucket"))
@@ -219,7 +220,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+            F.try_divide(dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
@@ -257,7 +258,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline is asserted in tests/test_similarity.py."""
     from grader_etl_spark.operators.clustering import K, kmeans
 
-    emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = valid_vectors(load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     assigned, centroids = kmeans(
         emb, k=K, iterations=IVF_TRAIN_ITERS, cache_key=(sf_dir, "embeddings")
     )
@@ -304,7 +305,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm"))).alias("cosine"),
+            F.try_divide(dot(F.col("qv"), F.col("v")), F.col("qn") * F.col("norm")).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
@@ -319,7 +320,7 @@ WITH scaled AS (
   SELECT vec_id,
          list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs,
          CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings
 )
 SELECT vec_id,
        CASE WHEN abs(maxabs) < 4.5e9 THEN floor((maxabs) * 1e6 + 0.5) / 1e6 ELSE (maxabs) END AS scale6,
@@ -338,7 +339,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF, no shuffle at all — a map-only pass, which is exactly what a
     100 TB re-encode job must be. Both engines compute the identical
     IEEE double ops, so the quantized codes match bit-exact."""
-    e = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).select(
+    e = valid_vectors(load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])).select(
         "vec_id", _as_double_array(F.col("embedding")).alias("v")
     )
     maxabs = F.array_max(F.transform("v", lambda x: F.abs(x)))
@@ -375,7 +376,7 @@ text_rank AS (
   SELECT doc_id, row_number() OVER (ORDER BY text_score DESC, doc_id) AS tr
   FROM text_scores
 ),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings),
 qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
 vec_rank AS (
   SELECT vec_id AS doc_id,
@@ -383,7 +384,7 @@ vec_rank AS (
            ORDER BY CASE WHEN abs(list_dot_product(v, q)
                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q)))) < 4.5e9 THEN floor((list_dot_product(v, q)
                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q)))) * 1e6 + 0.5) / 1e6 ELSE (list_dot_product(v, q)
-                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q)))) END DESC,
+                    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q)))) END DESC NULLS LAST,
                     vec_id) AS vr
   FROM e CROSS JOIN qv WHERE vec_id <> 0
 )
@@ -427,7 +428,7 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tr"),
     )
-    e = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]).select(
+    e = valid_vectors(load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])).select(
         "vec_id", _as_double_array(F.col("embedding")).alias("v")
     )
     qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
@@ -437,7 +438,7 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     )
-    cos = floor_quantize(dot / (norm(F.col("v")) * norm(F.col("q"))), 6)
+    cos = floor_quantize(F.try_divide(dot, norm(F.col("v")) * norm(F.col("q"))), 6)
     vec_rank = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qv))
@@ -496,7 +497,7 @@ WITH norms AS (
   SELECT vec_id,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS norm
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings
 ),
 stats AS (
   SELECT avg(norm) AS mu, stddev_samp(norm) AS sigma FROM norms
@@ -516,7 +517,7 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto the same frame (the norms subtree is tiny — vec_id +
     one double — so the double evaluation Catalyst keeps is two scans
     of two pruned columns, not a window over the corpus)."""
-    e = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    e = valid_vectors(load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     norm = F.sqrt(
         F.aggregate(
             F.zip_with(
@@ -555,7 +556,7 @@ FROM (
   SELECT label,
          unnest(embedding) AS v,
          generate_subscripts(embedding, 1) AS i
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings
 )
 GROUP BY label, i
 """,
@@ -571,7 +572,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means trainer (clustering.py) keeps its bounded driver sample
     because it needs ITERATED means; this one-shot pooling needs no
     driver at all."""
-    emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    emb = valid_vectors(load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]))
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", F.col("dim").cast("long").alias("dim"))
@@ -586,7 +587,7 @@ WITH cent AS (
   SELECT label, i - 1 AS dim, CASE WHEN abs(avg(CAST(v AS DOUBLE))) < 4.5e9 THEN floor((avg(CAST(v AS DOUBLE))) * 1e6 + 0.5) / 1e6 ELSE (avg(CAST(v AS DOUBLE))) END AS c
   FROM (SELECT label, unnest(embedding) AS v,
                generate_subscripts(embedding, 1) AS i
-        FROM embeddings)
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings)
   GROUP BY label, i - 1
 ),
 dists AS (
@@ -597,7 +598,7 @@ dists AS (
                    * (CAST(x.v AS DOUBLE) - cent.c))) END AS d
   FROM (SELECT vec_id, label, unnest(embedding) AS v,
                generate_subscripts(embedding, 1) - 1 AS dim
-        FROM embeddings) x
+        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings) x
   JOIN cent ON cent.dim = x.dim
   GROUP BY x.vec_id, x.label, cent.label
 ),
@@ -629,7 +630,7 @@ def q_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary assignments are bit-stable across engines (the oracle
     replays the identical rounding and tie-break through a sortable
     string key). Output is |labels|²-sized."""
-    emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    emb = valid_vectors(load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]))
     cent = (
         q_label_centroids(spark, sf_dir)
         .groupBy("label")
@@ -682,7 +683,7 @@ HN_K = 5  # hard negatives per query
     "q_hard_negatives",
     oracle=f"""
 WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings
 ),
 q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
 scored AS (
@@ -695,7 +696,7 @@ scored AS (
          ROW_NUMBER() OVER (
            PARTITION BY q.vec_id
            ORDER BY list_dot_product(q.v, c.v)
-                    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC NULLS LAST,
                     c.vec_id
          ) AS rank
   FROM q JOIN e c ON q.label != c.label
@@ -721,11 +722,12 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     stands in for the positive-pair relation (same-document spans,
     query-passage links) — swapping the relation changes the join
     key, not the plan."""
-    e = fan_out(load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])).select(
+    e = fan_out(valid_vectors(load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding", "label"]))).select(
         "vec_id", "label", _as_double_array(F.col("embedding")).alias("v")
     )
     qs = e.filter(F.col("vec_id") < N_QUERIES)
-    cos = dot(F.col("q.v"), F.col("c.v")) / (F.col("q.norm") * F.col("c.norm"))
+    # try_divide: zero-norm vectors have NULL cosine (DuckDB /0), not the ANSI throw
+    cos = F.try_divide(dot(F.col("q.v"), F.col("c.v")), F.col("q.norm") * F.col("c.norm"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("negative_id"))
     return (
         with_norm(e).alias("c")

@@ -34,7 +34,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from grader_etl_spark.io import load
+from grader_etl_spark.io import load, valid_vectors
 from grader_etl_spark.operators.clustering import assign, kmeans
 from grader_etl_spark.operators.llm_dedup import dot, with_norm
 
@@ -44,7 +44,7 @@ N_CELLS = 8
 def build_index(spark: SparkSession, sf_dir: str, index_path: str, k: int = N_CELLS) -> None:
     """Train the quantizer, assign cells, write the cell-partitioned
     corpus + centroid table."""
-    vecs = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    vecs = valid_vectors(load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"]))
     assigned, centroids = kmeans(vecs, k=k, cache_key=(sf_dir, "ann_index"))
     (
         assigned.select("vec_id", "embedding", "cluster")
