@@ -135,6 +135,13 @@ VALID_VECTORS_SQL = (
     "'sum') = 0"
 )
 
+# The splice every embedding oracle interpolates: a filtered subquery
+# that shadows the raw `embeddings` view under the same name, so the
+# gate has ONE definition on the oracle side too (a future edit — e.g.
+# an Inf check — propagates to all consumers instead of desyncing 15
+# hand-copied literals).
+VALID_EMBEDDINGS_SQL = f"(SELECT * FROM embeddings WHERE {VALID_VECTORS_SQL}) embeddings"
+
 
 def valid_vectors(df: DataFrame, col: str = "embedding") -> DataFrame:
     """Drop NULL/empty vectors and vectors with NULL/NaN components —

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from grader_etl_spark.io import load, valid_vectors
+from grader_etl_spark.io import load, valid_vectors, VALID_EMBEDDINGS_SQL
 from grader_etl_spark.registry import query
 from grader_etl_spark.functions.quantize import floor_quantize
 
@@ -53,7 +53,7 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_array_algebra",
-    oracle="""
+    oracle=f"""
 SELECT vec_id,
        CAST(len(embedding) AS BIGINT) AS dim,
        CAST(list_sum(list_transform(embedding,
@@ -61,7 +61,7 @@ SELECT vec_id,
        CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
        CAST(list_sum(list_transform(embedding,
                 x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS norm2_milli
-FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings
+FROM {VALID_EMBEDDINGS_SQL}
 """,
 )
 def q_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,7 +121,10 @@ def q_map_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (map_from_entries throws) — sentinel-encode it through the map
     # and decode back to NULL at the explode, so the NULL group
     # survives the map round-trip exactly like the oracle's plain
-    # grouped aggregate (nulls fuzz shape).
+    # grouped aggregate (nulls fuzz shape). Collision assumption: no
+    # NATURAL event_type ever equals the sentinel — it embeds NUL
+    # bytes, which no tokenizer/ingest path emits; a natural key that
+    # did collide would be silently decoded back to NULL.
     _NK = "\x00null\x00"
     per_type = ev.groupBy(
         "user_id", F.coalesce("event_type", F.lit(_NK)).alias("event_type")

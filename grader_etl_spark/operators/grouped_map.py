@@ -21,7 +21,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from grader_etl_spark.io import load, valid_vectors
+from grader_etl_spark.io import load, valid_vectors, VALID_EMBEDDINGS_SQL
 from grader_etl_spark.registry import query
 from grader_etl_spark.functions.quantize import floor_quantize
 
@@ -44,10 +44,10 @@ def centroid_distances(emb: DataFrame, key: str = "label") -> DataFrame:
 
 @query(
     "q_centroid_distance",
-    oracle="""
+    oracle=f"""
 WITH dims AS (
   SELECT vec_id, label, d.i AS dim, d.x AS x
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings,
+  FROM {VALID_EMBEDDINGS_SQL},
        LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
                        generate_subscripts(embedding, 1) AS i) d
 ),

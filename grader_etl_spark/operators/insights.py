@@ -117,17 +117,33 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ranked AS (
   SELECT l_returnflag,
-         RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
-           AS qty_rank,
-         RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
-           AS price_rank
+         CAST(RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           AS DECIMAL(19,0)) AS qty_rank,
+         CAST(RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+           AS DECIMAL(19,0)) AS price_rank
   FROM lineitem
+), m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS k,
+         CAST(sum(qty_rank) AS DOUBLE) AS sx,
+         CAST(sum(price_rank) AS DOUBLE) AS sy,
+         CAST(sum(qty_rank * price_rank) AS DOUBLE) AS sxy,
+         CAST(sum(qty_rank * qty_rank) AS DOUBLE) AS sxx,
+         CAST(sum(price_rank * price_rank) AS DOUBLE) AS syy,
+         COUNT(*) AS n
+  FROM ranked GROUP BY l_returnflag
 )
 SELECT l_returnflag,
-       CASE WHEN abs(corr(qty_rank, price_rank)) < 4.5e9 THEN floor((corr(qty_rank, price_rank)) * 1e6 + 0.5) / 1e6 ELSE (corr(qty_rank, price_rank)) END AS spearman,
-       COUNT(*) AS n
-FROM ranked
-GROUP BY l_returnflag
+       CASE WHEN abs(r) < 4.5e9 THEN floor(r * 1e6 + 0.5) / 1e6 ELSE r END
+         AS spearman,
+       n
+FROM (
+  SELECT l_returnflag, n,
+         CASE WHEN (k * sxx - sx * sx) * (k * syy - sy * sy) > 0
+              THEN (k * sxy - sx * sy)
+                   / sqrt((k * sxx - sx * sx) * (k * syy - sy * sy))
+              ELSE NULL END AS r
+  FROM m) t
 """,
 )
 def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,29 +154,41 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pearson corr over the rank pairs.
 
     Both rank windows share the l_returnflag partitioning, so one
-    shuffle + two local sorts; the corr aggregate is a single-pass
-    mergeable moment state. Rounded to 6 dp (moment-merge order)."""
+    shuffle + two local sorts. The correlation is spelled as EXPLICIT
+    moment sums accumulated in DECIMAL (ranks are integers, so the
+    five sums are exact — no accumulation-order sensitivity at any
+    merge fan-in), then ONE identical IEEE double expression tree on
+    both engines (the q_autocorr_daily discipline; previously this
+    query used Spark covar_pop/stddev_pop against DuckDB's Welford
+    corr — mathematically equal but a different FP path, which can
+    flip the last displayed digit at a quantize boundary). The
+    zero-variance guard (constant rank column) is the same CASE
+    predicate on both sides. Rounded to 6 dp."""
     li = load(
         spark, sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
     )
     byflag = Window.partitionBy("l_returnflag")
     ranked = li.select(
         "l_returnflag",
-        F.rank().over(byflag.orderBy("l_quantity")).alias("qty_rank"),
-        F.rank().over(byflag.orderBy("l_extendedprice")).alias("price_rank"),
+        F.rank().over(byflag.orderBy("l_quantity")).cast("decimal(19,0)").alias("qty_rank"),
+        F.rank().over(byflag.orderBy("l_extendedprice")).cast("decimal(19,0)").alias("price_rank"),
     )
-    return ranked.groupBy("l_returnflag").agg(
-        # covar_pop/(stddev·stddev) under try_divide, not F.corr: the
-        # built-in corr THROWS under ANSI when a rank column is
-        # constant (all-tied values), DuckDB's yields NULL — the
-        # assortativity spelling (graph.py), proven fuzz-equal on
-        # integer inputs at 6 dp
-        floor_quantize(
-            F.try_divide(
-                F.covar_pop("qty_rank", "price_rank"),
-                F.stddev_pop("qty_rank") * F.stddev_pop("price_rank"),
-            ), 6).alias("spearman"),
+    x, y = F.col("qty_rank"), F.col("price_rank")
+    m = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
         F.count("*").alias("n"),
+    )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    denprod = (k * sxx - sx * sx) * (k * syy - sy * sy)
+    r = F.when(denprod > F.lit(0.0), (k * sxy - sx * sy) / F.sqrt(denprod))
+    return m.select(
+        "l_returnflag", floor_quantize(r, 6).alias("spearman"), F.col("n")
     )
 
 

@@ -216,58 +216,95 @@ def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_SORTED = sorted(_CORR_COLS)
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(_CORR_SORTED) for b in _CORR_SORTED[i + 1 :]
+]
+
+# Oracle assembled from the same pair list the Spark side iterates, so
+# both engines evaluate ONE IEEE double expression tree per pair over
+# moment sums that are EXACT (decimal accumulation; the source doubles
+# are 2-dp values by construction, so the DECIMAL(19,4) scan cast is
+# lossless on both engines).
+_CORR_M_SQL = ",\n         ".join(
+    [f"CAST(sum({c}) AS DOUBLE) AS s_{c}" for c in _CORR_SORTED]
+    + [f"CAST(sum({c} * {c}) AS DOUBLE) AS ss_{c}" for c in _CORR_SORTED]
+    + [f"CAST(sum({a} * {b}) AS DOUBLE) AS sp_{a}_{b}" for a, b in _CORR_PAIRS]
+)
+_CORR_ROWS_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT '{a}' AS var_x, '{b}' AS var_y,\n"
+    f"         CASE WHEN (k * ss_{a} - s_{a} * s_{a})"
+    f" * (k * ss_{b} - s_{b} * s_{b}) > 0\n"
+    f"              THEN (k * sp_{a}_{b} - s_{a} * s_{b})\n"
+    f"                   / sqrt((k * ss_{a} - s_{a} * s_{a})"
+    f" * (k * ss_{b} - s_{b} * s_{b}))\n"
+    f"              ELSE NULL END AS c, n FROM m"
+    for a, b in _CORR_PAIRS
+)
 
 
 @query(
     "q_corr_matrix",
-    oracle="""
-SELECT var_x, var_y, CASE WHEN abs(c) < 4.5e9 THEN floor((c) * 1e6 + 0.5) / 1e6 ELSE (c) END AS corr, n FROM (
-  SELECT 'l_discount' AS var_x, 'l_extendedprice' AS var_y,
-         corr(l_discount, l_extendedprice) AS c, COUNT(*) AS n FROM lineitem
-  UNION ALL
-  SELECT 'l_discount', 'l_quantity',
-         corr(l_discount, l_quantity), COUNT(*) FROM lineitem
-  UNION ALL
-  SELECT 'l_discount', 'l_tax',
-         corr(l_discount, l_tax), COUNT(*) FROM lineitem
-  UNION ALL
-  SELECT 'l_extendedprice', 'l_quantity',
-         corr(l_extendedprice, l_quantity), COUNT(*) FROM lineitem
-  UNION ALL
-  SELECT 'l_extendedprice', 'l_tax',
-         corr(l_extendedprice, l_tax), COUNT(*) FROM lineitem
-  UNION ALL
-  SELECT 'l_quantity', 'l_tax',
-         corr(l_quantity, l_tax), COUNT(*) FROM lineitem
+    oracle=f"""
+WITH src AS (
+  SELECT {", ".join(f"CAST({c} AS DECIMAL(19,4)) AS {c}" for c in _CORR_SORTED)}
+  FROM lineitem
+), m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k, COUNT(*) AS n,
+         {_CORR_M_SQL}
+  FROM src
+)
+SELECT var_x, var_y,
+       CASE WHEN abs(c) < 4.5e9 THEN floor(c * 1e6 + 0.5) / 1e6 ELSE c END
+         AS corr,
+       n
+FROM (
+{_CORR_ROWS_SQL}
 ) t
 """,
 )
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix over lineitem's four
     numeric measures, long form (var_x < var_y lexicographically, 6
-    rows). All six correlation states accumulate in ONE aggregate pass
+    rows). All fifteen moment states accumulate in ONE aggregate pass
     over the fact table — a single scan, map-side partials merging to
     one row — then the 1-row frame is unpivoted driver-free with
-    stack(). Rounded to 6 dp (moment-merge order, spearman
-    precedent)."""
-    li = load(spark, sf_dir, "lineitem", columns=list(_CORR_COLS))
-    pairs = [
-        (a, b) for i, a in enumerate(sorted(_CORR_COLS)) for b in sorted(_CORR_COLS)[i + 1 :]
-    ]
-    # covar_pop/(stddev·stddev) under try_divide, not F.corr: ANSI
-    # corr of a zero-variance column throws inside the aggregate
-    # (unguardable from the projection); DuckDB corr yields NULL —
-    # the assortativity spelling (graph.py)
-    aggs = [
-        floor_quantize(
-            F.try_divide(F.covar_pop(a, b), F.stddev_pop(a) * F.stddev_pop(b)), 6
-        ).alias(f"c_{a}_{b}")
-        for a, b in pairs
-    ]
-    one = li.agg(*aggs, F.count("*").alias("n"))
-    stack_args = ", ".join(f"'{a}', '{b}', c_{a}_{b}" for a, b in pairs)
+    stack().
+
+    Spelled as EXPLICIT moment sums in DECIMAL(19,4) (the measures are
+    2-dp values stored as double, so the scan cast and every sum are
+    exact — no accumulation-order sensitivity at any merge fan-in),
+    combined by ONE identical IEEE double tree per pair on both
+    engines (q_autocorr_daily discipline; the earlier covar_pop /
+    stddev_pop spelling took a different FP path than DuckDB's Welford
+    corr). Zero-variance guard is the same CASE predicate both sides.
+    Rounded to 6 dp."""
+    li = load(spark, sf_dir, "lineitem", columns=list(_CORR_COLS)).select(
+        *[F.col(c).cast("decimal(19,4)").alias(c) for c in _CORR_SORTED]
+    )
+    aggs = [F.count(F.lit(1)).cast("double").alias("k"), F.count("*").alias("n")]
+    for c in _CORR_SORTED:
+        aggs.append(F.sum(F.col(c)).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).cast("double").alias(f"ss_{c}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(F.sum(F.col(a) * F.col(b)).cast("double").alias(f"sp_{a}_{b}"))
+    one = li.agg(*aggs)
+
+    def r_expr(a: str, b: str):
+        k = F.col("k")
+        sa, sb = F.col(f"s_{a}"), F.col(f"s_{b}")
+        saa, sbb, sab = F.col(f"ss_{a}"), F.col(f"ss_{b}"), F.col(f"sp_{a}_{b}")
+        denprod = (k * saa - sa * sa) * (k * sbb - sb * sb)
+        return floor_quantize(
+            F.when(denprod > F.lit(0.0), (k * sab - sa * sb) / F.sqrt(denprod)), 6
+        )
+
+    one = one.select(
+        *[r_expr(a, b).alias(f"c_{a}_{b}") for a, b in _CORR_PAIRS], "n"
+    )
+    stack_args = ", ".join(f"'{a}', '{b}', c_{a}_{b}" for a, b in _CORR_PAIRS)
     return one.select(
-        F.expr(f"stack({len(pairs)}, {stack_args}) AS (var_x, var_y, corr)"), "n"
+        F.expr(f"stack({len(_CORR_PAIRS)}, {stack_args}) AS (var_x, var_y, corr)"), "n"
     )
 
 

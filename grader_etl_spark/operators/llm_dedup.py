@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
-from grader_etl_spark.io import fan_out, load, valid_vectors
+from grader_etl_spark.io import fan_out, load, valid_vectors, VALID_EMBEDDINGS_SQL
 from grader_etl_spark.registry import memo_checkpoint, query
 from grader_etl_spark.functions.quantize import floor_quantize
 from grader_etl_spark.functions.textnorm import WS_RE, norm_lower
@@ -772,7 +772,7 @@ def cosine(a: Column, b: Column) -> Column:
     oracle=f"""
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings
+  FROM {VALID_EMBEDDINGS_SQL}
 )
 SELECT a.vec_id AS vec_id_1,
        b.vec_id AS vec_id_2,

@@ -29,7 +29,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from grader_etl_spark.io import load, valid_vectors
+from grader_etl_spark.io import load, valid_vectors, VALID_EMBEDDINGS_SQL
 from grader_etl_spark.registry import memo_checkpoint, query
 from grader_etl_spark.functions.quantize import floor_quantize
 
@@ -120,7 +120,7 @@ def _covariance_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH e AS (
   SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings, (SELECT unnest(range(0, {EMB_DIM})) AS i)
+  FROM {VALID_EMBEDDINGS_SQL}, (SELECT unnest(range(0, {EMB_DIM})) AS i)
 ), g AS (
   SELECT a.i AS i, b.i AS j,
          SUM(a.x * b.x) AS sxy, COUNT(*) AS n

@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
-from grader_etl_spark.io import fan_out, load, valid_vectors
+from grader_etl_spark.io import fan_out, load, valid_vectors, VALID_EMBEDDINGS_SQL
 from grader_etl_spark.registry import checkpoint_frame, query
 from grader_etl_spark.functions.quantize import floor_quantize
 from grader_etl_spark.functions.textnorm import WS_RE, norm_lower
@@ -366,7 +366,7 @@ def _mmr_oracle() -> str:
         "(sqrt(list_dot_product({a}.v, {a}.v)) * sqrt(list_dot_product({b}.v, {b}.v)))"
     )
     parts = [
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings),",
+        f"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {VALID_EMBEDDINGS_SQL}),",
         f"qv AS (SELECT v FROM e WHERE vec_id = {MMR_QUERY_ID}),",
         "cand AS MATERIALIZED (",
         f"  SELECT c.vec_id, c.v, {cos.format(a='qv', b='c')} AS rel",

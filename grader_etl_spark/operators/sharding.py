@@ -224,8 +224,8 @@ WITH feats AS (
               THEN 1 ELSE -1 END AS sign
   FROM events
   UNION ALL
-  SELECT {MD5_32_SQL.format(expr="CONCAT('dow=', CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS VARCHAR))")} % {FEATURE_DIM},
-         CASE WHEN ({MD5_32_SQL.format(expr="CONCAT('sign:dow=', CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS VARCHAR))")}) % 2 = 0
+  SELECT {MD5_32_SQL.format(expr="CONCAT('dow=', coalesce(CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS VARCHAR), '~null~'))")} % {FEATURE_DIM},
+         CASE WHEN ({MD5_32_SQL.format(expr="CONCAT('sign:dow=', coalesce(CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS VARCHAR), '~null~'))")}) % 2 = 0
               THEN 1 ELSE -1 END
   FROM events
 )
@@ -254,7 +254,13 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sentinel on BOTH engines; without it Spark NULLed the hash while
     # DuckDB's CONCAT silently swallowed the NULL (nulls fuzz shape).
     etype = F.coalesce(F.col("event_type"), F.lit("~null~"))
-    dow = (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 7).cast("string")
+    # same sentinel for a NULL ts: without it a NULL day-of-week would
+    # reproduce the event_type divergence (Spark concat NULLs the whole
+    # hash input; DuckDB CONCAT skips the NULL arg)
+    dow = F.coalesce(
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 7).cast("string"),
+        F.lit("~null~"),
+    )
     feats = ev.select(
         F.explode(
             F.array(

@@ -16,7 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from grader_etl_spark.functions.literals import lit_doubles
-from grader_etl_spark.io import fan_out, load, valid_vectors
+from grader_etl_spark.io import fan_out, load, valid_vectors, VALID_EMBEDDINGS_SQL
 from grader_etl_spark.operators.llm_dedup import dot, with_norm
 from grader_etl_spark.registry import query
 
@@ -80,7 +80,7 @@ def brute_force_topk(
     "q_ann_cosine",
     oracle=f"""
 WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {VALID_EMBEDDINGS_SQL}
 ),
 q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
 scored AS (
@@ -173,7 +173,7 @@ def _lsh_oracle() -> str:
         "(sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v)))"
     )
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {VALID_EMBEDDINGS_SQL}),
 b AS (SELECT vec_id, bucket FROM e, unnest([{buckets}]) AS u(bucket)),
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -315,12 +315,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embedding_quantize",
-    oracle="""
+    oracle=f"""
 WITH scaled AS (
   SELECT vec_id,
          list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs,
          CAST(embedding AS DOUBLE[]) AS v
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings
+  FROM {VALID_EMBEDDINGS_SQL}
 )
 SELECT vec_id,
        CASE WHEN abs(maxabs) < 4.5e9 THEN floor((maxabs) * 1e6 + 0.5) / 1e6 ELSE (maxabs) END AS scale6,
@@ -376,7 +376,7 @@ text_rank AS (
   SELECT doc_id, row_number() OVER (ORDER BY text_score DESC, doc_id) AS tr
   FROM text_scores
 ),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {VALID_EMBEDDINGS_SQL}),
 qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
 vec_rank AS (
   SELECT vec_id AS doc_id,
@@ -492,12 +492,12 @@ _registry.REGISTRY["q_rank_fusion"] = _registry.QuerySpec(
 
 @query(
     "q_embedding_norm_outliers",
-    oracle="""
+    oracle=f"""
 WITH norms AS (
   SELECT vec_id,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS norm
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings
+  FROM {VALID_EMBEDDINGS_SQL}
 ),
 stats AS (
   SELECT avg(norm) AS mu, stddev_samp(norm) AS sigma FROM norms
@@ -548,7 +548,7 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_label_centroids",
-    oracle="""
+    oracle=f"""
 SELECT label,
        CAST(i - 1 AS BIGINT) AS dim,
        CASE WHEN abs(AVG(CAST(v AS DOUBLE))) < 4.5e9 THEN floor((AVG(CAST(v AS DOUBLE))) * 1e6 + 0.5) / 1e6 ELSE (AVG(CAST(v AS DOUBLE))) END AS mean_val
@@ -556,7 +556,7 @@ FROM (
   SELECT label,
          unnest(embedding) AS v,
          generate_subscripts(embedding, 1) AS i
-  FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings
+  FROM {VALID_EMBEDDINGS_SQL}
 )
 GROUP BY label, i
 """,
@@ -582,12 +582,12 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_nearest_centroid_confusion",
-    oracle="""
+    oracle=f"""
 WITH cent AS (
   SELECT label, i - 1 AS dim, CASE WHEN abs(avg(CAST(v AS DOUBLE))) < 4.5e9 THEN floor((avg(CAST(v AS DOUBLE))) * 1e6 + 0.5) / 1e6 ELSE (avg(CAST(v AS DOUBLE))) END AS c
   FROM (SELECT label, unnest(embedding) AS v,
                generate_subscripts(embedding, 1) AS i
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings)
+        FROM {VALID_EMBEDDINGS_SQL})
   GROUP BY label, i - 1
 ),
 dists AS (
@@ -598,7 +598,7 @@ dists AS (
                    * (CAST(x.v AS DOUBLE) - cent.c))) END AS d
   FROM (SELECT vec_id, label, unnest(embedding) AS v,
                generate_subscripts(embedding, 1) - 1 AS dim
-        FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings) x
+        FROM {VALID_EMBEDDINGS_SQL}) x
   JOIN cent ON cent.dim = x.dim
   GROUP BY x.vec_id, x.label, cent.label
 ),
@@ -683,7 +683,7 @@ HN_K = 5  # hard negatives per query
     "q_hard_negatives",
     oracle=f"""
 WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM {VALID_EMBEDDINGS_SQL}
 ),
 q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
 scored AS (

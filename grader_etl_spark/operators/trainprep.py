@@ -30,7 +30,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
-from grader_etl_spark.io import fan_out, load, valid_vectors
+from grader_etl_spark.io import fan_out, load, valid_vectors, VALID_EMBEDDINGS_SQL
 from grader_etl_spark.operators.llm_dedup import dot, with_norm
 from grader_etl_spark.registry import checkpoint_frame, query
 from grader_etl_spark.functions.quantize import floor_quantize
@@ -139,7 +139,7 @@ def q_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_semdedup",
     oracle=f"""
 WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND list_aggregate(list_transform(embedding, x -> CASE WHEN x IS NULL OR isnan(CAST(x AS DOUBLE)) THEN 1 ELSE 0 END), 'sum') = 0) embeddings
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM {VALID_EMBEDDINGS_SQL}
 ), dup AS (
   SELECT DISTINCT b.label, b.vec_id
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
