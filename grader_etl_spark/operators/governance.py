@@ -134,3 +134,91 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G29b — the no-global-sort equi-depth swap, executable (G40b precedent)
+# ---------------------------------------------------------------------------
+
+_EQD_CUTS_SQL = ",\n         ".join(
+    f"MIN(CASE WHEN cm >= ({j} * n + {EQUIDEPTH_BUCKETS - 1}) // {EQUIDEPTH_BUCKETS} "
+    f"THEN cell END) AS c{j}"
+    for j in range(1, EQUIDEPTH_BUCKETS)
+)
+_EQD_ABOVE_SQL = "\n             + ".join(
+    f"(CAST(FLOOR(o_totalprice) AS BIGINT) > c{j})::INT"
+    for j in range(1, EQUIDEPTH_BUCKETS)
+)
+
+
+@query(
+    "q_equidepth_histogram_approx",
+    oracle=f"""
+WITH h AS (
+  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS cell, COUNT(*) AS c
+  FROM orders GROUP BY cell
+),
+cum AS (
+  SELECT cell,
+         SUM(c) OVER (ORDER BY cell ROWS UNBOUNDED PRECEDING) AS cm,
+         SUM(c) OVER () AS n
+  FROM h
+),
+cuts AS (
+  SELECT {_EQD_CUTS_SQL}
+  FROM cum
+),
+bucketed AS (
+  SELECT o_totalprice,
+         1 + ({_EQD_ABOVE_SQL}) AS bucket
+  FROM orders, cuts
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM bucketed GROUP BY bucket
+""",
+)
+def q_equidepth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_equidepth_histogram's documented 100 TB swap, executable: the
+    global NTILE total order (one reducer sees every row) is replaced
+    by bucket CUTOFFS from a fixed-grid value histogram — whole-dollar
+    cells, one map-side floor + a grouped count whose state is bounded
+    by the money domain, not n — a cumulative pass over the COMPACT
+    histogram, then map-side bucket-by-comparison against the
+    broadcast 9-cell cutoff row (bucket 1 = lowest values, ascending
+    like NTILE). Depth error ≤ the mass of one grid cell (pytest:
+    within 5% of exact n/10, buckets contiguous, bounds nested).
+
+    Like q_revenue_deciles_approx (the G40b precedent) and unlike a GK
+    approx_percentile rendition, the grid pipeline is
+    integer-deterministic end to end, so the DuckDB oracle verifies
+    bucket populations and (lo, hi] bounds value-for-value."""
+    od = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    cell = F.floor("o_totalprice").cast("long")
+    hist = od.groupBy(cell.alias("cell")).agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "cell",
+        F.sum("c").over(wc).alias("cm"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    b = EQUIDEPTH_BUCKETS
+    cuts = cum.agg(
+        *[
+            F.min(
+                F.when(F.col("cm") >= F.expr(f"({j} * n + {b - 1}) div {b}"), F.col("cell"))
+            ).alias(f"c{j}")
+            for j in range(1, b)
+        ]
+    )
+    above = sum((F.col("cell") > F.col(f"c{j}")).cast("int") for j in range(1, b))
+    bucketed = od.select("o_totalprice", cell.alias("cell")).crossJoin(
+        F.broadcast(cuts)
+    ).select("o_totalprice", (F.lit(1) + above).cast("long").alias("bucket"))
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )

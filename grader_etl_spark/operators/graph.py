@@ -1182,7 +1182,7 @@ def q_triangle_count_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear. Identical output to the id-ordered version (every
     triangle found exactly once under any total order), so the SAME
     naive oracle hash-checks it — the machinery changes, the contract
-    doesn't (the V4/J10/O5 discipline). Rides the session pair
+    doesn't (the V4/J13/O5 discipline). Rides the session pair
     machinery."""
     pairs = jaccard_pairs_memo(spark, sf_dir).select(
         F.col("doc_id_1").alias("d1"), F.col("doc_id_2").alias("d2")

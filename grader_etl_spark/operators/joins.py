@@ -357,7 +357,7 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_wide_denorm — star-schema flattening for ML feature export (J11)
+# q_wide_denorm — star-schema flattening for ML feature export (J12)
 # ---------------------------------------------------------------------------
 
 

@@ -190,7 +190,7 @@ def q_topk_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-{TOPK_K} via HIERARCHICAL (two-phase) selection —
     the executable form of the hot-group swap documented on
     q_topn_with_other, oracled against the plain one-window
-    semantics (the J10/V4 discipline: scale machinery, exact
+    semantics (the J13/V4 discipline: scale machinery, exact
     contract).
 
     Why not one window: ROW_NUMBER over (group) shuffles EVERY row to

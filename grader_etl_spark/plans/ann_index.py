@@ -17,14 +17,19 @@ harness). Production splits the roles:
   the scan never opens the other cells' files — asserted via
   ``inputFiles()`` in tests), then exact-cosine re-rank within the
   probed cells.
+- **serve**: the full serving layout — `search`'s pruned-cell scan
+  UNIONED with a brute-force pass over the small UNINDEXED DELTA
+  (vectors ingested since the last build), one global re-rank per
+  query. Fresh vectors are findable immediately, before any reindex;
+  the delta side costs |delta|·|queries| dot products, bounded by the
+  rebuild cadence, while the indexed side still prunes. The delta must
+  be DISJOINT from the indexed corpus by construction (it is "rows
+  written after the build watermark") — serve does not dedupe.
 
 At 100 TB the build is a periodic offline job and the serve cost is
 (nprobe / k) of the corpus per query batch — the IO asymmetry that
 makes IVF an INDEX rather than a filter. Rebuild cadence vs insert
-rate is the operational knob; fresh vectors land in an unindexed
-delta partition and are brute-forced alongside (the classic
-IVF+delta serving layout), which composes here as a unionByName of
-`search` results with `similarity.brute_force_topk` over the delta.
+rate is the operational knob.
 """
 
 from __future__ import annotations
@@ -32,7 +37,7 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.io import load, valid_vectors
 from grader_etl_spark.operators.clustering import assign, kmeans
@@ -60,20 +65,14 @@ def build_index(spark: SparkSession, sf_dir: str, index_path: str, k: int = N_CE
     ).write.mode("overwrite").parquet(os.path.join(index_path, "_centroids"))
 
 
-def search(
-    spark: SparkSession,
-    index_path: str,
-    queries: DataFrame,
-    nprobe: int = 2,
-    topk: int = 5,
+def _probed_corpus(
+    spark: SparkSession, index_path: str, queries: DataFrame, nprobe: int
 ) -> DataFrame:
-    """Probe each query's nprobe nearest cells (driver-side over the
-    k-row centroid table), scan ONLY those cells, exact re-rank.
-    ``queries``: (vec_id, embedding). Returns (query_id, neighbor_id,
-    rank, cosine)."""
+    """The pruned-cell scan: pick each query's nprobe nearest cells
+    driver-side over the |k|-row centroid table (bounded), filter the
+    cell-partitioned corpus to their union — `cell IN (...)` reaches
+    the scan as a PartitionFilter."""
     import numpy as np
-
-    from pyspark.sql import Window
 
     cent = {
         r["cell"]: np.asarray(r["centroid"])
@@ -87,25 +86,74 @@ def search(
     for _, v in q_rows:
         d2 = {c: float(((v - cv) ** 2).sum()) for c, cv in cent.items()}
         probed.update(sorted(d2, key=lambda c: (d2[c], c))[:nprobe])
-
-    corpus = spark.read.parquet(os.path.join(index_path, "vectors")).filter(
+    return spark.read.parquet(os.path.join(index_path, "vectors")).filter(
         F.col("cell").isin(sorted(probed))
     )
+
+
+def _score(corpus: DataFrame, queries: DataFrame) -> DataFrame:
+    """Exact cosine of every (query, corpus) pair, queries broadcast:
+    (query_id, neighbor_id, cosine). try_divide — a zero-norm vector
+    has NULL cosine (ranked last), never an ANSI throw."""
     c = with_norm(
         corpus.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     ).alias("c")
     q = with_norm(
         queries.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     ).alias("q")
-    cos = dot(F.col("q.v"), F.col("c.v")) / (F.col("q.norm") * F.col("c.norm"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        c.join(F.broadcast(q), F.col("q.vec_id") != F.col("c.vec_id"))
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            cos.alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= topk)
+    cos = F.try_divide(dot(F.col("q.v"), F.col("c.v")), F.col("q.norm") * F.col("c.norm"))
+    return c.join(F.broadcast(q), F.col("q.vec_id") != F.col("c.vec_id")).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        cos.alias("cosine"),
     )
+
+
+def _rank_topk(scored: DataFrame, topk: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= topk
+    )
+
+
+def search(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """Probe each query's nprobe nearest cells (driver-side over the
+    k-row centroid table), scan ONLY those cells, exact re-rank.
+    ``queries``: (vec_id, embedding). Returns (query_id, neighbor_id,
+    rank, cosine)."""
+    return _rank_topk(
+        _score(_probed_corpus(spark, index_path, queries, nprobe), queries), topk
+    )
+
+
+def serve(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    delta: DataFrame | None = None,
+    nprobe: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """IVF + delta serving: union the pruned-cell candidates with a
+    brute-force pass over the small unindexed ``delta`` (vectors
+    ingested since the last build — fresh vectors are findable BEFORE
+    any reindex), then ONE global per-query re-rank. The indexed side
+    keeps its PartitionFilters (the union is above both scans); the
+    delta side is a broadcast-query cross-score bounded by |delta|.
+    ``delta``: (vec_id, embedding), disjoint from the indexed corpus.
+    Returns (query_id, neighbor_id, rank, cosine)."""
+    scored = _score(_probed_corpus(spark, index_path, queries, nprobe), queries)
+    if delta is not None:
+        # the defensive vector gate applies to fresh ingest too — an
+        # embedding model's failure rows arrive via the delta first
+        fresh = valid_vectors(delta.select("vec_id", "embedding"))
+        scored = scored.unionByName(_score(fresh, queries))
+    return _rank_topk(scored, topk)

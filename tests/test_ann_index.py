@@ -55,3 +55,66 @@ def test_index_search_prunes_partitions_and_recalls(spark, sf_dir, tmp_path):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.6, recall
+
+
+def test_serve_unions_delta_and_keeps_pruning(spark, sf_dir, tmp_path):
+    """IVF+delta serving layout: (a) the indexed side still plans a
+    cell PartitionFilter under the union, (b) recall vs exact brute
+    force clears the IVF-only floor, (c) a FRESH vector (in the delta,
+    absent from the index) is findable before any reindex."""
+    from grader_etl_spark.plans.ann_index import serve
+
+    emb = load(spark, sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+
+    # Build the index on the corpus MINUS the last 5 vectors; those 5
+    # become the unindexed delta (plus one synthetic fresh vector that
+    # exactly duplicates query 0 — cosine 1.0, must surface as top-1).
+    indexed_dir = str(tmp_path / "indexed_sf")
+    import os as _os
+    import shutil
+
+    _os.makedirs(indexed_dir, exist_ok=True)
+    for t in ("region", "nation", "part", "supplier", "customer",
+              "orders", "lineitem", "events", "documents"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{indexed_dir}/{t}.parquet")
+    emb.filter(F.col("vec_id") <= max_id - 5).write.mode("overwrite").parquet(
+        f"{indexed_dir}/embeddings.parquet"
+    )
+    index = str(tmp_path / "ivf_delta")
+    build_index(spark, indexed_dir, index)
+
+    q0_vec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    fresh_id = max_id + 1000
+    fresh = spark.createDataFrame(
+        [(int(fresh_id), [float(x) for x in q0_vec])],
+        "vec_id bigint, embedding array<float>",
+    )
+    delta = emb.filter(F.col("vec_id") > max_id - 5).unionByName(fresh)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    res = serve(spark, index, queries, delta=delta, nprobe=2, topk=5)
+
+    # (a) PartitionFilters survive the union.
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    rows = res.collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+
+    # (c) the fresh exact-duplicate of query 0 is its top-1 neighbor.
+    top1_q0 = [r for r in rows if r["query_id"] == 0 and r["rank"] == 1]
+    assert top1_q0 and top1_q0[0]["neighbor_id"] == fresh_id
+    assert abs(top1_q0[0]["cosine"] - 1.0) < 1e-9
+
+    # (b) recall vs exact brute force over indexed+delta clears the
+    # IVF-only floor (fresh vector included in the exact corpus).
+    full = emb.unionByName(fresh).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(full, full.filter(F.col("vec_id") < 5), k=5).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.6, recall

@@ -96,3 +96,32 @@ def test_revenue_deciles_approx_bounds_exact(spark, sf_dir):
     assert abs(sum(r["revenue"] for r in rows.values()) - float(total)) < 0.01
     revs = [rows[d]["revenue"] for d in range(1, 11)]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_equidepth_histogram_approx_bounds_exact(spark, sf_dir):
+    """The no-global-sort equi-depth swap: bucket populations within
+    5% of the exact n/10, all 10 buckets present and ascending, bucket
+    value ranges non-overlapping (hi of bucket b <= lo of bucket b+1
+    up to grid-cell ties), full-range coverage."""
+    import pyspark.sql.functions as F
+
+    from grader_etl_spark.io import load
+    from grader_etl_spark.operators.governance import (
+        EQUIDEPTH_BUCKETS,
+        q_equidepth_histogram_approx,
+    )
+
+    rows = {r["bucket"]: r for r in q_equidepth_histogram_approx(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, EQUIDEPTH_BUCKETS + 1))
+    od = load(spark, sf_dir, "orders", columns=["o_totalprice"])
+    n = od.count()
+    depth = n / EQUIDEPTH_BUCKETS
+    for b, r in rows.items():
+        assert abs(r["n"] - depth) <= max(2.0, 0.05 * depth), (b, r["n"])
+        assert r["lo"] <= r["hi"]
+    # buckets partition the value axis: ranges may only touch inside a
+    # shared whole-dollar grid cell (the documented cutoff granularity)
+    for b in range(1, EQUIDEPTH_BUCKETS):
+        assert rows[b + 1]["lo"] >= rows[b]["hi"] - 1.0, (b, rows[b]["hi"], rows[b + 1]["lo"])
+    mn, mx = od.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
+    assert rows[1]["lo"] == mn and rows[EQUIDEPTH_BUCKETS]["hi"] == mx

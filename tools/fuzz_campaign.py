@@ -11,6 +11,13 @@ and surfaced three real envelope bugs, all fixed in-tree — see
 BASELINE.md "Robustness probes".
 
     python tools/fuzz_campaign.py 311 409 503 ...
+    python tools/fuzz_campaign.py --shape degenerate-vectors 101 103 107
+    python tools/fuzz_campaign.py --shape nulls+magnitude 211 223
+
+``--shape`` pins one shape for every seed; shapes compose with "+"
+(see SHAPES below) so the interaction pairings that found the round-5
+corr-of-constant / negative-variance / concat_ws-of-nothing bugs are a
+first-class campaign axis.
 
 Exit code 1 if any query/seed mismatches. Tables land under
 /tmp/fuzz_campaign_data; ~2-3 min per seed on local[32].
@@ -29,8 +36,37 @@ TABLES = ("region", "nation", "part", "supplier", "customer", "orders",
           "lineitem", "events", "documents", "embeddings")
 SHAPES = (
     "random", "adversarial", "dup-heavy", "magnitude", "zipf", "unicode",
-    "nulls", "empty", "one",
+    "nulls", "empty", "one", "degenerate-vectors",
 )
+
+# Shapes COMPOSE with "+" (``--shape nulls+magnitude``): each part
+# contributes its axis — magnitude scales money columns, zipf skews
+# keys, nulls seeds NULL rows, empty/one truncate the facts,
+# degenerate-vectors injects embedding-model failure rows — and the
+# corpus takes the first corpus-affecting part. The round-5 ad-hoc
+# interaction probes (nulls x magnitude, one x nulls) found three real
+# bugs the single axes couldn't; this makes those pairings a repeatable
+# campaign axis instead of a one-off script.
+_CORPUS_PARTS = ("adversarial", "dup-heavy", "unicode", "nulls")
+
+_EMB_DIM = 64  # fixture embedding dimension (LSH plane literals are 64-wide)
+
+
+def _degenerate_vector_rows(start_id, rng):
+    """Embedding-model failure rows (BASELINE.md §degenerate-embedding):
+    NULL vector, empty array, zero norm, NaN component, NULL component,
+    all-NaN — mixed with one valid control row so the gate's KEEP side
+    is exercised in the same batch as its DROP side."""
+    nan = float("nan")
+    return [
+        (start_id + 0, None, 0),
+        (start_id + 1, [], 1),
+        (start_id + 2, [0.0] * _EMB_DIM, 2),
+        (start_id + 3, [nan] + [0.5] * (_EMB_DIM - 1), 3),
+        (start_id + 4, [rng.gauss(0, 1) if i != 7 else None for i in range(_EMB_DIM)], 4),
+        (start_id + 5, [nan] * _EMB_DIM, 5),
+        (start_id + 6, [rng.gauss(0, 1) for _ in range(_EMB_DIM)], 6),
+    ]
 
 
 def _load(relpath, name):
@@ -47,11 +83,14 @@ oc = _load("tools/oracle_check.py", "camp_oc")
 
 
 def gen_combined(base, seed, shape):
+    import random
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     d = os.path.join(base, f"s{seed}")
     os.makedirs(d, exist_ok=True)
+    parts = shape.split("+")
     # "magnitude": same random shapes but every money column scaled 1e6
     # (prices ~4e11, group sums ~1e14) — stresses decimal-width and
     # product-sum discipline repo-wide; corpus shape stays "random".
@@ -59,15 +98,17 @@ def gen_combined(base, seed, shape):
     # 30-50% of its table (AQE skew paths, window-per-key state) and a
     # hot shingle in EVERY document (the prefix filter's degenerate
     # posting list).
-    price_scale = 1e6 if shape == "magnitude" else 1.0
     sf_dir = fr._gen_dir(
         d,
         seed,
-        price_scale=price_scale,
-        key_skew=shape == "zipf",
-        with_nulls=shape == "nulls",
+        price_scale=1e6 if "magnitude" in parts else 1.0,
+        key_skew="zipf" in parts,
+        with_nulls="nulls" in parts,
     )
-    corpus_shape = {"magnitude": "random", "zipf": "hot"}.get(shape, shape)
+    corpus_shape = next(
+        (p for p in _CORPUS_PARTS if p in parts),
+        "hot" if "zipf" in parts else "random",
+    )
     rows = fo._corpus(seed, corpus_shape)
     pq.write_table(pa.table({
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -77,12 +118,7 @@ def gen_combined(base, seed, shape):
         "n_chars": pa.array([r[4] for r in rows], pa.int64()),
     }), os.path.join(sf_dir, "documents.parquet"))
     vr = fe._vectors(seed)
-    pq.write_table(pa.table({
-        "vec_id": pa.array([r[0] for r in vr], pa.int64()),
-        "embedding": pa.array([r[1] for r in vr], pa.list_(pa.float32())),
-        "label": pa.array([r[2] for r in vr], pa.int32()),
-    }), os.path.join(sf_dir, "embeddings.parquet"))
-    if shape in ("empty", "one"):
+    if "empty" in parts or "one" in parts:
         # EMPTY shape: every fact table truncated to zero rows with
         # its schema intact (real dims stay) — empty partitions,
         # empty days, and empty corpora are routine at 100 TB, and
@@ -90,10 +126,21 @@ def gen_combined(base, seed, shape):
         # grouping sets, and driver-side min()-of-nothing live.
         # ONE shape: single-row facts — n-1 = 0 variance denominators,
         # 1x1 contingency tables, one-sided ECDFs, zero MADs.
-        n_keep = 0 if shape == "empty" else 1
-        for t in ("orders", "lineitem", "events", "documents", "embeddings"):
+        n_keep = 0 if "empty" in parts else 1
+        for t in ("orders", "lineitem", "events", "documents"):
             f = os.path.join(sf_dir, f"{t}.parquet")
             pq.write_table(pq.read_table(f).slice(0, n_keep), f)
+        vr = vr[:n_keep]
+    if "degenerate-vectors" in parts:
+        # injected AFTER any truncation: "one + degenerate" is a tiny
+        # corpus that is MOSTLY garbage vectors — the harshest ratio
+        # for the valid_vectors gate and every downstream denominator
+        vr = vr + _degenerate_vector_rows(1000, random.Random(seed * 7 + 1))
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in vr], pa.int64()),
+        "embedding": pa.array([r[1] for r in vr], pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in vr], pa.int32()),
+    }), os.path.join(sf_dir, "embeddings.parquet"))
     return sf_dir
 
 
