@@ -1081,11 +1081,28 @@ ends AS (
   FROM pairs JOIN deg ga ON pairs.d1 = ga.doc_id JOIN deg gb ON pairs.d2 = gb.doc_id
 ),
 sym AS (
-  SELECT ka, kb FROM ends UNION ALL SELECT kb, ka FROM ends
+  SELECT CAST(ka AS DECIMAL(19,0)) AS ka, CAST(kb AS DECIMAL(19,0)) AS kb
+  FROM (SELECT ka, kb FROM ends UNION ALL SELECT kb, ka FROM ends)
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k,
+         CAST(sum(ka) AS DOUBLE) AS sx, CAST(sum(kb) AS DOUBLE) AS sy,
+         CAST(sum(ka * kb) AS DOUBLE) AS sxy,
+         CAST(sum(ka * ka) AS DOUBLE) AS sxx,
+         CAST(sum(kb * kb) AS DOUBLE) AS syy,
+         COUNT(*) AS cnt
+  FROM sym
 )
-SELECT CAST(COUNT(*) / 2 AS BIGINT)  AS n_edges,
-       CASE WHEN abs(corr(ka, kb)) < 4.5e9 THEN floor((corr(ka, kb)) * 1e6 + 0.5) / 1e6 ELSE (corr(ka, kb)) END        AS assortativity
-FROM sym
+SELECT CAST(cnt / 2 AS BIGINT) AS n_edges,
+       CASE WHEN abs(r) < 4.5e9 THEN floor(r * 1e6 + 0.5) / 1e6 ELSE r END
+         AS assortativity
+FROM (
+  SELECT cnt,
+         CASE WHEN (k * sxx - sx * sx) * (k * syy - sy * sy) > 0
+              THEN (k * sxy - sx * sy)
+                   / sqrt((k * sxx - sx * sx) * (k * syy - sy * sy))
+              ELSE NULL END AS r
+  FROM m) t
 """,
 )
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1100,13 +1117,15 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     session pair machinery.
 
     Cost: two key-only joins of the (tiny) pair list against the
-    degree table + one corr aggregate — a mergeable 5-number state on
-    exact integers, rounded 6 dp per the moment-merge precedent.
-    The correlation is spelled covar_pop/(stddev_pop·stddev_pop)
-    under try_divide rather than F.corr: a graph whose degrees are
-    all EQUAL (e.g. a corpus of exact-duplicate cliques) has zero
-    degree variance, where DuckDB's corr is NULL but Spark's corr
-    ANSI-throws DIVIDE_BY_ZERO (fuzz: test_fuzz_oracle)."""
+    degree table + one moment aggregate — a mergeable 6-number state
+    on exact integers. The correlation is spelled as EXPLICIT moment
+    sums in DECIMAL (degrees are integers, so the sums are exact) and
+    ONE identical IEEE double tree on both engines (q_autocorr_daily /
+    q_spearman_corr discipline; F.corr is also out because a graph
+    whose degrees are all EQUAL — a corpus of exact-duplicate
+    cliques — has zero degree variance, where DuckDB's corr is NULL
+    but Spark's corr ANSI-throws DIVIDE_BY_ZERO; here the guard is
+    the same CASE predicate both sides). Rounded 6 dp."""
     from grader_etl_spark.operators.llm_dedup import q_neardup_jaccard
 
     pairs = jaccard_pairs_memo(spark, sf_dir).select(
@@ -1121,13 +1140,29 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ga = deg.select(F.col("doc_id").alias("d1"), F.col("degree").alias("ka"))
     gb = deg.select(F.col("doc_id").alias("d2"), F.col("degree").alias("kb"))
     ends = pairs.join(F.broadcast(ga), "d1").join(F.broadcast(gb), "d2").select("ka", "kb")
-    sym = ends.unionByName(ends.select(F.col("kb").alias("ka"), F.col("ka").alias("kb")))
-    pearson = F.try_divide(
-        F.covar_pop("ka", "kb"), F.stddev_pop("ka") * F.stddev_pop("kb")
+    sym = ends.unionByName(
+        ends.select(F.col("kb").alias("ka"), F.col("ka").alias("kb"))
+    ).select(
+        F.col("ka").cast("decimal(19,0)").alias("ka"),
+        F.col("kb").cast("decimal(19,0)").alias("kb"),
     )
-    return sym.agg(
-        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
-        floor_quantize(pearson, 6).alias("assortativity"),
+    x, y = F.col("ka"), F.col("kb")
+    m = sym.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    denprod = (k * sxx - sx * sx) * (k * syy - sy * sy)
+    r = F.when(denprod > F.lit(0.0), (k * sxy - sx * sy) / F.sqrt(denprod))
+    return m.select(
+        (F.col("cnt") / 2).cast("long").alias("n_edges"),
+        floor_quantize(r, 6).alias("assortativity"),
     )
 
 

@@ -1,0 +1,91 @@
+"""Committed slice of the SHAPE-INTERACTION fuzz campaign: composed
+adversarial axes ("+"-shapes from tools/fuzz_campaign.py) run over the
+full oracled registry.
+
+Single-axis shapes each have a committed home (test_fuzz_nulls,
+_magnitude, _zipf, _empty, _degenerate_vectors, ...); the round-5
+ad-hoc interaction probes (nulls x magnitude, one x nulls) found three
+real bugs NONE of the single axes could reach (corr of a constant
+series, power-analysis negative variance, concat_ws-of-nothing), so
+the composed axes get their own committed guard. Two pairings run
+here to bound suite time — the full ~10-pairing matrix at >=2 seeds is
+the per-round campaign run (tools/fuzz_campaign.py --shape a+b,
+results in BASELINE.md).
+
+- degenerate-vectors+nulls: embedding-model failure rows while every
+  relational/corpus NULL path is also live — the valid_vectors gate
+  must compose with NULL keys and NULL text.
+- nulls+magnitude: NULL propagation at adversarial money magnitudes —
+  sentinel coalesces and decimal-width discipline in one dataset.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_TABLES = (
+    "region", "nation", "part", "supplier",
+    "customer", "orders", "lineitem", "events",
+    "documents", "embeddings",
+)
+
+
+def _load(relpath: str, name: str):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(_REPO, relpath)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize(
+    "seed,shape",
+    [
+        (809, "degenerate-vectors+nulls"),
+        (811, "nulls+magnitude"),
+    ],
+)
+def test_composed_shapes_match_oracle(spark, tmp_path_factory, seed, shape):
+    camp = _load("tools/fuzz_campaign.py", "inter_camp")
+    oc = _load("tools/oracle_check.py", "inter_oc")
+
+    from grader_etl_spark.registry import (
+        REGISTRY, clear_session_memos, load_all_operators,
+    )
+
+    load_all_operators()
+    base = str(tmp_path_factory.mktemp(f"inter_{seed}"))
+    sf_dir = camp.gen_combined(base, seed, shape)
+
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    clear_session_memos(spark)
+    spark.catalog.clearCache()
+    try:
+        names = sorted(n for n in REGISTRY if REGISTRY[n].oracle is not None)
+        fails = []
+        for name in names:
+            spec = REGISTRY[name]
+            try:
+                sdf = spec.fn(spark, sf_dir).toPandas()
+                odf = con.execute(spec.oracle).df()
+                problems = oc.compare(name, sdf, odf)
+            except Exception as exc:  # noqa: BLE001 — report, keep sweeping
+                problems = [f"exception: {exc!r}"[:300]]
+            if problems:
+                fails.append(f"{name}: {problems}")
+        assert not fails, f"{len(fails)} mismatches on {shape}:\n" + "\n".join(fails)
+    finally:
+        con.close()
+        clear_session_memos(spark)
+        spark.catalog.clearCache()

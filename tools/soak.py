@@ -1,0 +1,152 @@
+"""Long-lived-session soak: a production pipeline owner keeps ONE
+SparkSession alive for days and runs the registry repeatedly
+(per-corpus-version laps, memo eviction at rollover). The per-call
+eviction contract is pytest-pinned (tests/test_memos.py); this driver
+pins the SESSION-LIFETIME contract: after N full laps with eviction
+between laps, nothing grows —
+
+- block-manager state: ``getPersistentRDDs`` count returns to the
+  post-eviction baseline after every lap (localCheckpoint profile);
+- checkpoint storage: the reliable-checkpoint dir's byte size returns
+  to baseline after every lap (cluster profile,
+  SPARK_GRAFT_CHECKPOINT_DIR set);
+- tracker state: the registry's _MEMO_RDD_IDS / _MEMO_CKPT_FILES sets
+  are empty after eviction (no id leak across laps).
+
+Usage:
+    python tools/soak.py [--laps 3] [--sf /root/testdata/sf0.01]
+                         [--profile local|reliable|both]
+
+Prints one JSON line per lap and a final PASS/FAIL verdict; exit 1 on
+any growth. Results belong in BASELINE.md's robustness section.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def soak(spark, sf_dir: str, laps: int, ckpt_dir: str | None) -> list[dict]:
+    from grader_etl_spark import registry
+    from grader_etl_spark.registry import REGISTRY, clear_session_memos
+
+    names = sorted(REGISTRY)
+    records = []
+    for lap in range(1, laps + 1):
+        t0 = time.perf_counter()
+        for name in names:
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 1)
+        peak_rdds = _n_persistent(spark)
+        peak_ckpt = _dir_bytes(ckpt_dir) if ckpt_dir else 0
+        # corpus-version rollover: evict every session memo
+        clear_session_memos(spark)
+        spark.catalog.clearCache()
+        rec = {
+            "lap": lap,
+            "wall_sec": wall,
+            "peak_persistent_rdds": peak_rdds,
+            "post_evict_persistent_rdds": _n_persistent(spark),
+            "peak_ckpt_bytes": peak_ckpt,
+            "post_evict_ckpt_bytes": _dir_bytes(ckpt_dir) if ckpt_dir else 0,
+            "tracker_rdd_ids": len(registry._MEMO_RDD_IDS),
+            "tracker_ckpt_files": len(registry._MEMO_CKPT_FILES),
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+    return records
+
+
+def check(records: list[dict], ckpt_dir: str | None) -> list[str]:
+    problems = []
+    base = records[0]
+    for r in records[1:]:
+        # post-eviction block-manager state must not grow lap-over-lap
+        if r["post_evict_persistent_rdds"] > base["post_evict_persistent_rdds"]:
+            problems.append(
+                f"lap {r['lap']}: post-evict persistent RDDs grew "
+                f"{base['post_evict_persistent_rdds']} -> {r['post_evict_persistent_rdds']}"
+            )
+        if ckpt_dir and r["post_evict_ckpt_bytes"] > base["post_evict_ckpt_bytes"]:
+            problems.append(
+                f"lap {r['lap']}: post-evict checkpoint bytes grew "
+                f"{base['post_evict_ckpt_bytes']} -> {r['post_evict_ckpt_bytes']}"
+            )
+    for r in records:
+        if r["tracker_rdd_ids"] or r["tracker_ckpt_files"]:
+            problems.append(f"lap {r['lap']}: memo tracker sets not empty after eviction")
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--laps", type=int, default=3)
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--profile", choices=("local", "reliable", "both"), default="both")
+    args = ap.parse_args()
+
+    profiles = ["local", "reliable"] if args.profile == "both" else [args.profile]
+    failures: list[str] = []
+    for profile in profiles:
+        # The checkpoint profile is read per memo_checkpoint call, and
+        # setCheckpointDir binds once per SparkContext — a fresh context
+        # per profile keeps the two runs honest. get_spark() reuses the
+        # active session, so stop it between profiles.
+        ckpt_dir = None
+        if profile == "reliable":
+            ckpt_dir = tempfile.mkdtemp(prefix="soak_ckpt_")
+            os.environ["SPARK_GRAFT_CHECKPOINT_DIR"] = ckpt_dir
+        else:
+            os.environ.pop("SPARK_GRAFT_CHECKPOINT_DIR", None)
+
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        from grader_etl_spark.registry import clear_session_memos, load_all_operators
+        from grader_etl_spark.session import get_spark
+
+        clear_session_memos()  # forget any ids recorded under the dead context
+        spark = get_spark(app_name=f"grader-etl-spark-soak-{profile}")
+        spark.sparkContext.setLogLevel("ERROR")
+        load_all_operators()
+        print(f"=== soak profile={profile} laps={args.laps} sf={args.sf} ===", flush=True)
+        records = soak(spark, args.sf, args.laps, ckpt_dir)
+        problems = check(records, ckpt_dir)
+        failures.extend(f"[{profile}] {p}" for p in problems)
+        print(
+            json.dumps({"profile": profile, "ok": not problems, "problems": problems}),
+            flush=True,
+        )
+    print(f"SOAK {'PASS' if not failures else 'FAIL'}: {len(failures)} problems", flush=True)
+    for p in failures:
+        print("  " + p, flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
