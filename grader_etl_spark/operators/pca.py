@@ -119,7 +119,7 @@ def _covariance_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embedding_covariance",
     oracle=f"""
 WITH e AS (
-  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+  SELECT vec_id, i, CAST(embedding AS DOUBLE[])[i + 1] AS x
   FROM {VALID_EMBEDDINGS_SQL}, (SELECT unnest(range(0, {EMB_DIM})) AS i)
 ), g AS (
   SELECT a.i AS i, b.i AS j,

@@ -554,7 +554,7 @@ SELECT label,
        CASE WHEN abs(AVG(CAST(v AS DOUBLE))) < 4.5e9 THEN floor((AVG(CAST(v AS DOUBLE))) * 1e6 + 0.5) / 1e6 ELSE (AVG(CAST(v AS DOUBLE))) END AS mean_val
 FROM (
   SELECT label,
-         unnest(embedding) AS v,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
          generate_subscripts(embedding, 1) AS i
   FROM {VALID_EMBEDDINGS_SQL}
 )
@@ -585,7 +585,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH cent AS (
   SELECT label, i - 1 AS dim, CASE WHEN abs(avg(CAST(v AS DOUBLE))) < 4.5e9 THEN floor((avg(CAST(v AS DOUBLE))) * 1e6 + 0.5) / 1e6 ELSE (avg(CAST(v AS DOUBLE))) END AS c
-  FROM (SELECT label, unnest(embedding) AS v,
+  FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
                generate_subscripts(embedding, 1) AS i
         FROM {VALID_EMBEDDINGS_SQL})
   GROUP BY label, i - 1
@@ -596,7 +596,7 @@ dists AS (
                    * (CAST(x.v AS DOUBLE) - cent.c))) < 4.5e9 THEN floor((SUM((CAST(x.v AS DOUBLE) - cent.c)
                    * (CAST(x.v AS DOUBLE) - cent.c))) * 1e6 + 0.5) / 1e6 ELSE (SUM((CAST(x.v AS DOUBLE) - cent.c)
                    * (CAST(x.v AS DOUBLE) - cent.c))) END AS d
-  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+  FROM (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS v,
                generate_subscripts(embedding, 1) - 1 AS dim
         FROM {VALID_EMBEDDINGS_SQL}) x
   JOIN cent ON cent.dim = x.dim

@@ -689,28 +689,50 @@ def q_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_holt_trend",
     oracle="""
 WITH RECURSIVE daily AS (
-  SELECT CAST(ts AS DATE) AS day, CASE WHEN abs(sum(value)) < 4.5e9 THEN floor((sum(value)) * 1e4 + 0.5) / 1e4 ELSE (sum(value)) END AS v
+  -- EXACT decimal day sum (double summation is order-dependent — the
+  -- q_ewma magnitude discipline), then the guarded 4-dp quantize
+  SELECT CAST(ts AS DATE) AS day,
+         CASE WHEN abs(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) < 4.5e9 THEN floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) * 1e4 + 0.5) / 1e4 ELSE (CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) END AS v
   FROM events GROUP BY 1
 ),
 ordered AS (
   SELECT day, v, row_number() OVER (ORDER BY day) AS rn FROM daily
 ),
 holt AS (
-  SELECT day, v, rn, CAST(v AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+  -- (l, b) emitted per row + (cl, cb) CARRIED state: a NULL day total
+  -- emits NULL level/trend but carries the state past the gap — the
+  -- q_ewma missing-data contract (the dup-heavy+nulls composed fuzz
+  -- caught the poisoned-forever oracle vs restart-on-null Spark split)
+  SELECT day, v, rn,
+         CAST(v AS DOUBLE) AS l,
+         CASE WHEN v IS NULL THEN CAST(NULL AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS b,
+         CAST(v AS DOUBLE) AS cl,
+         CASE WHEN v IS NULL THEN CAST(NULL AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS cb
   FROM ordered WHERE rn = 1
   UNION ALL
   SELECT o.day, o.v, o.rn,
-         0.5 * o.v + 0.5 * (h.l + h.b),
-         0.5 * ((0.5 * o.v + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
+         CASE WHEN o.v IS NULL THEN NULL
+              WHEN h.cl IS NULL THEN o.v
+              ELSE 0.5 * o.v + 0.5 * (h.cl + h.cb) END,
+         CASE WHEN o.v IS NULL THEN NULL
+              WHEN h.cl IS NULL THEN 0.0
+              ELSE 0.5 * ((0.5 * o.v + 0.5 * (h.cl + h.cb)) - h.cl) + 0.5 * h.cb END,
+         CASE WHEN o.v IS NULL THEN h.cl
+              WHEN h.cl IS NULL THEN o.v
+              ELSE 0.5 * o.v + 0.5 * (h.cl + h.cb) END,
+         CASE WHEN o.v IS NULL THEN h.cb
+              WHEN h.cl IS NULL THEN 0.0
+              ELSE 0.5 * ((0.5 * o.v + 0.5 * (h.cl + h.cb)) - h.cl) + 0.5 * h.cb END
   FROM holt h JOIN ordered o ON o.rn = h.rn + 1
 )
 SELECT strftime(day, '%Y-%m-%d') AS day, v,
-       -- floor(x*1e6 + 0.5)/1e6, not round(): the engines' ROUNDs
-       -- disagree on a 6-dp half boundary even for bit-identical
-       -- doubles (see q_stats_agg); floor/mult/add are IEEE-fixed
-       floor(l * 1e6 + 0.5) / 1e6 AS level,
-       floor(b * 1e6 + 0.5) / 1e6 AS trend,
-       floor((l + b) * 1e6 + 0.5) / 1e6 AS forecast_next
+       -- guarded floor-quantize (floor_quantize spelling): native ROUND
+       -- disagrees at 6-dp half boundaries, and above 4.5e9 the raw
+       -- floor path hits Spark's BIGINT floor while DuckDB floors in
+       -- double — the guard passes those magnitudes through untouched
+       CASE WHEN abs(l) < 4.5e9 THEN floor(l * 1e6 + 0.5) / 1e6 ELSE l END AS level,
+       CASE WHEN abs(b) < 4.5e9 THEN floor(b * 1e6 + 0.5) / 1e6 ELSE b END AS trend,
+       CASE WHEN abs(l + b) < 4.5e9 THEN floor((l + b) * 1e6 + 0.5) / 1e6 ELSE (l + b) END AS forecast_next
 FROM holt
 """,
 )
@@ -729,14 +751,20 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_forecast_revenue discipline); the fold's state is the bounded
     calendar series. The oracle replays the identical recursion as a
     recursive CTE with the same literal halves and op order, so the
-    smoothed path is IEEE-identical cross-engine; the 6-dp
-    quantization is the floor(x·1e6 + 0.5)/1e6 spelling on both
-    sides because the engines' native ROUNDs disagree on a half
-    boundary even for bit-identical doubles (extended fuzz campaign,
-    seed 1801 — the q_stats_agg discipline)."""
+    smoothed path is IEEE-identical cross-engine; display rounding is
+    the guarded floor-quantize on both sides (native ROUNDs disagree
+    at half boundaries — q_stats_agg discipline).
+
+    Missing-data contract (q_ewma precedent, pinned by the
+    dup-heavy+nulls composed fuzz): a day whose total is NULL (every
+    value that day NULL) emits NULL level/trend/forecast but CARRIES
+    the (l, b) state past the gap — before this, Spark restarted the
+    recursion at the gap while the oracle's CTE stayed NULL forever."""
     ev = load(spark, sf_dir, "events", columns=["ts", "value"])
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        floor_quantize(F.sum("value"), 4).alias("v")
+        floor_quantize(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 4
+        ).alias("v")
     )
     series = daily.groupBy().agg(
         F.array_sort(F.collect_list(F.struct("day", "v"))).alias("s")
@@ -749,35 +777,35 @@ def q_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def step(acc, x):
+        v = x.getField("v")
+        vnull = v.isNull()
         first = acc.getField("l").isNull()
-        l_new = F.when(first, x.getField("v")).otherwise(
-            F.lit(0.5) * x.getField("v")
-            + F.lit(0.5) * (acc.getField("l") + acc.getField("b"))
+        l_step = F.when(first, v).otherwise(
+            F.lit(0.5) * v + F.lit(0.5) * (acc.getField("l") + acc.getField("b"))
         )
-        b_new = F.when(first, F.lit(0.0)).otherwise(
-            F.lit(0.5) * (l_new - acc.getField("l")) + F.lit(0.5) * acc.getField("b")
+        b_step = F.when(first, F.lit(0.0)).otherwise(
+            F.lit(0.5) * (l_step - acc.getField("l")) + F.lit(0.5) * acc.getField("b")
         )
+        null_d = F.lit(None).cast("double")
         emitted = F.struct(
             x.getField("day").alias("day"),
-            x.getField("v").alias("v"),
-            l_new.alias("l"),
-            b_new.alias("b"),
+            v.alias("v"),
+            F.when(vnull, null_d).otherwise(l_step).alias("l"),
+            F.when(vnull, null_d).otherwise(b_step).alias("b"),
         )
         return F.struct(
-            l_new.alias("l"),
-            b_new.alias("b"),
+            # carry state across NULL observations instead of restarting
+            F.when(vnull, acc.getField("l")).otherwise(l_step).alias("l"),
+            F.when(vnull, acc.getField("b")).otherwise(b_step).alias("b"),
             F.concat(acc.getField("out"), F.array(emitted)).alias("out"),
         )
 
     folded = series.select(F.explode(F.aggregate("s", init, step).getField("out")).alias("e"))
 
-    def round6(c):  # floor(x·1e6 + 0.5)/1e6 — engine-independent (q_stats_agg)
-        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-
     return folded.select(
         F.date_format(F.col("e.day"), "yyyy-MM-dd").alias("day"),
         F.col("e.v").alias("v"),
-        round6(F.col("e.l")).alias("level"),
-        round6(F.col("e.b")).alias("trend"),
-        round6(F.col("e.l") + F.col("e.b")).alias("forecast_next"),
+        floor_quantize(F.col("e.l"), 6).alias("level"),
+        floor_quantize(F.col("e.b"), 6).alias("trend"),
+        floor_quantize(F.col("e.l") + F.col("e.b"), 6).alias("forecast_next"),
     )

@@ -20,6 +20,7 @@ the aggregate is order-independent and bit-equal.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -38,6 +39,63 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+_CAST_OPEN = re.compile(r"CAST\s*\(", re.IGNORECASE)
+_AS_DOUBLE_TAIL = re.compile(r"\s+AS\s+DOUBLE\s*$", re.IGNORECASE)
+_VARCHAR_CAST = re.compile(r"CAST\s*\(.*AS\s+VARCHAR\s*\)$", re.IGNORECASE | re.DOTALL)
+
+
+def _stable_double_casts(sql: str) -> str:
+    """Rewrite every oracle ``CAST(expr AS DOUBLE)`` to route through
+    VARCHAR: ``CAST(CAST(expr AS VARCHAR) AS DOUBLE)``.
+
+    DuckDB's direct DECIMAL→DOUBLE cast is DOUBLE-ROUNDED (int128 →
+    double, then a second rounding at the /10^scale division): measured
+    4,583 / 20,000 one-ulp mismatches vs the correctly-rounded
+    conversion on 15-24-significant-digit decimals, while Spark's
+    BigDecimal path matched python strtod on all 20,000 (round 6 —
+    surfaced by the zipf+magnitude composed fuzz as a 1-ulp
+    ``part_value`` flip at 1.9e12, exactly one double-spacing). The
+    VARCHAR route (exact decimal digits → correctly-rounded parse) is
+    bit-identical to Spark's conversion on every sampled value, and is
+    the IDENTITY for DOUBLE inputs (shortest-roundtrip print) and for
+    BIGINT/HUGEINT (exact digits). Rewriting at registration keeps the
+    519 cast sites across 150 oracles on one definition.
+
+    The one exclusion: a bare ``x`` operand — the ``list_transform``
+    element variable, always FLOAT32 in this engine — where the DIRECT
+    cast is exact widening on both engines and the varchar route would
+    instead re-round through the float's shortest decimal repr."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        m = _CAST_OPEN.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        out.append(sql[i : m.start()])
+        depth, k = 0, m.end() - 1
+        while k < n:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        inner = _stable_double_casts(sql[m.end() : k])
+        tail = _AS_DOUBLE_TAIL.search(inner)
+        if tail is not None:
+            expr = inner[: tail.start()]
+            es = expr.strip()
+            if es == "x" or _VARCHAR_CAST.fullmatch(es):
+                out.append(f"CAST({inner})")
+            else:
+                out.append(f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)")
+        else:
+            out.append(f"CAST({inner})")
+        i = k + 1
+    return "".join(out)
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` as the implementation of query ``name``."""
@@ -45,7 +103,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query registration: {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            oracle=None if oracle is None else _stable_double_casts(oracle),
+            doc=fn.__doc__ or "",
+        )
         return fn
 
     return deco
@@ -121,6 +184,17 @@ _MEMO_RDD_IDS: set[tuple[str, int]] = set()
 # localCheckpoint blocks (freed by unpersist), reliable checkpoints
 # live as files under the checkpoint dir and must be deleted there.
 _MEMO_CKPT_FILES: set[tuple[str, str]] = set()
+# EVERY reliable-checkpoint file of the session, memo or not: the
+# per-round checkpoints inside iterative operators (graph contraction,
+# BPE merges, MMR rounds) are dead once their query's action returns,
+# but Spark never deletes reliable-checkpoint files while the context
+# lives (cleanCheckpoints is GC-driven and off by default) — without
+# explicit tracking a long-lived session grows its checkpoint dir by
+# one file set per registry lap, forever (found by tools/soak.py:
+# post-evict bytes 21007 -> 42014 -> 63021 over three laps).
+# clear_session_memos — the corpus-rollover point, after which no
+# earlier frame is recomputed by contract — deletes them all.
+_SESSION_CKPT_FILES: set[tuple[str, str]] = set()
 
 
 def checkpoint_frame(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -145,7 +219,15 @@ def checkpoint_frame(df: DataFrame, eager: bool = True) -> DataFrame:
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         sc.setCheckpointDir(ckpt_dir)
-    return df.checkpoint(eager=eager)
+    out = df.checkpoint(eager=eager)
+    try:
+        rdd = out._jdf.queryExecution().analyzed().rdd()
+        ckpt_file = rdd.getCheckpointFile()
+        if ckpt_file.isDefined():
+            _SESSION_CKPT_FILES.add((sc.applicationId, ckpt_file.get()))
+    except Exception:
+        pass  # non-JVM plan shape: the file falls back to context-exit cleanup
+    return out
 
 
 def memo_checkpoint(df: DataFrame) -> DataFrame:
@@ -177,7 +259,11 @@ def clear_session_memos(spark: SparkSession | None = None) -> None:
     blocks behind the memos are also unpersisted immediately (blocking)
     instead of waiting for JVM garbage collection — storage is freed
     the moment the memo is dropped, verified by tests/test_memos.py
-    against ``getPersistentRDDs``."""
+    against ``getPersistentRDDs`` — and EVERY reliable-checkpoint file
+    written this session (memo or per-round iterative) is deleted:
+    after rollover no earlier frame is recomputed by contract, so the
+    files are dead storage Spark itself never reclaims while the
+    context lives (tools/soak.py pins zero lap-over-lap growth)."""
     import sys
 
     for mod_name, mod in list(sys.modules.items()):
@@ -194,6 +280,7 @@ def clear_session_memos(spark: SparkSession | None = None) -> None:
         # reclamation) so nothing stale survives a context restart.
         _MEMO_RDD_IDS.clear()
         _MEMO_CKPT_FILES.clear()
+        _SESSION_CKPT_FILES.clear()
         return
     try:
         app_id = spark.sparkContext.applicationId
@@ -209,7 +296,7 @@ def clear_session_memos(spark: SparkSession | None = None) -> None:
         # paths recorded under THIS context.
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         jvm = spark.sparkContext._jvm
-        for aid, path in list(_MEMO_CKPT_FILES):
+        for aid, path in list(_MEMO_CKPT_FILES | _SESSION_CKPT_FILES):
             if aid != app_id:
                 continue
             try:
@@ -221,5 +308,6 @@ def clear_session_memos(spark: SparkSession | None = None) -> None:
         # and ids from dead contexts are unreleasable by definition.
         _MEMO_RDD_IDS.clear()
         _MEMO_CKPT_FILES.clear()
+        _SESSION_CKPT_FILES.clear()
     except Exception:
         pass  # best-effort storage release; the memo dicts are already gone

@@ -160,3 +160,41 @@ def test_clear_session_memos_spares_unrelated_persisted_frames(spark):
     clear_session_memos(spark)
     assert user_df.count() == 100  # still readable — its blocks survived
     user_df.unpersist()
+
+def test_non_memo_session_checkpoints_evicted_on_rollover(spark, tmp_path, monkeypatch):
+    """NON-memo reliable checkpoints — the per-round frames inside
+    iterative operators (graph contraction, BPE merges, MMR rounds) —
+    must also be deleted at rollover: Spark never reclaims
+    reliable-checkpoint files while the context lives (cleanCheckpoints
+    is GC-driven and off by default), so a long-lived session would
+    otherwise grow its checkpoint dir by one file set per registry lap
+    forever. Found by tools/soak.py (post-evict bytes 21007 -> 42014
+    -> 63021 over three laps before the fix)."""
+    import os
+
+    from grader_etl_spark.registry import (
+        _SESSION_CKPT_FILES,
+        checkpoint_frame,
+        clear_session_memos,
+    )
+
+    clear_session_memos(spark)
+    ckdir = tmp_path / "session-ckpt"
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(ckdir))
+
+    # a direct checkpoint_frame call, exactly like an iterative round —
+    # NOT routed through memo_checkpoint
+    df = checkpoint_frame(spark.range(100).selectExpr("id", "id * 2 AS v"))
+    assert df.count() == 100
+    app_id = spark.sparkContext.applicationId
+    recorded = [p for aid, p in _SESSION_CKPT_FILES if aid == app_id]
+    assert recorded, "reliable profile must record every session checkpoint file"
+    local_paths = [p.removeprefix("file:") for p in recorded]
+    assert all(os.path.exists(p) for p in local_paths)
+
+    clear_session_memos(spark)
+    assert not any(os.path.exists(p) for p in local_paths), (
+        "rollover must delete non-memo reliable checkpoints"
+    )
+    assert not _SESSION_CKPT_FILES
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR")

@@ -74,6 +74,7 @@ def soak(spark, sf_dir: str, laps: int, ckpt_dir: str | None) -> list[dict]:
             "post_evict_ckpt_bytes": _dir_bytes(ckpt_dir) if ckpt_dir else 0,
             "tracker_rdd_ids": len(registry._MEMO_RDD_IDS),
             "tracker_ckpt_files": len(registry._MEMO_CKPT_FILES),
+            "tracker_session_ckpts": len(registry._SESSION_CKPT_FILES),
         }
         records.append(rec)
         print(json.dumps(rec), flush=True)
@@ -96,7 +97,7 @@ def check(records: list[dict], ckpt_dir: str | None) -> list[str]:
                 f"{base['post_evict_ckpt_bytes']} -> {r['post_evict_ckpt_bytes']}"
             )
     for r in records:
-        if r["tracker_rdd_ids"] or r["tracker_ckpt_files"]:
+        if r["tracker_rdd_ids"] or r["tracker_ckpt_files"] or r.get("tracker_session_ckpts"):
             problems.append(f"lap {r['lap']}: memo tracker sets not empty after eviction")
     return problems
 
