@@ -344,8 +344,10 @@ def render_email_body(report_row: Row) -> str:
 
 class Sink(Protocol):
     """Driver-side mirror sinks (Sheets / SMTP in the reference —
-    main.py:230-268,374-419). They receive tiny collected data; real
-    adapters live outside the engine and are injected by the runner."""
+    main.py:230-268,374-419). They receive tiny collected data; the
+    live adapters are `sinks.SheetsSink` (Sheets v4 REST over stdlib
+    urllib) and `sinks.SmtpNotifier` (smtplib), injected by the
+    runner and env-gated via their `from_env()` constructors."""
 
     def write_rows(self, header: list[str], rows: list[list[str]]) -> None: ...
 
