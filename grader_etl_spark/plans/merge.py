@@ -1,0 +1,333 @@
+"""Copy-on-write MERGE INTO for partitioned parquet tables.
+
+The reference's only conflict semantic is per-row ``INSERT ... ON
+CONFLICT DO NOTHING`` (/root/reference/main.py:202), which
+``ParquetStore.idempotent_append`` renders as a set-based anti-join.
+A transactional table format (Delta/Iceberg) generalizes that to
+MERGE — update/delete/insert in one keyed statement. delta-spark is
+not in this container, but MERGE is a *semantic*, not a package: this
+plan implements it directly on plain parquet, copy-on-write, the same
+way the formats do under the hood —
+
+1. **Prune**: only partitions that can contain matched rows are read
+   or rewritten. With the standard upsert layout (the partition value
+   is a function of the key, e.g. ``event_date = date(event_ts)``),
+   those are exactly the source's partition values — a driver-sized
+   list. If keys can MOVE between partitions, ``prune_with_source_
+   partitions=False`` additionally discovers the partitions holding
+   current matches with one key-only scan (broadcast source, column-
+   pruned to the keys + partition column).
+2. **Compose**: per touched partition, the post-merge content is an
+   anti/semi-join algebra over (target_touched, source) — never a
+   row-at-a-time loop, never a full-table rewrite.
+3. **Stage**: the rewritten partitions are written to a sibling
+   staging directory first (Spark's whole write machinery, normal
+   task retries). The live table is not touched yet.
+4. **Swap**: after the staging write fully succeeds, a JOURNAL file
+   is fsync'd and each touched partition directory is swapped in with
+   two atomic renames (old → trash, staged → live). Untouched
+   partitions are never listed, read, or rewritten — their files stay
+   byte-identical.
+
+Crash contract: the journal is written only AFTER staging is
+complete, so recovery is always ROLL-FORWARD — the swap loop is
+idempotent (every step is guarded by existence checks), and
+``recover()`` simply re-runs it. A crash before the journal exists
+leaves only garbage staging dirs, which recovery sweeps. Readers keep
+planning against whatever directory set they listed — partition-level
+snapshot consistency, the honest single-FS rendition of what a
+transaction log provides (documented gap: a reader listing partitions
+MID-swap can see partition A new and partition B old; Delta's log
+closes exactly that window).
+
+Concurrency: writers serialize on the same advisory ``_store_lock``
+as idempotent_append, so merge/append/merge interleavings see each
+other's commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from grader_etl_spark.plans.pipeline import _store_lock
+
+# Partition directory-name rendition we accept without owning Hive's
+# full escaping table: dates, timestamps, ints, plain tokens. Values
+# outside this alphabet would need percent-escaping to map to a
+# directory name, which this plan refuses rather than half-implements.
+_SAFE_PARTITION_VALUE = re.compile(r"^[A-Za-z0-9_.:\-T ]+$")
+
+_BROADCAST_ROWS = 1_000_000  # source side under this → explicit broadcast
+
+
+@dataclass(frozen=True)
+class MergeStats:
+    inserted: int
+    updated: int
+    deleted: int
+    partitions_rewritten: int
+    noop: bool = False
+
+
+def _journal_path(path: str) -> str:
+    return path.rstrip("/") + ".merge-journal"
+
+
+def _partition_dirs(root: str, partition_col: str) -> list[str]:
+    if not os.path.isdir(root):
+        return []
+    pref = f"{partition_col}="
+    return sorted(
+        d for d in os.listdir(root)
+        if d.startswith(pref) and os.path.isdir(os.path.join(root, d))
+    )
+
+
+def _dirname_for(partition_col: str, value) -> str:
+    s = str(value)
+    if not _SAFE_PARTITION_VALUE.match(s):
+        raise ValueError(
+            f"partition value {s!r} needs Hive percent-escaping; "
+            "merge_into only handles plain-token partition values"
+        )
+    return f"{partition_col}={s}"
+
+
+def _apply_swaps(path: str, journal: dict) -> None:
+    """The roll-forward-idempotent swap loop: every step checks state
+    before acting, so re-running after a crash at ANY point completes
+    the same commit exactly once."""
+    staging, trash = journal["staging"], journal["trash"]
+    os.makedirs(trash, exist_ok=True)
+    for d in journal["swap"]:
+        live, staged, kept = os.path.join(path, d), os.path.join(staging, d), os.path.join(trash, d)
+        if os.path.isdir(live) and not os.path.isdir(kept):
+            os.rename(live, kept)
+        if os.path.isdir(staged):
+            os.rename(staged, live)
+    for d in journal["delete"]:
+        live, kept = os.path.join(path, d), os.path.join(trash, d)
+        if os.path.isdir(live) and not os.path.isdir(kept):
+            os.rename(live, kept)
+
+
+def _finish(path: str, journal: dict) -> None:
+    os.remove(_journal_path(path))
+    shutil.rmtree(journal["trash"], ignore_errors=True)
+    shutil.rmtree(journal["staging"], ignore_errors=True)
+
+
+def recover(path: str) -> bool:
+    """Complete an interrupted merge (roll forward) and sweep orphan
+    staging dirs. Returns True if a journaled commit was completed.
+    Called automatically at the top of every merge_into; callable
+    standalone by an operator."""
+    jp = _journal_path(path)
+    finished = False
+    if os.path.exists(jp):
+        with open(jp) as f:
+            journal = json.load(f)
+        _apply_swaps(path, journal)
+        _finish(path, journal)
+        finished = True
+    # staging/trash dirs without a journal: a crash BEFORE commit —
+    # the live table was never touched, the leftovers are garbage.
+    parent, base = os.path.split(path.rstrip("/"))
+    if os.path.isdir(parent or "."):
+        for d in os.listdir(parent or "."):
+            if d.startswith(base + ".merge-staging-") or d.startswith(base + ".merge-trash-"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    return finished
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    *,
+    keys: list[str],
+    partition_col: str,
+    when_matched: str | None = "update",
+    when_not_matched: str | None = "insert",
+    prune_with_source_partitions: bool = True,
+    _crash_after_swaps: int | None = None,
+) -> MergeStats:
+    """MERGE ``source`` into the parquet table at ``path``.
+
+    * ``when_matched``: "update" (whole-row replace), "delete", or
+      None (keep target row — with insert this is exactly
+      idempotent_append's ON CONFLICT DO NOTHING).
+    * ``when_not_matched``: "insert" or None.
+    * Duplicate keys in ``source`` raise (Delta parity: a multi-match
+      merge is ambiguous). Re-running the same merge is idempotent.
+    * ``_crash_after_swaps``: test hook — abort mid-commit after N
+      directory swaps to exercise the journal recovery.
+    """
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"when_matched={when_matched!r}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"when_not_matched={when_not_matched!r}")
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if partition_col not in source.columns:
+        raise ValueError(f"source lacks partition column {partition_col!r}")
+
+    src = source.persist()
+    try:
+        n_src = src.count()
+        if n_src == 0:
+            return MergeStats(0, 0, 0, 0, noop=True)
+        dup = src.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(f"source has duplicate merge keys, e.g. {dup[0]}")
+        bsrc = F.broadcast(src) if n_src <= _BROADCAST_ROWS else src
+        with _store_lock(path):
+            return _merge_locked(
+                spark, path, src, bsrc, n_src,
+                keys=keys, partition_col=partition_col,
+                when_matched=when_matched, when_not_matched=when_not_matched,
+                prune_with_source_partitions=prune_with_source_partitions,
+                _crash_after_swaps=_crash_after_swaps,
+            )
+    finally:
+        src.unpersist()
+
+
+def _merge_locked(
+    spark: SparkSession,
+    path: str,
+    src: DataFrame,
+    bsrc: DataFrame,
+    n_src: int,
+    *,
+    keys: list[str],
+    partition_col: str,
+    when_matched: str | None,
+    when_not_matched: str | None,
+    prune_with_source_partitions: bool,
+    _crash_after_swaps: int | None,
+) -> MergeStats:
+    """The critical section: recovery of any interrupted commit, the
+    snapshot reads, the staging write, and the journaled swap all
+    happen under ONE hold of the advisory lock — a concurrent writer
+    can neither read a half-committed table nor double-apply a
+    journal."""
+    recover(path)
+
+    table_exists = os.path.isdir(path) and bool(_partition_dirs(path, partition_col))
+    if not table_exists:
+        if when_not_matched != "insert":
+            return MergeStats(0, 0, 0, 0, noop=True)
+        src.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return MergeStats(n_src, 0, 0, src.select(partition_col).distinct().count())
+
+    src_values = [r[0] for r in src.select(partition_col).distinct().collect()]
+    touched = {_dirname_for(partition_col, v): v for v in src_values}
+    target_all = spark.read.parquet(path)
+    if not prune_with_source_partitions:
+        # keys may have moved partitions: also rewrite partitions
+        # holding CURRENT matches (key-only scan, broadcast probe).
+        moved = (
+            target_all.select(partition_col, *keys)
+            .join(bsrc.select(*keys), on=keys, how="left_semi")
+            .select(partition_col).distinct().collect()
+        )
+        for r in moved:
+            touched[_dirname_for(partition_col, r[0])] = r[0]
+    existing_dirs = set(_partition_dirs(path, partition_col))
+    touched = {d: v for d, v in touched.items()
+               if d in existing_dirs or when_not_matched == "insert"}
+
+    tgt = target_all.filter(
+        F.col(partition_col).isin([v for v in touched.values()])
+    )
+    matched_src = src.join(tgt.select(*keys), on=keys, how="left_semi")
+    n_matched = matched_src.count()
+    n_ins = (n_src - n_matched) if when_not_matched == "insert" else 0
+    n_upd = n_matched if when_matched == "update" else 0
+    n_del = n_matched if when_matched == "delete" else 0
+    if n_ins == 0 and n_upd == 0 and n_del == 0:
+        return MergeStats(0, 0, 0, 0, noop=True)
+
+    if when_matched == "update" and when_not_matched == "insert":
+        result = tgt.join(bsrc.select(*keys), on=keys, how="left_anti").unionByName(src)
+    else:
+        keep = (
+            tgt.join(bsrc.select(*keys), on=keys, how="left_anti")
+            if when_matched in ("update", "delete") else tgt
+        )
+        parts = [keep]
+        if when_matched == "update":
+            parts.append(matched_src)
+        if when_not_matched == "insert":
+            parts.append(src.join(tgt.select(*keys), on=keys, how="left_anti"))
+        result = parts[0]
+        for p in parts[1:]:
+            result = result.unionByName(p)
+
+    nonce = uuid.uuid4().hex[:12]
+    staging = path.rstrip("/") + f".merge-staging-{nonce}"
+    trash = path.rstrip("/") + f".merge-trash-{nonce}"
+    # (already under the caller's _store_lock — not reentrant)
+    result.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    staged_dirs = set(_partition_dirs(staging, partition_col))
+    # a touched partition absent from staging was emptied
+    # (delete mode) — its live dir must be retired too.
+    deletes = sorted(d for d in touched if d in existing_dirs and d not in staged_dirs)
+    journal = {
+        "staging": staging,
+        "trash": trash,
+        "swap": sorted(staged_dirs),
+        "delete": deletes,
+    }
+    jp = _journal_path(path)
+    with open(jp, "w") as f:
+        json.dump(journal, f)
+        f.flush()
+        os.fsync(f.fileno())
+    if _crash_after_swaps is not None:
+        _apply_swaps_with_crash(path, journal, _crash_after_swaps)
+    _apply_swaps(path, journal)
+    _finish(path, journal)
+    return MergeStats(n_ins, n_upd, n_del, len(staged_dirs) + len(deletes))
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def _apply_swaps_with_crash(path: str, journal: dict, after: int) -> None:
+    """Test hook: perform the first ``after`` single renames, then die
+    mid-commit (the journal stays on disk for recover())."""
+    staging, trash = journal["staging"], journal["trash"]
+    os.makedirs(trash, exist_ok=True)
+    done = 0
+
+    def step():
+        nonlocal done
+        done += 1
+        if done > after:
+            raise _InjectedCrash(f"injected crash after {after} renames")
+
+    for d in journal["swap"]:
+        live, staged, kept = os.path.join(path, d), os.path.join(staging, d), os.path.join(trash, d)
+        if os.path.isdir(live) and not os.path.isdir(kept):
+            step()
+            os.rename(live, kept)
+        if os.path.isdir(staged):
+            step()
+            os.rename(staged, live)
+    for d in journal["delete"]:
+        live, kept = os.path.join(path, d), os.path.join(trash, d)
+        if os.path.isdir(live) and not os.path.isdir(kept):
+            step()
+            os.rename(live, kept)
+    raise _InjectedCrash("injected crash after all renames, before finish")

@@ -150,9 +150,11 @@ def _store_lock(path: str, timeout: float = 120.0, poll: float = 0.05) -> Iterat
     single-node rendition of what a transactional table format
     (Delta/Iceberg MERGE, or Hive lock manager) provides — swap this
     function, keep the callers. (Re-verified round 3: delta-spark is
-    not in this container and installing packages is out of scope, so
-    the MERGE rendition stays a documented swap point rather than a
-    code path.)
+    not in this container and installing packages is out of scope.
+    Round 6: the MERGE semantic itself is now a code path —
+    plans/merge.py implements copy-on-write MERGE INTO on plain
+    parquet under this same lock; only the Delta/Iceberg *format*
+    remains external.)
 
     Crash recovery: a waiter that finds the recorded pid dead REAPS
     the lock instead of timing out — ``rename(lock, lock.reap-<nonce>)``,

@@ -1,0 +1,214 @@
+"""Copy-on-write MERGE (plans/merge.py): upsert/delete/insert-only
+algebra vs a DuckDB SQL oracle, touched-partition-only rewrites
+(untouched files byte-identical), duplicate-source refusal, idempotent
+re-merge, moved-key discovery, and journal roll-forward after an
+injected mid-commit crash — the no-transaction-log rendition of
+Delta/Iceberg MERGE (reference semantic: main.py:202's ON CONFLICT)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from grader_etl_spark.plans.merge import (
+    MergeStats,
+    _InjectedCrash,
+    merge_into,
+    recover,
+)
+
+SCHEMA = "k int, v string, day string"
+
+
+def _target(spark, path) -> None:
+    rows = [
+        (1, "a", "d1"), (2, "b", "d1"),
+        (3, "c", "d2"), (4, "d", "d2"),
+        (5, "e", "d3"), (6, "f", "d3"),
+    ]
+    spark.createDataFrame(rows, SCHEMA).write.partitionBy("day").parquet(path)
+
+
+def _rows(spark, path) -> set[tuple]:
+    return {(r.k, r.v, r.day) for r in spark.read.parquet(path).collect()}
+
+
+def _files(path) -> dict[str, tuple[int, int]]:
+    out = {}
+    for root, _, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                st = os.stat(p)
+                out[os.path.relpath(p, path)] = (st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_upsert_updates_and_inserts_with_partition_pruning(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    before = _files(path)
+
+    src = spark.createDataFrame(
+        [(3, "C2", "d2"), (7, "g", "d2"), (8, "h", "d4")], SCHEMA
+    )
+    stats = merge_into(spark, path, src, keys=["k"], partition_col="day")
+    assert stats == MergeStats(inserted=2, updated=1, deleted=0, partitions_rewritten=2)
+    assert _rows(spark, path) == {
+        (1, "a", "d1"), (2, "b", "d1"),
+        (3, "C2", "d2"), (4, "d", "d2"), (7, "g", "d2"),
+        (5, "e", "d3"), (6, "f", "d3"),
+        (8, "h", "d4"),
+    }
+    after = _files(path)
+    untouched = {f: s for f, s in before.items() if f.startswith(("day=d1", "day=d3"))}
+    assert untouched and all(after[f] == s for f, s in untouched.items())
+    assert not os.path.exists(path + ".merge-journal")
+
+
+def test_merge_matches_duckdb_sql_oracle(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    src_rows = [(2, "B9", "d1"), (4, "D9", "d2"), (9, "i", "d3"), (10, "j", "d9")]
+    src = spark.createDataFrame(src_rows, SCHEMA)
+    merge_into(spark, path, src, keys=["k"], partition_col="day")
+
+    con = duckdb.connect()
+    # oracle runs on the PRE-merge content: rebuild it
+    t2 = str(tmp_path / "t2")
+    _target(spark, t2)
+    con.execute(
+        f"CREATE TABLE tgt AS SELECT k, v, day FROM read_parquet('{t2}/*/*.parquet', hive_partitioning=1)"
+    )
+    con.execute("CREATE TABLE src(k int, v varchar, day varchar)")
+    con.executemany("INSERT INTO src VALUES (?,?,?)", src_rows)
+    expected = set(
+        map(tuple, con.execute(
+            "SELECT k, v, day FROM tgt WHERE k NOT IN (SELECT k FROM src) "
+            "UNION ALL SELECT k, v, day FROM src"
+        ).fetchall())
+    )
+    assert _rows(spark, path) == expected
+
+
+def test_delete_mode_empties_and_removes_partition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    src = spark.createDataFrame([(3, "x", "d2"), (4, "x", "d2"), (5, "x", "d3")], SCHEMA)
+    stats = merge_into(spark, path, src, keys=["k"], partition_col="day",
+                       when_matched="delete", when_not_matched=None)
+    assert stats == MergeStats(0, 0, 3, partitions_rewritten=2)
+    assert _rows(spark, path) == {(1, "a", "d1"), (2, "b", "d1"), (6, "f", "d3")}
+    assert not os.path.isdir(os.path.join(path, "day=d2"))  # fully emptied
+
+
+def test_insert_only_is_conflict_do_nothing(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    src = spark.createDataFrame([(3, "SHOULD_NOT_WIN", "d2"), (7, "g", "d2")], SCHEMA)
+    stats = merge_into(spark, path, src, keys=["k"], partition_col="day",
+                       when_matched=None, when_not_matched="insert")
+    assert stats == MergeStats(1, 0, 0, partitions_rewritten=1)
+    rows = _rows(spark, path)
+    assert (3, "c", "d2") in rows and (7, "g", "d2") in rows
+    # re-running the same insert-only merge is a no-op (nothing rewritten)
+    before = _files(path)
+    stats2 = merge_into(spark, path, src, keys=["k"], partition_col="day",
+                        when_matched=None, when_not_matched="insert")
+    assert stats2.noop and _files(path) == before
+
+
+def test_update_only_drops_unmatched_source(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    src = spark.createDataFrame([(3, "C2", "d2"), (99, "nope", "d2")], SCHEMA)
+    stats = merge_into(spark, path, src, keys=["k"], partition_col="day",
+                       when_matched="update", when_not_matched=None)
+    assert (stats.inserted, stats.updated) == (0, 1)
+    rows = _rows(spark, path)
+    assert (3, "C2", "d2") in rows and not any(k == 99 for k, _, _ in rows)
+
+
+def test_duplicate_source_keys_raise(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    src = spark.createDataFrame([(3, "x", "d2"), (3, "y", "d2")], SCHEMA)
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_into(spark, path, src, keys=["k"], partition_col="day")
+
+
+def test_rerun_same_upsert_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    src = spark.createDataFrame([(3, "C2", "d2"), (8, "h", "d4")], SCHEMA)
+    merge_into(spark, path, src, keys=["k"], partition_col="day")
+    first = _rows(spark, path)
+    merge_into(spark, path, src, keys=["k"], partition_col="day")
+    assert _rows(spark, path) == first
+
+
+def test_creates_table_when_absent(spark, tmp_path):
+    path = str(tmp_path / "fresh")
+    src = spark.createDataFrame([(1, "a", "d1"), (2, "b", "d2")], SCHEMA)
+    stats = merge_into(spark, path, src, keys=["k"], partition_col="day")
+    assert stats == MergeStats(2, 0, 0, partitions_rewritten=2)
+    assert _rows(spark, path) == {(1, "a", "d1"), (2, "b", "d2")}
+
+
+def test_moved_key_needs_unpruned_mode(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    # key 1 currently lives in d1; the source moves it to d2
+    src = spark.createDataFrame([(1, "moved", "d2")], SCHEMA)
+    stats = merge_into(spark, path, src, keys=["k"], partition_col="day",
+                       prune_with_source_partitions=False)
+    assert stats.updated == 1 and stats.partitions_rewritten == 2
+    rows = _rows(spark, path)
+    assert (1, "moved", "d2") in rows and (1, "a", "d1") not in rows
+    assert sum(1 for k, _, _ in rows if k == 1) == 1  # no duplicate key
+
+
+def test_unescapable_partition_value_refused(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    src = spark.createDataFrame([(7, "g", "d/2")], SCHEMA)
+    with pytest.raises(ValueError, match="percent-escaping"):
+        merge_into(spark, path, src, keys=["k"], partition_col="day")
+
+
+@pytest.mark.parametrize("crash_after", [0, 1, 2])
+def test_crash_mid_commit_rolls_forward(spark, tmp_path, crash_after):
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    src = spark.createDataFrame([(3, "C2", "d2"), (8, "h", "d4")], SCHEMA)
+    expected = {
+        (1, "a", "d1"), (2, "b", "d1"),
+        (3, "C2", "d2"), (4, "d", "d2"),
+        (5, "e", "d3"), (6, "f", "d3"),
+        (8, "h", "d4"),
+    }
+    with pytest.raises(_InjectedCrash):
+        merge_into(spark, path, src, keys=["k"], partition_col="day",
+                   _crash_after_swaps=crash_after)
+    assert os.path.exists(path + ".merge-journal")  # commit is pending
+    assert recover(path) is True  # roll forward completes it
+    assert _rows(spark, path) == expected
+    assert not os.path.exists(path + ".merge-journal")
+    leftovers = [d for d in os.listdir(tmp_path) if ".merge-" in d]
+    assert leftovers == []
+
+
+def test_next_merge_recovers_previous_crash(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    src1 = spark.createDataFrame([(3, "C2", "d2")], SCHEMA)
+    with pytest.raises(_InjectedCrash):
+        merge_into(spark, path, src1, keys=["k"], partition_col="day",
+                   _crash_after_swaps=0)
+    # a later merge first completes the journaled commit, then applies its own
+    src2 = spark.createDataFrame([(9, "i", "d3")], SCHEMA)
+    merge_into(spark, path, src2, keys=["k"], partition_col="day")
+    rows = _rows(spark, path)
+    assert (3, "C2", "d2") in rows and (9, "i", "d3") in rows
