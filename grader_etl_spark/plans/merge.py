@@ -232,6 +232,15 @@ def _merge_locked(
     src_values = [r[0] for r in src.select(partition_col).distinct().collect()]
     touched = {_dirname_for(partition_col, v): v for v in src_values}
     target_all = spark.read.parquet(path)
+    if set(src.columns) != set(target_all.columns):
+        extra = set(src.columns) - set(target_all.columns)
+        missing = set(target_all.columns) - set(src.columns)
+        raise ValueError(
+            "merge source schema must match target columns "
+            f"(whole-row update semantics); extra={sorted(extra)} "
+            f"missing={sorted(missing)} — evolve the table first "
+            "(plans/evolution.py) if the widening is intended"
+        )
     if not prune_with_source_partitions:
         # keys may have moved partitions: also rewrite partitions
         # holding CURRENT matches (key-only scan, broadcast probe).
@@ -297,6 +306,9 @@ def _merge_locked(
         _apply_swaps_with_crash(path, journal, _crash_after_swaps)
     _apply_swaps(path, journal)
     _finish(path, journal)
+    # same-session readers may hold cached file listings for the
+    # swapped directories; invalidate so their next plan re-lists.
+    spark.catalog.refreshByPath(path)
     return MergeStats(n_ins, n_upd, n_del, len(staged_dirs) + len(deletes))
 
 
