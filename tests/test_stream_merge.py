@@ -1,0 +1,108 @@
+"""Streaming UPSERT (streaming/jobs.upsert_stream = foreachBatch +
+copy-on-write merge): last-writer-wins semantics across micro-batches,
+in-batch version collapse, and kill-and-restart exactly-once — the
+update-semantics twin of tests/test_stream_to_store.py's insert-only
+crash-recovery proof."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from grader_etl_spark.streaming.jobs import file_stream, upsert_stream
+
+SCHEMA_STR = "k int, v string, ts timestamp, day string"
+T0 = dt.datetime(2024, 1, 15, 10, 0, 0)
+
+
+def _schema(spark):
+    return spark.createDataFrame([], SCHEMA_STR).schema
+
+
+def _land(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA_STR).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run(spark, landing, table, chk):
+    q = upsert_stream(
+        file_stream(spark, landing, _schema(spark), max_files_per_trigger=1),
+        table, keys=["k"], partition_col="day", order_col="ts", checkpoint=chk,
+    )
+    q.awaitTermination()
+
+
+def _rows(spark, table):
+    return {(r.k, r.v, r.day) for r in spark.read.parquet(table).collect()}
+
+
+def test_upsert_stream_last_writer_wins(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+    # batch 1: k1 v1, k2; batch 2: k1 -> v2 (update), k3 with TWO
+    # in-batch versions (later ts must win the collapse)
+    _land(spark, landing, [(1, "v1", T0, "d1"), (2, "b", T0, "d1")])
+    _land(spark, landing, [
+        (1, "v2", T0 + dt.timedelta(hours=1), "d1"),
+        (3, "old", T0, "d2"),
+        (3, "new", T0 + dt.timedelta(hours=2), "d2"),
+    ])
+    _run(spark, landing, table, str(tmp_path / "chk"))
+    assert _rows(spark, table) == {(1, "v2", "d1"), (2, "b", "d1"), (3, "new", "d2")}
+
+
+def test_upsert_stream_crash_and_restart_exactly_once(spark, tmp_path):
+    """Crash after micro-batch 2's MERGE commit but before its stream
+    checkpoint commit (the worst window), restart on the same
+    checkpoint, and require the final table to equal an uninterrupted
+    run — the replayed merge must be a semantic no-op."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from grader_etl_spark.plans.merge import merge_into
+
+    batches = [
+        [(1, "v1", T0, "d1"), (2, "b", T0, "d1")],
+        [(1, "v2", T0 + dt.timedelta(hours=1), "d1"), (3, "c", T0, "d2")],
+        [(2, "b2", T0 + dt.timedelta(hours=3), "d1"), (4, "d", T0, "d3")],
+    ]
+
+    def land_all(path):
+        for rows in batches:
+            _land(spark, path, rows)
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+    chk = str(tmp_path / "chk")
+    land_all(landing)
+
+    seen = {"n": 0}
+
+    def crashing_sink(batch, _bid):
+        merge_into(batch.sparkSession, table, batch, keys=["k"], partition_col="day")
+        seen["n"] += 1
+        if seen["n"] == 2:
+            raise RuntimeError("injected crash")
+
+    q = (
+        file_stream(spark, landing, _schema(spark), max_files_per_trigger=1)
+        .writeStream.foreachBatch(crashing_sink)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    assert seen["n"] == 2
+
+    # restart on the SAME checkpoint: batch 2 replays (uncommitted),
+    # batch 3 drains — through the real upsert_stream sink this time.
+    _run(spark, landing, table, chk)
+
+    # uninterrupted ground truth
+    landing2, table2 = str(tmp_path / "landing2"), str(tmp_path / "table2")
+    land_all(landing2)
+    _run(spark, landing2, table2, str(tmp_path / "chk2"))
+
+    assert _rows(spark, table) == _rows(spark, table2) == {
+        (1, "v2", "d1"), (2, "b2", "d1"), (3, "c", "d2"), (4, "d", "d3"),
+    }
