@@ -158,6 +158,7 @@ def merge_into(
     when_matched: str | None = "update",
     when_not_matched: str | None = "insert",
     prune_with_source_partitions: bool = True,
+    files_per_partition: int = 1,
     _crash_after_swaps: int | None = None,
 ) -> MergeStats:
     """MERGE ``source`` into the parquet table at ``path``.
@@ -195,6 +196,7 @@ def merge_into(
                 keys=keys, partition_col=partition_col,
                 when_matched=when_matched, when_not_matched=when_not_matched,
                 prune_with_source_partitions=prune_with_source_partitions,
+                files_per_partition=files_per_partition,
                 _crash_after_swaps=_crash_after_swaps,
             )
     finally:
@@ -213,6 +215,7 @@ def _merge_locked(
     when_matched: str | None,
     when_not_matched: str | None,
     prune_with_source_partitions: bool,
+    files_per_partition: int,
     _crash_after_swaps: int | None,
 ) -> MergeStats:
     """The critical section: recovery of any interrupted commit, the
@@ -226,7 +229,8 @@ def _merge_locked(
     if not table_exists:
         if when_not_matched != "insert":
             return MergeStats(0, 0, 0, 0, noop=True)
-        src.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        first = src.repartition(F.col(partition_col)) if files_per_partition <= 1 else src
+        first.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         return MergeStats(n_src, 0, 0, src.select(partition_col).distinct().count())
 
     src_values = [r[0] for r in src.select(partition_col).distinct().collect()]
@@ -285,6 +289,21 @@ def _merge_locked(
     nonce = uuid.uuid4().hex[:12]
     staging = path.rstrip("/") + f".merge-staging-{nonce}"
     trash = path.rstrip("/") + f".merge-trash-{nonce}"
+    # Output layout: without this, every touched partition fragments
+    # into up-to-shuffle-partitions files PER MERGE — at a daily merge
+    # cadence that is the small-file explosion compaction exists to
+    # undo. Cluster the write so each touched partition lands in AT
+    # MOST ``files_per_partition`` files: clustering key = the
+    # partition value (one task owns whole partitions) plus, when >1
+    # is asked for, a deterministic key-hash salt that fans a hot
+    # partition across up to that many tasks (an upper bound — AQE is
+    # free to coalesce below it when the partition is small, which is
+    # exactly the adaptive behavior we want).
+    if files_per_partition <= 1:
+        result = result.repartition(F.col(partition_col))
+    else:
+        salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(files_per_partition))
+        result = result.repartition(F.col(partition_col), salt)
     # (already under the caller's _store_lock — not reentrant)
     result.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
     staged_dirs = set(_partition_dirs(staging, partition_col))

@@ -212,3 +212,42 @@ def test_next_merge_recovers_previous_crash(spark, tmp_path):
     merge_into(spark, path, src2, keys=["k"], partition_col="day")
     rows = _rows(spark, path)
     assert (3, "C2", "d2") in rows and (9, "i", "d3") in rows
+
+
+def _file_count(path, day):
+    d = os.path.join(path, f"day={day}")
+    return sum(1 for n in os.listdir(d) if n.endswith(".parquet"))
+
+
+def test_output_layout_bounds_files_per_partition(spark, tmp_path):
+    """A merge must not fragment touched partitions into
+    shuffle-partition-many files — default is ONE file per touched
+    partition; files_per_partition>1 fans a hot partition across
+    exactly that many (key-hash salted) files."""
+    path = str(tmp_path / "t")
+    rows = [(i, f"v{i}", "d1") for i in range(200)] + [(i, f"v{i}", "d2") for i in range(200, 260)]
+    spark.createDataFrame(rows, SCHEMA).repartition(8).write.partitionBy("day").parquet(path)
+    assert _file_count(path, "d1") > 1  # fragmented pre-state
+
+    src = spark.createDataFrame([(5, "V5", "d1"), (205, "V205", "d2")], SCHEMA)
+    merge_into(spark, path, src, keys=["k"], partition_col="day")
+    assert _file_count(path, "d1") == 1 and _file_count(path, "d2") == 1
+
+    # files_per_partition is an UPPER bound — AQE coalesces the tiny
+    # salted shuffle back down, so pin the fan-out mechanism with
+    # coalescing off and the bound contract with it on.
+    src2 = spark.createDataFrame([(6, "V6", "d1")], SCHEMA)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    try:
+        spark.conf.set(coalesce_key, "false")
+        merge_into(spark, path, src2, keys=["k"], partition_col="day",
+                   files_per_partition=4)
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    assert _file_count(path, "d1") == 4
+
+    src3 = spark.createDataFrame([(7, "V7", "d1")], SCHEMA)
+    merge_into(spark, path, src3, keys=["k"], partition_col="day",
+               files_per_partition=4)
+    assert 1 <= _file_count(path, "d1") <= 4
