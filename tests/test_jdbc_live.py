@@ -1,0 +1,102 @@
+"""LIVE JDBC mirror tests (sources/jdbc.py, SURVEY K1) against the
+Derby engine Spark itself ships — a real JDBC url, real batched
+writes, real dialect round-trip; only the url/driver pair differs
+from the reference's PostgreSQL sink (main.py:180-228). Covers the
+reference's two DB behaviors: batch insert with ON-CONFLICT-DO-NOTHING
+idempotence (rendered as the pre-write anti-join) and the report-side
+filtered read (predicate pushed into the generated SQL)."""
+
+from __future__ import annotations
+
+import pytest
+
+from grader_etl_spark.sources.jdbc import JdbcConfig, idempotent_mirror_append, read_table
+
+SCHEMA = "user_id string, event_timestamp timestamp, attempt_type string, oauth_consumer_key string"
+
+
+def _cfg(tmp_path) -> JdbcConfig:
+    return JdbcConfig(
+        url=f"jdbc:derby:{tmp_path}/mirror;create=true",
+        table="statistics",
+        num_partitions=2,
+        extra={
+            "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+            # Spark's Derby dialect maps StringType -> CLOB, which
+            # Derby cannot compare to literals (ERROR 42818) — the
+            # same knob a Postgres deployment uses to pick TEXT vs
+            # VARCHAR widths.
+            "createTableColumnTypes": (
+                "user_id VARCHAR(64), attempt_type VARCHAR(16), "
+                "oauth_consumer_key VARCHAR(64)"
+            ),
+        },
+    )
+
+
+def _rows(spark, cfg):
+    return sorted(
+        (r.user_id, r.event_timestamp.isoformat(), r.attempt_type)
+        for r in read_table(spark, cfg).collect()
+    )
+
+
+def test_live_mirror_idempotent_redelivery(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 15, 10, 0, 0)
+    cfg = _cfg(tmp_path)
+
+    # first delivery creates the table; in-batch dup (u1@t0) collapses
+    batch1 = spark.createDataFrame(
+        [("u1", t0, "run", "ok1"), ("u1", t0, "check", "ok1b"), ("u2", t0, "run", "ok2")],
+        SCHEMA,
+    )
+    idempotent_mirror_append(batch1, cfg, keys=["user_id", "event_timestamp"],
+                             order=["attempt_type", "oauth_consumer_key"])
+    assert _rows(spark, cfg) == [
+        ("u1", "2024-01-15T10:00:00", "check"),  # first-writer-wins order
+        ("u2", "2024-01-15T10:00:00", "run"),
+    ]
+
+    # overlapping redelivery (same u1@t0 key, different payload) + one new
+    batch2 = spark.createDataFrame(
+        [("u1", t0, "run", "DIFFERENT"), ("u3", t0, "run", "ok3")], SCHEMA
+    )
+    idempotent_mirror_append(batch2, cfg, keys=["user_id", "event_timestamp"],
+                             order=["attempt_type", "oauth_consumer_key"])
+    assert _rows(spark, cfg) == [
+        ("u1", "2024-01-15T10:00:00", "check"),  # redelivery did NOT win
+        ("u2", "2024-01-15T10:00:00", "run"),
+        ("u3", "2024-01-15T10:00:00", "run"),
+    ]
+
+    # exact re-delivery of batch2 is a no-op
+    idempotent_mirror_append(batch2, cfg, keys=["user_id", "event_timestamp"],
+                             order=["attempt_type", "oauth_consumer_key"])
+    assert len(_rows(spark, cfg)) == 3
+
+
+def test_live_read_pushes_filter_into_jdbc_scan(spark, tmp_path):
+    import datetime as dt
+
+    cfg = _cfg(tmp_path)
+    batch = spark.createDataFrame(
+        [("u1", dt.datetime(2024, 1, 15, 10), "run", "x"),
+         ("u2", dt.datetime(2024, 1, 16, 10), "check", "y")],
+        SCHEMA,
+    )
+    idempotent_mirror_append(batch, cfg, keys=["user_id", "event_timestamp"],
+                             order=["attempt_type", "oauth_consumer_key"])
+    scan = read_table(spark, cfg).filter("user_id = 'u2'").select("user_id", "attempt_type")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "user_id" in plan, plan
+    assert [tuple(r) for r in scan.collect()] == [("u2", "check")]
+
+
+def test_bad_url_surfaces_loudly(spark, tmp_path):
+    cfg = JdbcConfig(url="jdbc:derby:/nonexistent-parent/nope", table="t",
+                     extra={"driver": "org.apache.derby.jdbc.EmbeddedDriver"})
+    batch = spark.createDataFrame([("u1",)], "user_id string")
+    with pytest.raises(Exception):
+        idempotent_mirror_append(batch, cfg, keys=["user_id"], order=["user_id"])
