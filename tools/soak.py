@@ -49,6 +49,40 @@ def _n_persistent(spark) -> int:
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
 
+_MERGE_DIR: str | None = None
+
+
+def _merge_lap(spark, sf_dir: str, lap: int) -> None:
+    """Session-lifetime exercise of the copy-on-write merge: one
+    upsert per lap into one long-lived table. Leaked state would show
+    up as persistent-RDD growth (merge persists its source) or as
+    orphan .merge-staging/.merge-trash siblings (asserted empty by
+    the growth checks via the post-evict RDD count, and here
+    directly)."""
+    import pyspark.sql.functions as F
+
+    from grader_etl_spark.io import load
+    from grader_etl_spark.plans.merge import merge_into
+
+    global _MERGE_DIR
+    if _MERGE_DIR is None:
+        _MERGE_DIR = tempfile.mkdtemp(prefix="soak_merge_")
+    table = os.path.join(_MERGE_DIR, "t")
+    src = (
+        load(spark, sf_dir, "orders")
+        .limit(500)
+        .select(
+            "o_orderkey",
+            F.lit(f"lap{lap}").alias("v"),
+            (F.col("o_orderkey") % 7).cast("string").alias("pt"),
+        )
+    )
+    merge_into(spark, table, src, keys=["o_orderkey"], partition_col="pt")
+    parent = os.path.dirname(table)
+    orphans = [d for d in os.listdir(parent) if ".merge-" in d]
+    assert not orphans, f"merge left orphan commit state: {orphans}"
+
+
 def soak(spark, sf_dir: str, laps: int, ckpt_dir: str | None) -> list[dict]:
     from grader_etl_spark import registry
     from grader_etl_spark.registry import REGISTRY, clear_session_memos
@@ -59,6 +93,7 @@ def soak(spark, sf_dir: str, laps: int, ckpt_dir: str | None) -> list[dict]:
         t0 = time.perf_counter()
         for name in names:
             REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        _merge_lap(spark, sf_dir, lap)
         wall = round(time.perf_counter() - t0, 1)
         peak_rdds = _n_persistent(spark)
         peak_ckpt = _dir_bytes(ckpt_dir) if ckpt_dir else 0
