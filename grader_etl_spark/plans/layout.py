@@ -120,3 +120,38 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# point-lookup layout — parquet column bloom filters
+# ---------------------------------------------------------------------------
+
+
+def write_point_lookup_layout(
+    df: DataFrame,
+    path: str,
+    *,
+    bloom_cols: dict[str, int],
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with COLUMN BLOOM FILTERS on the given
+    high-cardinality keys (``{column: expected_ndv}``) — the layout
+    for needle-in-100TB point lookups (doc_id, attempt_id, content
+    hash): an equality probe consults the row group's bloom bitset
+    from the footer and skips the group without touching data pages,
+    where min/max stats are useless because random keys span the full
+    range in every group.
+
+    parquet-mr is ADAPTIVE here: a column whose pages all ended up
+    dictionary-encoded gets NO bloom (the dictionary already answers
+    membership exactly) — so low-cardinality columns cost nothing
+    even when listed. Sizing: ndv drives the bitset size (~1.2 MB per
+    1M keys at the default 1% fpp); oversizing wastes footer bytes,
+    undersizing inflates false-positive row-group reads, neither
+    affects correctness (tests/test_layout.py pins both the written
+    bitset and the dictionary-skip behavior)."""
+    w = df.write.mode(mode)
+    for col, ndv in bloom_cols.items():
+        w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        w = w.option(f"parquet.bloom.filter.expected.ndv#{col}", str(int(ndv)))
+    w.parquet(path)

@@ -146,3 +146,41 @@ def test_dynamic_partition_pruning_fires_on_dim_join(spark, tmp_path):
     assert "dynamicpruningexpression" in plan
     rows = joined.collect()
     assert len(rows) == 1 and str(rows[0]["event_date"]) == "2024-01-05"
+
+
+def test_point_lookup_layout_writes_bloom_filters(spark, tmp_path):
+    """Bloom bitsets must land in the footer for high-cardinality
+    keys, must NOT be written for fully-dictionary-encoded columns
+    (parquet-mr's adaptive skip), and the probed read stays correct
+    with the equality filter pushed to the scan."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from grader_etl_spark.plans.layout import write_point_lookup_layout
+
+    df = spark.range(200_000).select(
+        F.md5(F.col("id").cast("string")).alias("doc_id"),   # high-card
+        (F.col("id") % 100).cast("string").alias("lang"),    # dict-encoded
+        F.col("id").alias("x"),
+    ).coalesce(1)
+
+    def _bytes(p):
+        d = str(tmp_path / p)
+        return sum(os.path.getsize(os.path.join(d, f))
+                   for f in os.listdir(d) if f.endswith(".parquet"))
+
+    df.write.parquet(str(tmp_path / "plain"))
+    write_point_lookup_layout(df, str(tmp_path / "bloom"), bloom_cols={"doc_id": 200_000})
+    write_point_lookup_layout(df, str(tmp_path / "dict_only"), bloom_cols={"lang": 100})
+
+    # ~1.2 bytes/key bitset => a six-figure delta, not noise
+    assert _bytes("bloom") - _bytes("plain") > 100_000
+    # adaptive skip: all-dictionary column carries no bitset
+    assert abs(_bytes("dict_only") - _bytes("plain")) < 2_000
+
+    key = spark.read.parquet(str(tmp_path / "bloom")).limit(1).collect()[0].doc_id
+    scan = spark.read.parquet(str(tmp_path / "bloom")).filter(F.col("doc_id") == key)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "doc_id" in plan
+    assert scan.count() == 1
