@@ -6,14 +6,17 @@ resize / frame-sample run as Arrow-batched pandas functions over
 ``mapInPandas`` so each Python worker touches one batch of blobs at a
 time (never the whole partition as rows, never the driver).
 
-The real codec libraries (PIL/librosa/av) are NOT in this container,
-so the decode kernel is stubbed exactly as the project brief directs:
-``decode_image`` raises NotImplementedError unless PIL is importable,
-and the tested path uses a deterministic fake decoder whose outputs
-are pure functions of the blob bytes — which is what makes the
-Spark-side plumbing (schema, batch iteration, UDF signature)
-oracle-checkable end-to-end: the oracle recomputes the same
-arithmetic from n_chars in SQL.
+The compressed-codec libraries (PIL/librosa/av) are NOT in this
+container, so that half of the decode kernel is gated exactly as the
+project brief directs: ``decode_image`` raises NotImplementedError
+for compressed formats unless PIL is importable. Uncompressed
+formats, though, need no codec: ``decode_image_raw`` is a REAL
+numpy-only PPM(P6)/24-bit-BMP decoder (header parse, stride padding,
+bottom-up flip, BGR→RGB), and ``decode_assets_real`` runs it through
+the same mapInPandas plumbing, pixel-verified against independent
+test-side encoders. The oracle-checked registry path keeps the
+deterministic fake decoder (pure function of blob bytes) so the Arrow
+plumbing stays SQL-oracleable end-to-end.
 """
 
 from __future__ import annotations
@@ -36,16 +39,111 @@ except ImportError:
 
 
 def decode_image(blob: bytes) -> object:
-    """Real image decode — requires PIL, which is deliberately not
-    bundled here; the engine's tested path is fake_decode_meta."""
+    """Image decode: REAL for the uncompressed formats this container
+    can own outright (PPM P6, 24-bit BMP — ``decode_image_raw``,
+    numpy-only); compressed codecs (PNG/JPEG/...) remain PIL-gated."""
+    if blob[:2] in (b"P6", b"BM"):
+        return decode_image_raw(blob)
     if not _HAVE_PIL:
         raise NotImplementedError(
-            "image decode requires PIL; this environment ships without codecs — "
-            "use fake_decode_meta (deterministic stub) in tests/benches"
+            "compressed-image decode requires PIL; this environment ships "
+            "without codecs — PPM/BMP decode natively, other formats use "
+            "fake_decode_meta (deterministic stub) in tests/benches"
         )
     import io as _io
 
     return Image.open(_io.BytesIO(blob))
+
+
+def _ppm_decode(blob: bytes):
+    """PPM binary (P6): ASCII header 'P6 <w> <h> <maxval>' with
+    #-comments, then raw big-endian RGB. maxval>255 (16-bit) refused."""
+    import numpy as np
+
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment to end of line
+            pos = blob.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    raster = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def _bmp_decode(blob: bytes):
+    """BMP, 24-bit uncompressed (BITMAPINFOHEADER): little-endian
+    header, 4-byte-padded BGR rows, bottom-up unless height<0."""
+    import struct
+
+    import numpy as np
+
+    data_offset = struct.unpack_from("<I", blob, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", blob, 14)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    bottom_up, h = h > 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(blob, dtype=np.uint8, count=stride * h, offset=data_offset)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        img = img[::-1]
+    return img[..., ::-1].copy()  # BGR -> RGB
+
+
+def decode_image_raw(blob: bytes):
+    """REAL numpy-only decode for uncompressed formats. Returns an
+    HxWx3 uint8 RGB array; raises ValueError on anything else — the
+    operator layer maps that to NULL metadata, same as a NULL blob."""
+    if blob[:2] == b"P6":
+        return _ppm_decode(blob)
+    if blob[:2] == b"BM":
+        return _bmp_decode(blob)
+    raise ValueError(f"not an uncompressed PPM/BMP payload (magic={blob[:2]!r})")
+
+
+_REAL_DECODE_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, mean_luma double"
+)
+
+
+def decode_assets_real(assets: DataFrame) -> DataFrame:
+    """The REAL-decoder twin of ``decode_assets``: Arrow batches of
+    PPM/BMP payloads → pixel-derived metadata (dimensions + mean
+    ITU-R 601 luma). Undecodable or NULL payloads keep their row with
+    NULL metadata — the corrupt-asset discipline of the fake path."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "width": [], "height": [],
+                   "channels": [], "mean_luma": []}
+            for blob in pdf["payload"]:
+                try:
+                    img = decode_image_raw(bytes(blob))
+                    lum = (
+                        0.299 * img[..., 0].astype(np.float64)
+                        + 0.587 * img[..., 1]
+                        + 0.114 * img[..., 2]
+                    ).mean()
+                    vals = (img.shape[1], img.shape[0], img.shape[2], float(lum))
+                except (ValueError, TypeError, IndexError):
+                    vals = (None, None, None, None)
+                for k, v in zip(("width", "height", "channels", "mean_luma"), vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, schema=_REAL_DECODE_SCHEMA)
 
 
 def fake_decode_meta(blob: bytes) -> tuple[int, int, int]:

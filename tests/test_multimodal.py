@@ -44,3 +44,80 @@ def test_decode_assets_matches_scalar_kernel(spark):
         n, w, h = fake_decode_meta(text.encode())
         r = got[doc_id]
         assert (r["byte_len"], r["width"], r["height"]) == (n, w, h)
+
+
+# ---------------------------------------------------------------------------
+# REAL uncompressed decode (PPM P6 / 24-bit BMP) — numpy-only, no PIL.
+# The encoders below are written INDEPENDENTLY in the test (struct
+# packing by hand) so engine decode and test encode can't share bugs.
+# ---------------------------------------------------------------------------
+
+
+def _encode_ppm(img) -> bytes:
+    h, w, _ = img.shape
+    return (f"P6\n# test comment\n{w} {h}\n255\n").encode() + img.tobytes()
+
+
+def _encode_bmp(img, bottom_up: bool = True) -> bytes:
+    import struct
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    rows = img[::-1] if bottom_up else img
+    raster = b"".join(bytes(r[..., ::-1].tobytes()) + pad for r in rows)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h if bottom_up else -h,
+                      1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 14 + 40)
+    return hdr + dib + raster
+
+
+def _test_img(w=5, h=3, seed=7):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_decode_image_raw_ppm_and_bmp_roundtrip():
+    import numpy as np
+
+    from grader_etl_spark.operators.multimodal import decode_image, decode_image_raw
+
+    img = _test_img()
+    np.testing.assert_array_equal(decode_image_raw(_encode_ppm(img)), img)
+    np.testing.assert_array_equal(decode_image_raw(_encode_bmp(img)), img)
+    # top-down BMP (negative height) and width needing row padding
+    np.testing.assert_array_equal(decode_image_raw(_encode_bmp(img, bottom_up=False)), img)
+    img2 = _test_img(w=3, h=2, seed=11)  # stride 12 vs 9 bytes: padding live
+    np.testing.assert_array_equal(decode_image_raw(_encode_bmp(img2)), img2)
+    # decode_image dispatches to the real path WITHOUT PIL
+    np.testing.assert_array_equal(decode_image(_encode_ppm(img)), img)
+    with pytest.raises(ValueError, match="PPM/BMP"):
+        decode_image_raw(b"\x89PNG....")
+
+
+def test_decode_assets_real_metadata_and_corrupt_rows(spark):
+    import numpy as np
+
+    from grader_etl_spark.operators.multimodal import decode_assets_real
+
+    imgs = {1: _test_img(w=6, h=4, seed=1), 2: _test_img(w=3, h=5, seed=2)}
+    rows = [
+        (1, bytearray(_encode_ppm(imgs[1]))),
+        (2, bytearray(_encode_bmp(imgs[2]))),
+        (3, bytearray(b"not an image")),  # corrupt -> NULL metadata
+        (4, None),                        # missing -> NULL metadata
+    ]
+    assets = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.doc_id: r for r in decode_assets_real(assets).collect()}
+    assert len(got) == 4
+    for doc, img in imgs.items():
+        r = got[doc]
+        assert (r.width, r.height, r.channels) == (img.shape[1], img.shape[0], 3)
+        want = (0.299 * img[..., 0].astype(np.float64)
+                + 0.587 * img[..., 1] + 0.114 * img[..., 2]).mean()
+        assert abs(r.mean_luma - want) < 1e-9
+    for doc in (3, 4):
+        r = got[doc]
+        assert r.width is None and r.mean_luma is None
