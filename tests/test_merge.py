@@ -251,3 +251,34 @@ def test_output_layout_bounds_files_per_partition(spark, tmp_path):
     merge_into(spark, path, src3, keys=["k"], partition_col="day",
                files_per_partition=4)
     assert 1 <= _file_count(path, "d1") <= 4
+
+
+def test_dead_writer_lock_plus_journal_recovers_on_next_merge(spark, tmp_path):
+    """The full crashed-writer state: an interrupted commit (journal on
+    disk) AND the advisory lock still held by a now-dead process. The
+    next merge must reap the dead lock, roll the journal forward, and
+    then apply its own change — no manual cleanup."""
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    src1 = spark.createDataFrame([(3, "C2", "d2")], SCHEMA)
+    with pytest.raises(_InjectedCrash):
+        merge_into(spark, path, src1, keys=["k"], partition_col="day",
+                   _crash_after_swaps=1)
+    assert os.path.exists(path + ".merge-journal")
+
+    # fabricate the dead holder: a real (exited) pid in the lock file
+    proc = subprocess.Popen([sys.executable, "-c", "pass"])
+    proc.wait()
+    with open(path + ".lock", "w") as f:
+        f.write(f"{proc.pid}:deadbeefdead")
+
+    src2 = spark.createDataFrame([(9, "i", "d3")], SCHEMA)
+    stats = merge_into(spark, path, src2, keys=["k"], partition_col="day")
+    assert stats.inserted == 1
+    rows = _rows(spark, path)
+    assert (3, "C2", "d2") in rows and (9, "i", "d3") in rows
+    assert not os.path.exists(path + ".merge-journal")
+    assert not os.path.exists(path + ".lock")
