@@ -485,3 +485,69 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, schema-typed output)."""
     docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
     return extract_features(assets_from_documents(docs))
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode — WAV/PCM, struct-only (the audio twin of
+# decode_image_raw: uncompressed containers need no codec library)
+# ---------------------------------------------------------------------------
+
+
+def decode_audio_raw(blob: bytes):
+    """Parse a RIFF/WAVE container with 16-bit PCM samples. Returns
+    ``(sample_rate, channels, samples_per_channel, np.ndarray[int16]
+    of shape (frames, channels))``; raises ValueError on anything that
+    is not plain PCM (compressed audio stays librosa/av-gated)."""
+    import struct
+
+    import numpy as np
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload (magic={blob[:4]!r})")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, size = blob[pos : pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    frames = len(samples) // channels
+    return sample_rate, channels, frames, samples[: frames * channels].reshape(frames, channels)
+
+
+_AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, channels int, duration_s double, rms double"
+)
+
+
+def audio_features_real(assets: DataFrame) -> DataFrame:
+    """Arrow-batched WAV feature extraction: duration + RMS energy per
+    payload, NULL metadata for undecodable/NULL payloads — the audio
+    twin of decode_assets_real, same mapInPandas plumbing, zero
+    row-at-a-time Python."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "sample_rate": [], "channels": [],
+                   "duration_s": [], "rms": []}
+            for blob in pdf["payload"]:
+                try:
+                    rate, ch, frames, pcm = decode_audio_raw(bytes(blob))
+                    rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+                    vals = (rate, ch, frames / rate, rms)
+                except (ValueError, TypeError, ZeroDivisionError):
+                    vals = (None, None, None, None)
+                for k, v in zip(("sample_rate", "channels", "duration_s", "rms"), vals):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(run, schema=_AUDIO_SCHEMA)
