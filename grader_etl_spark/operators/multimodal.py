@@ -551,3 +551,36 @@ def audio_features_real(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(run, schema=_AUDIO_SCHEMA)
+
+
+def _encode_ppm_raw(img) -> bytes:
+    """Minimal P6 writer for the real resize path's output payload."""
+    h, w = img.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def resize_assets_real(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL binary→binary resize for uncompressed payloads: decode
+    (PPM/BMP) → nearest-neighbor index resample in numpy → re-encode
+    as P6. Completes the decode→transform→encode path with zero codec
+    dependencies; undecodable/NULL payloads → NULL output, the same
+    corrupt-asset discipline as the decode operators. (The fake
+    tile/truncate kernel stays the ORACLE path — this one's outputs
+    are pixel data, pinned in pytest against numpy ground truth.)"""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf["payload"]:
+                try:
+                    img = decode_image_raw(bytes(blob))
+                    h, w = img.shape[:2]
+                    yi = (np.arange(height) * h // height)
+                    xi = (np.arange(width) * w // width)
+                    out.append(_encode_ppm_raw(np.ascontiguousarray(img[yi][:, xi])))
+                except (ValueError, TypeError, IndexError):
+                    out.append(None)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "resized": out})
+
+    return assets.mapInPandas(run, schema=_RESIZE_SCHEMA)

@@ -179,3 +179,24 @@ def test_audio_features_real_duration_and_rms(spark):
         want = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
         assert abs(got[doc].rms - want) < 1e-9
     assert got[3].sample_rate is None and got[4].rms is None
+
+
+def test_resize_assets_real_nearest_neighbor(spark):
+    import numpy as np
+
+    from grader_etl_spark.operators.multimodal import (
+        decode_image_raw,
+        resize_assets_real,
+    )
+
+    img = _test_img(w=8, h=6, seed=9)
+    assets = spark.createDataFrame(
+        [(1, bytearray(_encode_bmp(img))), (2, bytearray(b"junk")), (3, None)],
+        "doc_id bigint, payload binary",
+    )
+    got = {r.doc_id: r.resized for r in resize_assets_real(assets, 4, 3).collect()}
+    resized = decode_image_raw(bytes(got[1]))
+    yi = (np.arange(3) * 6 // 3)
+    xi = (np.arange(4) * 8 // 4)
+    np.testing.assert_array_equal(resized, img[yi][:, xi])
+    assert got[2] is None and got[3] is None
