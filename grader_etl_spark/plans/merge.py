@@ -148,6 +148,24 @@ def recover(path: str) -> bool:
     return finished
 
 
+def _cluster_output(df: DataFrame, keys: list[str], partition_col: str,
+                    files_per_partition: int) -> DataFrame:
+    """Cluster a write so each output partition lands in AT MOST
+    ``files_per_partition`` files. Without this, every touched
+    partition fragments into up-to-shuffle-partitions files PER MERGE
+    — at a daily merge cadence that is the small-file explosion
+    compaction exists to undo. Clustering key = the partition value
+    (one task owns whole partitions) plus, when >1 is asked for, a
+    deterministic key-hash salt that fans a hot partition across up
+    to that many tasks (an upper bound — AQE is free to coalesce
+    below it when the partition is small, which is exactly the
+    adaptive behavior we want)."""
+    if files_per_partition <= 1:
+        return df.repartition(F.col(partition_col))
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(files_per_partition))
+    return df.repartition(F.col(partition_col), salt)
+
+
 def merge_into(
     spark: SparkSession,
     path: str,
@@ -227,9 +245,20 @@ def _merge_locked(
 
     table_exists = os.path.isdir(path) and bool(_partition_dirs(path, partition_col))
     if not table_exists:
+        if os.path.isdir(path) and any(
+            n.endswith(".parquet") for n in os.listdir(path)
+        ):
+            # parquet files but no <partition_col>= dirs: the target is
+            # a DIFFERENT table (unpartitioned, or partitioned on some
+            # other column). Falling through to the create branch would
+            # silently OVERWRITE it — refuse instead.
+            raise ValueError(
+                f"{path} holds parquet data not partitioned by "
+                f"{partition_col!r}; merge_into refuses to overwrite it"
+            )
         if when_not_matched != "insert":
             return MergeStats(0, 0, 0, 0, noop=True)
-        first = src.repartition(F.col(partition_col)) if files_per_partition <= 1 else src
+        first = _cluster_output(src, keys, partition_col, files_per_partition)
         first.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         return MergeStats(n_src, 0, 0, src.select(partition_col).distinct().count())
 
@@ -289,21 +318,7 @@ def _merge_locked(
     nonce = uuid.uuid4().hex[:12]
     staging = path.rstrip("/") + f".merge-staging-{nonce}"
     trash = path.rstrip("/") + f".merge-trash-{nonce}"
-    # Output layout: without this, every touched partition fragments
-    # into up-to-shuffle-partitions files PER MERGE — at a daily merge
-    # cadence that is the small-file explosion compaction exists to
-    # undo. Cluster the write so each touched partition lands in AT
-    # MOST ``files_per_partition`` files: clustering key = the
-    # partition value (one task owns whole partitions) plus, when >1
-    # is asked for, a deterministic key-hash salt that fans a hot
-    # partition across up to that many tasks (an upper bound — AQE is
-    # free to coalesce below it when the partition is small, which is
-    # exactly the adaptive behavior we want).
-    if files_per_partition <= 1:
-        result = result.repartition(F.col(partition_col))
-    else:
-        salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(files_per_partition))
-        result = result.repartition(F.col(partition_col), salt)
+    result = _cluster_output(result, keys, partition_col, files_per_partition)
     # (already under the caller's _store_lock — not reentrant)
     result.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
     staged_dirs = set(_partition_dirs(staging, partition_col))

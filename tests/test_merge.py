@@ -282,3 +282,14 @@ def test_dead_writer_lock_plus_journal_recovers_on_next_merge(spark, tmp_path):
     assert (3, "C2", "d2") in rows and (9, "i", "d3") in rows
     assert not os.path.exists(path + ".merge-journal")
     assert not os.path.exists(path + ".lock")
+
+
+def test_refuses_to_overwrite_foreign_parquet_table(spark, tmp_path):
+    """A target holding parquet NOT partitioned by partition_col is a
+    different table — the create branch must refuse, not overwrite."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a", "d1")], SCHEMA).coalesce(1).write.parquet(path)
+    src = spark.createDataFrame([(2, "b", "d2")], SCHEMA)
+    with pytest.raises(ValueError, match="refuses to overwrite"):
+        merge_into(spark, path, src, keys=["k"], partition_col="day")
+    assert _rows(spark, path) == {(1, "a", "d1")}  # untouched
