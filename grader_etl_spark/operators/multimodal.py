@@ -21,6 +21,7 @@ plumbing stays SQL-oracleable end-to-end.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -137,7 +138,7 @@ def decode_assets_real(assets: DataFrame) -> DataFrame:
                         + 0.114 * img[..., 2]
                     ).mean()
                     vals = (img.shape[1], img.shape[0], img.shape[2], float(lum))
-                except (ValueError, TypeError, IndexError):
+                except (ValueError, TypeError, IndexError, struct.error):
                     vals = (None, None, None, None)
                 for k, v in zip(("width", "height", "channels", "mean_luma"), vals):
                     out[k].append(v)
@@ -544,7 +545,7 @@ def audio_features_real(assets: DataFrame) -> DataFrame:
                     rate, ch, frames, pcm = decode_audio_raw(bytes(blob))
                     rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
                     vals = (rate, ch, frames / rate, rms)
-                except (ValueError, TypeError, ZeroDivisionError):
+                except (ValueError, TypeError, ZeroDivisionError, struct.error):
                     vals = (None, None, None, None)
                 for k, v in zip(("sample_rate", "channels", "duration_s", "rms"), vals):
                     out[k].append(v)
@@ -579,7 +580,7 @@ def resize_assets_real(assets: DataFrame, width: int, height: int) -> DataFrame:
                     yi = (np.arange(height) * h // height)
                     xi = (np.arange(width) * w // width)
                     out.append(_encode_ppm_raw(np.ascontiguousarray(img[yi][:, xi])))
-                except (ValueError, TypeError, IndexError):
+                except (ValueError, TypeError, IndexError, struct.error):
                     out.append(None)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "resized": out})
 

@@ -60,10 +60,11 @@ from pyspark.sql import DataFrame, SparkSession
 from grader_etl_spark.plans.pipeline import _store_lock
 
 # Partition directory-name rendition we accept without owning Hive's
-# full escaping table: dates, timestamps, ints, plain tokens. Values
-# outside this alphabet would need percent-escaping to map to a
-# directory name, which this plan refuses rather than half-implements.
-_SAFE_PARTITION_VALUE = re.compile(r"^[A-Za-z0-9_.:\-T ]+$")
+# full escaping table: dates, ints, plain tokens. Everything Hive
+# percent-escapes on disk (':' in timestamps, '/', '%', '#', ...)
+# is refused rather than half-implemented — a value whose dirname we
+# would compute differently from the writer silently no-ops merges.
+_SAFE_PARTITION_VALUE = re.compile(r"^[A-Za-z0-9_.\-T ]+$")
 
 _BROADCAST_ROWS = 1_000_000  # source side under this → explicit broadcast
 
@@ -101,21 +102,29 @@ def _dirname_for(partition_col: str, value) -> str:
     return f"{partition_col}={s}"
 
 
-def _apply_swaps(path: str, journal: dict) -> None:
+def _apply_swaps(path: str, journal: dict, on_step=None) -> None:
     """The roll-forward-idempotent swap loop: every step checks state
     before acting, so re-running after a crash at ANY point completes
-    the same commit exactly once."""
+    the same commit exactly once. The live dir is only retired while
+    its STAGED replacement still exists — once staged has moved in, a
+    re-run must leave the committed data alone (a partition that was
+    new in this merge has no trash copy to restore it from).
+    ``on_step`` is a pre-rename hook (crash-injection tests)."""
     staging, trash = journal["staging"], journal["trash"]
     os.makedirs(trash, exist_ok=True)
+    step = on_step or (lambda: None)
     for d in journal["swap"]:
         live, staged, kept = os.path.join(path, d), os.path.join(staging, d), os.path.join(trash, d)
-        if os.path.isdir(live) and not os.path.isdir(kept):
-            os.rename(live, kept)
         if os.path.isdir(staged):
+            if os.path.isdir(live) and not os.path.isdir(kept):
+                step()
+                os.rename(live, kept)
+            step()
             os.rename(staged, live)
     for d in journal["delete"]:
         live, kept = os.path.join(path, d), os.path.join(trash, d)
         if os.path.isdir(live) and not os.path.isdir(kept):
+            step()
             os.rename(live, kept)
 
 
@@ -128,8 +137,15 @@ def _finish(path: str, journal: dict) -> None:
 def recover(path: str) -> bool:
     """Complete an interrupted merge (roll forward) and sweep orphan
     staging dirs. Returns True if a journaled commit was completed.
-    Called automatically at the top of every merge_into; callable
-    standalone by an operator."""
+    Called automatically at the top of every merge_into (already under
+    the store lock); this standalone entry point takes the same lock,
+    so an operator running it cannot sweep the staging dir of a merge
+    that is mid-flight in another process."""
+    with _store_lock(path):
+        return _recover_unlocked(path)
+
+
+def _recover_unlocked(path: str) -> bool:
     jp = _journal_path(path)
     finished = False
     if os.path.exists(jp):
@@ -241,17 +257,20 @@ def _merge_locked(
     happen under ONE hold of the advisory lock — a concurrent writer
     can neither read a half-committed table nor double-apply a
     journal."""
-    recover(path)
+    _recover_unlocked(path)
 
     table_exists = os.path.isdir(path) and bool(_partition_dirs(path, partition_col))
     if not table_exists:
-        if os.path.isdir(path) and any(
-            n.endswith(".parquet") for n in os.listdir(path)
-        ):
-            # parquet files but no <partition_col>= dirs: the target is
-            # a DIFFERENT table (unpartitioned, or partitioned on some
-            # other column). Falling through to the create branch would
-            # silently OVERWRITE it — refuse instead.
+        foreign = os.path.isdir(path) and any(
+            n.endswith(".parquet")
+            or ("=" in n and os.path.isdir(os.path.join(path, n)))
+            for n in os.listdir(path)
+        )
+        if foreign:
+            # parquet files (unpartitioned table) or some OTHER col=
+            # partition dirs: the target is a DIFFERENT table. Falling
+            # through to the create branch would silently OVERWRITE it
+            # — refuse instead.
             raise ValueError(
                 f"{path} holds parquet data not partitioned by "
                 f"{partition_col!r}; merge_into refuses to overwrite it"
@@ -263,6 +282,15 @@ def _merge_locked(
         return MergeStats(n_src, 0, 0, src.select(partition_col).distinct().count())
 
     src_values = [r[0] for r in src.select(partition_col).distinct().collect()]
+    if any(v is None for v in src_values):
+        # Spark renders a NULL partition as __HIVE_DEFAULT_PARTITION__
+        # on disk while isin([None]) matches nothing at read time —
+        # the two halves of the rewrite would disagree and silently
+        # drop the target's null-partition rows. Refuse.
+        raise ValueError(
+            "NULL partition values are not mergeable; coalesce "
+            f"{partition_col!r} to an explicit sentinel first"
+        )
     touched = {_dirname_for(partition_col, v): v for v in src_values}
     target_all = spark.read.parquet(path)
     if set(src.columns) != set(target_all.columns):
@@ -351,10 +379,10 @@ class _InjectedCrash(RuntimeError):
 
 
 def _apply_swaps_with_crash(path: str, journal: dict, after: int) -> None:
-    """Test hook: perform the first ``after`` single renames, then die
-    mid-commit (the journal stays on disk for recover())."""
-    staging, trash = journal["staging"], journal["trash"]
-    os.makedirs(trash, exist_ok=True)
+    """Test hook: run the REAL swap loop, dying before the (after+1)-th
+    rename — the journal stays on disk for recover(). Shares
+    _apply_swaps so the crash tests always exercise the production
+    rename sequence."""
     done = 0
 
     def step():
@@ -363,17 +391,5 @@ def _apply_swaps_with_crash(path: str, journal: dict, after: int) -> None:
         if done > after:
             raise _InjectedCrash(f"injected crash after {after} renames")
 
-    for d in journal["swap"]:
-        live, staged, kept = os.path.join(path, d), os.path.join(staging, d), os.path.join(trash, d)
-        if os.path.isdir(live) and not os.path.isdir(kept):
-            step()
-            os.rename(live, kept)
-        if os.path.isdir(staged):
-            step()
-            os.rename(staged, live)
-    for d in journal["delete"]:
-        live, kept = os.path.join(path, d), os.path.join(trash, d)
-        if os.path.isdir(live) and not os.path.isdir(kept):
-            step()
-            os.rename(live, kept)
+    _apply_swaps(path, journal, on_step=step)
     raise _InjectedCrash("injected crash after all renames, before finish")

@@ -133,7 +133,7 @@ class SheetsSink:
             raise
 
     def _clear(self) -> None:
-        rng = urllib.parse.quote(_quote_ws(self.worksheet))
+        rng = urllib.parse.quote(_quote_ws(self.worksheet), safe="")
         self._request(
             "POST",
             f"/v4/spreadsheets/{self.spreadsheet_id}/values/{rng}:clear",
@@ -142,7 +142,7 @@ class SheetsSink:
 
     def _update(self, start_row: int, values: list[list[str]]) -> None:
         a1 = f"{_quote_ws(self.worksheet)}!A{start_row}"
-        rng = urllib.parse.quote(a1)
+        rng = urllib.parse.quote(a1, safe="")
         self._request(
             "PUT",
             f"/v4/spreadsheets/{self.spreadsheet_id}/values/{rng}",

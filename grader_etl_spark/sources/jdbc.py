@@ -63,10 +63,13 @@ def idempotent_mirror_append(
     try:
         existing = read_table(batch.sparkSession, cfg).select(*keys)
         new_rows = insert_new_keys_only(deduped, existing, keys=keys)
-    except Exception:
-        # first delivery: the mirror table does not exist yet (the
-        # JDBC read resolves the schema eagerly and raises); append
-        # below creates it. Anything genuinely broken (bad url/creds)
-        # re-raises from the write on the very same options.
+    except Exception as e:
+        # Only a MISSING mirror table means first delivery (append
+        # below creates it). A transient read failure must re-raise:
+        # swallowing it would append the whole deduped batch and
+        # launder duplicates past the idempotence contract.
+        msg = str(e).lower()
+        if not ("does not exist" in msg or "not found" in msg):
+            raise
         new_rows = deduped
     new_rows.write.format("jdbc").options(**cfg.options()).mode("append").save()

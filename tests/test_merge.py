@@ -178,8 +178,11 @@ def test_unescapable_partition_value_refused(spark, tmp_path):
         merge_into(spark, path, src, keys=["k"], partition_col="day")
 
 
-@pytest.mark.parametrize("crash_after", [0, 1, 2])
+@pytest.mark.parametrize("crash_after", [0, 1, 2, 3, 99])
 def test_crash_mid_commit_rolls_forward(spark, tmp_path, crash_after):
+    # 99 = every rename done, crash before _finish: the replay must
+    # NOT retire the freshly committed partitions (d4 is NEW — it has
+    # no trash copy; a replay that trashes it deletes the insert)
     path = str(tmp_path / "t")
     _target(spark, path)
     src = spark.createDataFrame([(3, "C2", "d2"), (8, "h", "d4")], SCHEMA)
@@ -293,3 +296,32 @@ def test_refuses_to_overwrite_foreign_parquet_table(spark, tmp_path):
     with pytest.raises(ValueError, match="refuses to overwrite"):
         merge_into(spark, path, src, keys=["k"], partition_col="day")
     assert _rows(spark, path) == {(1, "a", "d1")}  # untouched
+
+
+def test_refuses_differently_partitioned_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a", "d1")], "k int, v string, region string") \
+        .write.partitionBy("region").parquet(path)
+    src = spark.createDataFrame([(2, "b", "d2")], SCHEMA)
+    with pytest.raises(ValueError, match="refuses to overwrite"):
+        merge_into(spark, path, src, keys=["k"], partition_col="day")
+    assert os.path.isdir(os.path.join(path, "region=d1"))  # untouched
+
+
+def test_null_partition_value_refused(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    src = spark.createDataFrame([(7, "g", None)], SCHEMA)
+    with pytest.raises(ValueError, match="NULL partition"):
+        merge_into(spark, path, src, keys=["k"], partition_col="day")
+
+
+def test_hive_escaped_partition_value_refused(spark, tmp_path):
+    """':' is percent-escaped by Hive/Spark in dir names; accepting it
+    would compute a dirname the writer never produces and silently
+    no-op update/delete merges — refuse instead."""
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    src = spark.createDataFrame([(7, "g", "2024-01-01 10:00:00")], SCHEMA)
+    with pytest.raises(ValueError, match="percent-escaping"):
+        merge_into(spark, path, src, keys=["k"], partition_col="day")

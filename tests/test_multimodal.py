@@ -200,3 +200,27 @@ def test_resize_assets_real_nearest_neighbor(spark):
     xi = (np.arange(4) * 8 // 4)
     np.testing.assert_array_equal(resized, img[yi][:, xi])
     assert got[2] is None and got[3] is None
+
+
+def test_truncated_payloads_become_null_rows_not_task_failures(spark):
+    """Right magic, truncated body: struct.error must be absorbed into
+    the NULL-metadata contract, not crash the Spark task."""
+    from grader_etl_spark.operators.multimodal import (
+        audio_features_real,
+        decode_assets_real,
+    )
+
+    imgs = spark.createDataFrame(
+        [(1, bytearray(b"BM\x00\x01")), (2, bytearray(b"P6\n"))],
+        "doc_id bigint, payload binary",
+    )
+    got = {r.doc_id: r for r in decode_assets_real(imgs).collect()}
+    assert got[1].width is None and got[2].width is None
+
+    wavs = spark.createDataFrame(
+        [(1, bytearray(b"RIFF\x04\x00\x00\x00WAVE")),
+         (2, bytearray(b"RIFF\x20\x00\x00\x00WAVEfmt \x02\x00\x00\x00\x01\x00"))],
+        "doc_id bigint, payload binary",
+    )
+    got = {r.doc_id: r for r in audio_features_real(wavs).collect()}
+    assert got[1].sample_rate is None and got[2].sample_rate is None

@@ -309,3 +309,12 @@ def test_pipeline_with_live_adapters(spark, tmp_path, sheets_server, smtp_server
     assert msg["Subject"].startswith("Daily Report")
     body = msg.get_payload(decode=True).decode()
     assert "Total Attempts: 2" in body and "Success Percentage: 50.00%" in body
+
+
+def test_sheets_worksheet_title_with_slash(sheets_server):
+    """A '/' in the worksheet title must be percent-escaped in the URL
+    path (safe='' quoting), not split the route."""
+    sink = SheetsSink(spreadsheet_id="sheet1", worksheet="2024/Q1",
+                      token=TOKEN, endpoint=sheets_server)
+    sink.write_rows(["h"], [["v"]])
+    assert _SheetsHandler.grids["2024/Q1"] == [["h"], ["v"]]
