@@ -325,3 +325,32 @@ def test_hive_escaped_partition_value_refused(spark, tmp_path):
     src = spark.createDataFrame([(7, "g", "2024-01-01 10:00:00")], SCHEMA)
     with pytest.raises(ValueError, match="percent-escaping"):
         merge_into(spark, path, src, keys=["k"], partition_col="day")
+
+
+def test_concurrent_merges_serialize_on_store_lock(spark, tmp_path):
+    """Two writers merging concurrently — including into the SAME new
+    partition — must serialize on the store lock: the second commit
+    reads the first's rows and keeps them through its anti-join, so
+    the end state contains both writers' changes with no duplicate
+    keys and no clobbered partition."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    src_a = spark.createDataFrame([(1, "A", "d1"), (7, "gA", "d4")], SCHEMA)
+    src_b = spark.createDataFrame([(3, "B", "d2"), (8, "hB", "d4")], SCHEMA)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [
+            ex.submit(merge_into, spark, path, s, keys=["k"], partition_col="day")
+            for s in (src_a, src_b)
+        ]
+        stats = [f.result() for f in futs]
+
+    assert sorted((s.inserted, s.updated) for s in stats) == [(1, 1), (1, 1)]
+    rows = _rows(spark, path)
+    assert {(1, "A", "d1"), (3, "B", "d2"), (7, "gA", "d4"), (8, "hB", "d4")} <= rows
+    keys = [k for k, _, _ in rows]
+    assert len(keys) == len(set(keys)) == 8
+    assert not os.path.exists(path + ".merge-journal")
+    assert not os.path.exists(path + ".lock")
