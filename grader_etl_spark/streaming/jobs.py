@@ -390,6 +390,8 @@ def upsert_stream(
     partition_col: str,
     order_col: str,
     checkpoint: str,
+    op_col: str | None = None,
+    delete_op: str = "delete",
 ):
     """Streaming UPSERT: ``foreachBatch`` + ``plans.merge.merge_into``
     — the table-maintenance composition a CDC/mutable-entity feed
@@ -405,6 +407,14 @@ def upsert_stream(
     the same keys, so the second application is a semantic no-op —
     same discipline the append path proves in
     tests/test_stream_to_store.py, now for updates.
+
+    CDC deletes: pass ``op_col`` naming a column whose value
+    ``delete_op`` marks a tombstone. The latest-version collapse
+    happens FIRST, so a key whose newest change is a delete is
+    removed even if the same batch also carries its earlier upsert —
+    and vice versa. The op column is stripped before merging (it is
+    feed metadata, not table data). A replayed delete finds no match
+    and no-ops, so exactly-once is preserved.
 
     Returns the started StreamingQuery (availableNow trigger; caller
     awaits)."""
@@ -422,9 +432,25 @@ def upsert_stream(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        if op_col is None:
+            merge_into(
+                batch.sparkSession, path, latest,
+                keys=keys, partition_col=partition_col,
+            )
+            return
+        dels = latest.filter(F.col(op_col) == delete_op).drop(op_col)
+        ups = latest.filter(
+            (F.col(op_col) != delete_op) | F.col(op_col).isNull()
+        ).drop(op_col)
+        # disjoint key sets (one latest op per key): order immaterial
         merge_into(
-            batch.sparkSession, path, latest,
+            batch.sparkSession, path, ups,
             keys=keys, partition_col=partition_col,
+        )
+        merge_into(
+            batch.sparkSession, path, dels,
+            keys=keys, partition_col=partition_col,
+            when_matched="delete", when_not_matched=None,
         )
 
     return (

@@ -106,3 +106,39 @@ def test_upsert_stream_crash_and_restart_exactly_once(spark, tmp_path):
     assert _rows(spark, table) == _rows(spark, table2) == {
         (1, "v2", "d1"), (2, "b2", "d1"), (3, "c", "d2"), (4, "d", "d3"),
     }
+
+
+def test_upsert_stream_cdc_delete_markers(spark, tmp_path):
+    """op_col tombstones: the latest op per key wins the in-batch
+    collapse (upsert-then-delete deletes; delete-then-upsert keeps),
+    deletes remove rows, and a later batch can re-insert a deleted
+    key."""
+    schema = "k int, v string, ts timestamp, day string, op string"
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(landing)
+
+    t = lambda h: T0 + dt.timedelta(hours=h)  # noqa: E731
+    land([(1, "a", t(0), "d1", "upsert"), (2, "b", t(0), "d1", "upsert")])
+    land([
+        (1, None, t(1), "d1", "delete"),               # plain delete
+        (2, "b2", t(1), "d1", "upsert"),               # upsert...
+        (2, None, t(2), "d1", "delete"),               # ...then delete: gone
+        (3, "c", t(1), "d2", "delete"),                # delete...
+        (3, "c2", t(2), "d2", "upsert"),               # ...then upsert: kept
+    ])
+    land([(1, "back", t(3), "d1", "upsert")])          # re-insert after delete
+
+    q = upsert_stream(
+        file_stream(spark, landing, spark.createDataFrame([], schema).schema,
+                    max_files_per_trigger=1),
+        table, keys=["k"], partition_col="day", order_col="ts",
+        checkpoint=str(tmp_path / "chk"), op_col="op",
+    )
+    q.awaitTermination()
+
+    got = {(r.k, r.v, r.day) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, "back", "d1"), (3, "c2", "d2")}
+    assert "op" not in spark.read.parquet(table).columns
