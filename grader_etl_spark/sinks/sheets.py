@@ -66,6 +66,7 @@ class SheetsSink:
     timeout: float = 15.0
     retries: int = 4
     chunk_rows: int = 5000
+    drive_endpoint: str | None = None  # defaults to `endpoint` (tests); real: https://www.googleapis.com
     # observability for callers/tests: HTTP calls actually made
     calls: list[str] = field(default_factory=list)
 
@@ -88,9 +89,10 @@ class SheetsSink:
 
     # -- transport ---------------------------------------------------------
 
-    def _request(self, method: str, path: str, body: dict | None, params: dict | None = None) -> dict:
+    def _request(self, method: str, path: str, body: dict | None,
+                 params: dict | None = None, base_override: str | None = None) -> dict:
         qs = f"?{urllib.parse.urlencode(params)}" if params else ""
-        url = f"{self.endpoint}{path}{qs}"
+        url = f"{base_override or self.endpoint}{path}{qs}"
         data = json.dumps(body).encode("utf-8") if body is not None else None
         attempts = max(1, self.retries)
         for attempt in range(attempts):
@@ -148,6 +150,23 @@ class SheetsSink:
             f"/v4/spreadsheets/{self.spreadsheet_id}/values/{rng}",
             {"range": a1, "majorDimension": "ROWS", "values": values},
             params={"valueInputOption": "RAW"},
+        )
+
+    def share(self, email: str, role: str = "writer") -> None:
+        """Grant a user access (reference main.py:243 ``share(...,
+        perm_type='user', role='writer')``). Permissions live on the
+        DRIVE surface, not Sheets — same bearer token, the drive_
+        endpoint defaults to the public Drive v3 API and is
+        injectable for tests like ``endpoint``."""
+        if not self.token:
+            log.warning("SheetsSink has no token; skipping share")
+            return
+        base = self.drive_endpoint or self.endpoint
+        self._request(
+            "POST",
+            f"/drive/v3/files/{self.spreadsheet_id}/permissions",
+            {"type": "user", "role": role, "emailAddress": email},
+            base_override=base,
         )
 
     # -- Sink protocol -----------------------------------------------------

@@ -318,3 +318,30 @@ def test_sheets_worksheet_title_with_slash(sheets_server):
                       token=TOKEN, endpoint=sheets_server)
     sink.write_rows(["h"], [["v"]])
     assert _SheetsHandler.grids["2024/Q1"] == [["h"], ["v"]]
+
+
+def test_sheets_share_posts_drive_permission(sheets_server):
+    """share() mirrors the reference's every-run spreadsheet.share()
+    (main.py:243) via the Drive permissions surface."""
+    perms = []
+
+    orig_post = _SheetsHandler.do_POST
+
+    def do_POST(self):  # noqa: N802
+        from urllib.parse import urlparse as _up
+        path = unquote(_up(self.path).path)
+        if "/drive/v3/files/" in path and path.endswith("/permissions"):
+            perms.append((path, self._body()))
+            return self._reply(200, {"id": "perm1"})
+        return orig_post(self)
+
+    _SheetsHandler.do_POST = do_POST
+    try:
+        sink = _sink(sheets_server)
+        sink.share("ops@example.com")
+        assert perms == [(
+            "/drive/v3/files/sheet1/permissions",
+            {"type": "user", "role": "writer", "emailAddress": "ops@example.com"},
+        )]
+    finally:
+        _SheetsHandler.do_POST = orig_post
