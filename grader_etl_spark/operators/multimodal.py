@@ -44,7 +44,13 @@ def decode_image(blob: bytes) -> object:
     can own outright (PPM P6, 24-bit BMP — ``decode_image_raw``,
     numpy-only); compressed codecs (PNG/JPEG/...) remain PIL-gated."""
     if blob[:2] in (b"P6", b"BM"):
-        return decode_image_raw(blob)
+        try:
+            return decode_image_raw(blob)
+        except (ValueError, struct.error):
+            if not _HAVE_PIL:
+                raise
+            # a PPM/BMP variant the raw decoder refuses (palettized,
+            # RLE, 16-bit): fall through to PIL when it is present
     if not _HAVE_PIL:
         raise NotImplementedError(
             "compressed-image decode requires PIL; this environment ships "
@@ -83,8 +89,6 @@ def _ppm_decode(blob: bytes):
 def _bmp_decode(blob: bytes):
     """BMP, 24-bit uncompressed (BITMAPINFOHEADER): little-endian
     header, 4-byte-padded BGR rows, bottom-up unless height<0."""
-    import struct
-
     import numpy as np
 
     data_offset = struct.unpack_from("<I", blob, 10)[0]
@@ -499,8 +503,6 @@ def decode_audio_raw(blob: bytes):
     ``(sample_rate, channels, samples_per_channel, np.ndarray[int16]
     of shape (frames, channels))``; raises ValueError on anything that
     is not plain PCM (compressed audio stays librosa/av-gated)."""
-    import struct
-
     import numpy as np
 
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
@@ -543,7 +545,9 @@ def audio_features_real(assets: DataFrame) -> DataFrame:
             for blob in pdf["payload"]:
                 try:
                     rate, ch, frames, pcm = decode_audio_raw(bytes(blob))
-                    rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+                    # zero-frame WAV: rms is undefined — NULL, not NaN
+                    rms = (float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
+                           if frames else None)
                     vals = (rate, ch, frames / rate, rms)
                 except (ValueError, TypeError, ZeroDivisionError, struct.error):
                     vals = (None, None, None, None)

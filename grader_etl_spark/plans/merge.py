@@ -93,7 +93,9 @@ def _partition_dirs(root: str, partition_col: str) -> list[str]:
 
 
 def _dirname_for(partition_col: str, value) -> str:
-    s = str(value)
+    # Spark/Hive writes booleans lowercase (pt=true); str(True) is not
+    # the on-disk rendition and would silently miss every dir.
+    s = "true" if value is True else "false" if value is False else str(value)
     if not _SAFE_PARTITION_VALUE.match(s):
         raise ValueError(
             f"partition value {s!r} needs Hive percent-escaping; "
@@ -223,6 +225,17 @@ def merge_into(
         dup = src.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
         if dup:
             raise ValueError(f"source has duplicate merge keys, e.g. {dup[0]}")
+        if src.filter(F.col(partition_col).isNull()).limit(1).collect():
+            # Refused on EVERY branch (including table creation): Spark
+            # writes NULL as __HIVE_DEFAULT_PARTITION__ while
+            # isin([None]) matches nothing at merge time — rows landed
+            # under a null partition would be unreachable by every
+            # later merge, and a replayed create batch would flip from
+            # success to error, breaking replay idempotence.
+            raise ValueError(
+                "NULL partition values are not mergeable; coalesce "
+                f"{partition_col!r} to an explicit sentinel first"
+            )
         bsrc = F.broadcast(src) if n_src <= _BROADCAST_ROWS else src
         with _store_lock(path):
             return _merge_locked(
@@ -282,15 +295,6 @@ def _merge_locked(
         return MergeStats(n_src, 0, 0, src.select(partition_col).distinct().count())
 
     src_values = [r[0] for r in src.select(partition_col).distinct().collect()]
-    if any(v is None for v in src_values):
-        # Spark renders a NULL partition as __HIVE_DEFAULT_PARTITION__
-        # on disk while isin([None]) matches nothing at read time —
-        # the two halves of the rewrite would disagree and silently
-        # drop the target's null-partition rows. Refuse.
-        raise ValueError(
-            "NULL partition values are not mergeable; coalesce "
-            f"{partition_col!r} to an explicit sentinel first"
-        )
     touched = {_dirname_for(partition_col, v): v for v in src_values}
     target_all = spark.read.parquet(path)
     if set(src.columns) != set(target_all.columns):

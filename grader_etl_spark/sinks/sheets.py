@@ -66,7 +66,9 @@ class SheetsSink:
     timeout: float = 15.0
     retries: int = 4
     chunk_rows: int = 5000
-    drive_endpoint: str | None = None  # defaults to `endpoint` (tests); real: https://www.googleapis.com
+    # share() base: explicit override > real Drive host (when endpoint
+    # is the real Sheets host) > `endpoint` (injected test server)
+    drive_endpoint: str | None = None
     # observability for callers/tests: HTTP calls actually made
     calls: list[str] = field(default_factory=list)
 
@@ -161,7 +163,14 @@ class SheetsSink:
         if not self.token:
             log.warning("SheetsSink has no token; skipping share")
             return
-        base = self.drive_endpoint or self.endpoint
+        # the permissions surface lives on www.googleapis.com, not the
+        # Sheets host; an injected test endpoint serves both.
+        if self.drive_endpoint:
+            base = self.drive_endpoint
+        elif self.endpoint == DEFAULT_ENDPOINT:
+            base = "https://www.googleapis.com"
+        else:
+            base = self.endpoint
         self._request(
             "POST",
             f"/drive/v3/files/{self.spreadsheet_id}/permissions",

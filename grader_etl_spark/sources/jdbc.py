@@ -67,9 +67,14 @@ def idempotent_mirror_append(
         # Only a MISSING mirror table means first delivery (append
         # below creates it). A transient read failure must re-raise:
         # swallowing it would append the whole deduped batch and
-        # launder duplicates past the idempotence contract.
+        # launder duplicates past the idempotence contract. The check
+        # requires BOTH the not-found phrase AND the table name in the
+        # message (Derby: "Table/View 'T' does not exist", Postgres:
+        # 'relation "t" does not exist') so unrelated failures whose
+        # stack trace merely contains "not found" re-raise.
         msg = str(e).lower()
-        if not ("does not exist" in msg or "not found" in msg):
+        tbl = cfg.table.split(".")[-1].lower()
+        if not (("does not exist" in msg or "not found" in msg) and tbl in msg):
             raise
         new_rows = deduped
     new_rows.write.format("jdbc").options(**cfg.options()).mode("append").save()

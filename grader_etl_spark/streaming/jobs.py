@@ -392,6 +392,7 @@ def upsert_stream(
     checkpoint: str,
     op_col: str | None = None,
     delete_op: str = "delete",
+    prune_with_source_partitions: bool = True,
 ):
     """Streaming UPSERT: ``foreachBatch`` + ``plans.merge.merge_into``
     — the table-maintenance composition a CDC/mutable-entity feed
@@ -407,6 +408,16 @@ def upsert_stream(
     the same keys, so the second application is a semantic no-op —
     same discipline the append path proves in
     tests/test_stream_to_store.py, now for updates.
+
+    Feed contract: every event — tombstones included — must carry the
+    row's partition value (a keys-only Debezium-style delete is
+    refused loudly by merge's NULL-partition gate, never applied
+    half-right). If the feed can move a key between partitions (e.g.
+    a status-partitioned table), pass
+    ``prune_with_source_partitions=False`` so merge discovers the
+    key's CURRENT partition instead of trusting the event's value —
+    the default pruned mode would leave the old row behind as a
+    duplicate.
 
     CDC deletes: pass ``op_col`` naming a column whose value
     ``delete_op`` marks a tombstone. The latest-version collapse
@@ -436,6 +447,7 @@ def upsert_stream(
             merge_into(
                 batch.sparkSession, path, latest,
                 keys=keys, partition_col=partition_col,
+                prune_with_source_partitions=prune_with_source_partitions,
             )
             return
         dels = latest.filter(F.col(op_col) == delete_op).drop(op_col)
@@ -446,11 +458,13 @@ def upsert_stream(
         merge_into(
             batch.sparkSession, path, ups,
             keys=keys, partition_col=partition_col,
+            prune_with_source_partitions=prune_with_source_partitions,
         )
         merge_into(
             batch.sparkSession, path, dels,
             keys=keys, partition_col=partition_col,
             when_matched="delete", when_not_matched=None,
+            prune_with_source_partitions=prune_with_source_partitions,
         )
 
     return (

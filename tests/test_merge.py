@@ -354,3 +354,32 @@ def test_concurrent_merges_serialize_on_store_lock(spark, tmp_path):
     assert len(keys) == len(set(keys)) == 8
     assert not os.path.exists(path + ".merge-journal")
     assert not os.path.exists(path + ".lock")
+
+
+def test_boolean_partition_values_match_on_disk_rendition(spark, tmp_path):
+    """Spark writes boolean partitions lowercase (flag=true); the
+    dirname computation must agree or update/delete merges no-op."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a", True), (2, "b", False)],
+                          "k int, v string, flag boolean") \
+        .write.partitionBy("flag").parquet(path)
+    src = spark.createDataFrame([(1, "A", True)], "k int, v string, flag boolean")
+    stats = merge_into(spark, path, src, keys=["k"], partition_col="flag",
+                       when_matched="update", when_not_matched=None)
+    assert stats.updated == 1 and not stats.noop
+    # partition-type inference does not cover booleans: Spark reads the
+    # flag column back as the on-disk strings 'true'/'false'
+    got = {(r.k, r.v, r.flag) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "A", "true"), (2, "b", "false")}
+
+
+def test_null_partition_refused_on_create_too(spark, tmp_path):
+    """The refusal must cover table CREATION as well: rows landed
+    under __HIVE_DEFAULT_PARTITION__ would be unreachable by every
+    later merge, and a replayed create batch would flip from success
+    to error (breaking streaming replay idempotence)."""
+    path = str(tmp_path / "fresh")
+    src = spark.createDataFrame([(1, "a", None)], SCHEMA)
+    with pytest.raises(ValueError, match="NULL partition"):
+        merge_into(spark, path, src, keys=["k"], partition_col="day")
+    assert not os.path.exists(path)

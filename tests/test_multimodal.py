@@ -224,3 +224,18 @@ def test_truncated_payloads_become_null_rows_not_task_failures(spark):
     )
     got = {r.doc_id: r for r in audio_features_real(wavs).collect()}
     assert got[1].sample_rate is None and got[2].sample_rate is None
+
+
+def test_zero_frame_wav_rms_is_null_not_nan(spark):
+    import numpy as np
+
+    from grader_etl_spark.operators.multimodal import audio_features_real
+
+    empty = np.zeros((0, 1), dtype=np.int16)
+    assets = spark.createDataFrame(
+        [(1, bytearray(_encode_wav(empty, rate=8000)))],
+        "doc_id bigint, payload binary",
+    )
+    r = audio_features_real(assets).collect()[0]
+    assert (r.sample_rate, r.channels, r.duration_s) == (8000, 1, 0.0)
+    assert r.rms is None  # NULL, never NaN
