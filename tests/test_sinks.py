@@ -345,3 +345,18 @@ def test_sheets_share_posts_drive_permission(sheets_server):
         )]
     finally:
         _SheetsHandler.do_POST = orig_post
+
+
+def test_smtp_dot_stuffing_roundtrip(smtp_server):
+    """Body lines beginning with '.' must survive SMTP transparency
+    (client stuffs, server unstuffs) byte-for-byte."""
+    notify = SmtpNotifier(host="127.0.0.1", port=smtp_server,
+                          sender="a@x.com", receiver="b@x.com")
+    body = "Subject line\n.hidden dot line\n..double dot\n.\nplain\n"
+    notify(body)
+    _, _, raw = _SmtpHandler.messages[0]
+    msg = Parser(policy=policy.default).parsestr(raw)
+    # SMTP canonicalizes line endings to CRLF; the dot content is what
+    # transparency must preserve
+    got = msg.get_payload(decode=True).decode().replace("\r\n", "\n")
+    assert got == body
