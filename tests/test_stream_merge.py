@@ -142,3 +142,24 @@ def test_upsert_stream_cdc_delete_markers(spark, tmp_path):
     got = {(r.k, r.v, r.day) for r in spark.read.parquet(table).collect()}
     assert got == {(1, "back", "d1"), (3, "c2", "d2")}
     assert "op" not in spark.read.parquet(table).columns
+
+
+def test_upsert_stream_moved_key_with_unpruned_mode(spark, tmp_path):
+    """A feed that can move keys between partitions (status-partitioned
+    table) must run unpruned, else the old row survives as a
+    duplicate; the passthrough makes the relocation atomic per batch."""
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+    _land(spark, landing, [(1, "open", T0, "d1"), (2, "x", T0, "d2")])
+    _land(spark, landing, [(1, "closed", T0 + dt.timedelta(hours=1), "d2")])
+
+    q = upsert_stream(
+        file_stream(spark, landing, _schema(spark), max_files_per_trigger=1),
+        table, keys=["k"], partition_col="day", order_col="ts",
+        checkpoint=str(tmp_path / "chk"),
+        prune_with_source_partitions=False,
+    )
+    q.awaitTermination()
+    rows = _rows(spark, table)
+    assert rows == {(1, "closed", "d2"), (2, "x", "d2")}
+    assert sum(1 for k, _, _ in rows if k == 1) == 1  # no duplicate across partitions
