@@ -42,7 +42,14 @@ except ImportError:
 def decode_image(blob: bytes) -> object:
     """Image decode: REAL for the uncompressed formats this container
     can own outright (PPM P6, 24-bit BMP — ``decode_image_raw``,
-    numpy-only); compressed codecs (PNG/JPEG/...) remain PIL-gated."""
+    numpy-only); compressed codecs (PNG/JPEG/...) remain PIL-gated.
+
+    Exception contract: the raw path raises ValueError/struct.error;
+    when PIL is present, variants the raw decoder refuses fall through
+    to ``Image.open`` and follow PIL's model instead (OSError-family
+    UnidentifiedImageError, lazy raster errors at .load()). Operator
+    kernels use ``decode_image_raw`` directly, whose contract is
+    uniform."""
     if blob[:2] in (b"P6", b"BM"):
         try:
             return decode_image_raw(blob)

@@ -41,6 +41,7 @@ from dataclasses import dataclass, field
 log = logging.getLogger(__name__)
 
 DEFAULT_ENDPOINT = "https://sheets.googleapis.com"
+DRIVE_ENDPOINT = "https://www.googleapis.com"
 
 
 def _quote_ws(title: str) -> str:
@@ -66,9 +67,7 @@ class SheetsSink:
     timeout: float = 15.0
     retries: int = 4
     chunk_rows: int = 5000
-    # share() base: explicit override > real Drive host (when endpoint
-    # is the real Sheets host) > `endpoint` (injected test server)
-    drive_endpoint: str | None = None
+    drive_endpoint: str | None = None  # share() base; default: the real Drive host
     # observability for callers/tests: HTTP calls actually made
     calls: list[str] = field(default_factory=list)
 
@@ -164,13 +163,10 @@ class SheetsSink:
             log.warning("SheetsSink has no token; skipping share")
             return
         # the permissions surface lives on www.googleapis.com, not the
-        # Sheets host; an injected test endpoint serves both.
-        if self.drive_endpoint:
-            base = self.drive_endpoint
-        elif self.endpoint == DEFAULT_ENDPOINT:
-            base = "https://www.googleapis.com"
-        else:
-            base = self.endpoint
+        # Sheets host — always the real Drive base unless explicitly
+        # overridden (a custom Sheets proxy says nothing about where
+        # Drive is reachable, so no host guessing).
+        base = self.drive_endpoint or DRIVE_ENDPOINT
         self._request(
             "POST",
             f"/drive/v3/files/{self.spreadsheet_id}/permissions",

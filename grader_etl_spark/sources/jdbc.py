@@ -73,8 +73,13 @@ def idempotent_mirror_append(
         # 'relation "t" does not exist') so unrelated failures whose
         # stack trace merely contains "not found" re-raise.
         msg = str(e).lower()
-        tbl = cfg.table.split(".")[-1].lower()
-        if not (("does not exist" in msg or "not found" in msg) and tbl in msg):
+        tbl = cfg.table.split(".")[-1].strip('"').strip("'").lower()
+        phrase = "does not exist" in msg or "not found" in msg
+        # dialect-spanning missing-table markers for engines whose
+        # message omits the table name: Oracle ORA-00942, SQLSTATE
+        # 42X05 (Derby), 42P01 (Postgres), 42S02 (MySQL/SQLServer)
+        coded = any(c in msg for c in ("ora-00942", "42x05", "42p01", "42s02"))
+        if not (coded or (phrase and tbl in msg)):
             raise
         new_rows = deduped
     new_rows.write.format("jdbc").options(**cfg.options()).mode("append").save()

@@ -450,22 +450,29 @@ def upsert_stream(
                 prune_with_source_partitions=prune_with_source_partitions,
             )
             return
-        dels = latest.filter(F.col(op_col) == delete_op).drop(op_col)
-        ups = latest.filter(
-            (F.col(op_col) != delete_op) | F.col(op_col).isNull()
-        ).drop(op_col)
-        # disjoint key sets (one latest op per key): order immaterial
-        merge_into(
-            batch.sparkSession, path, ups,
-            keys=keys, partition_col=partition_col,
-            prune_with_source_partitions=prune_with_source_partitions,
-        )
-        merge_into(
-            batch.sparkSession, path, dels,
-            keys=keys, partition_col=partition_col,
-            when_matched="delete", when_not_matched=None,
-            prune_with_source_partitions=prune_with_source_partitions,
-        )
+        # one materialization of the window collapse feeds BOTH merges
+        # (each side re-persists its filtered view internally, but the
+        # expensive row_number shuffle runs once)
+        latest = latest.persist()
+        try:
+            dels = latest.filter(F.col(op_col) == delete_op).drop(op_col)
+            ups = latest.filter(
+                (F.col(op_col) != delete_op) | F.col(op_col).isNull()
+            ).drop(op_col)
+            # disjoint key sets (one latest op per key): order immaterial
+            merge_into(
+                batch.sparkSession, path, ups,
+                keys=keys, partition_col=partition_col,
+                prune_with_source_partitions=prune_with_source_partitions,
+            )
+            merge_into(
+                batch.sparkSession, path, dels,
+                keys=keys, partition_col=partition_col,
+                when_matched="delete", when_not_matched=None,
+                prune_with_source_partitions=prune_with_source_partitions,
+            )
+        finally:
+            latest.unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(_sink)

@@ -337,7 +337,9 @@ def test_sheets_share_posts_drive_permission(sheets_server):
 
     _SheetsHandler.do_POST = do_POST
     try:
-        sink = _sink(sheets_server)
+        # drive_endpoint is explicit config (no host guessing): the
+        # test server stands in for the Drive host here
+        sink = _sink(sheets_server, drive_endpoint=sheets_server)
         sink.share("ops@example.com")
         assert perms == [(
             "/drive/v3/files/sheet1/permissions",
