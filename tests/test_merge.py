@@ -383,3 +383,58 @@ def test_null_partition_refused_on_create_too(spark, tmp_path):
     with pytest.raises(ValueError, match="NULL partition"):
         merge_into(spark, path, src, keys=["k"], partition_col="day")
     assert not os.path.exists(path)
+
+
+def test_swap_crash_matrix_every_rename_point(tmp_path):
+    """Pure-filesystem exhaustive version of the crash tests: for a
+    journal mixing a REPLACED partition, a NEW partition, and a
+    DELETED partition, crash at EVERY rename index (and after all of
+    them), recover, and require the exact committed state each time —
+    plus recover() idempotence (a second recover is a no-op)."""
+    import json
+
+    from grader_etl_spark.plans.merge import (
+        _apply_swaps_with_crash,
+        _InjectedCrash,
+        recover,
+    )
+
+    def build(root):
+        path = str(root / "t")
+        staging = path + ".merge-staging-x"
+        trash = path + ".merge-trash-x"
+        for d, content in (
+            (f"{path}/day=old", "old-rep"),      # will be replaced
+            (f"{path}/day=gone", "old-gone"),    # will be deleted
+            (f"{staging}/day=old", "new-rep"),   # replacement
+            (f"{staging}/day=new", "new-ins"),   # brand-new partition
+        ):
+            os.makedirs(d)
+            with open(os.path.join(d, "part.parquet"), "w") as f:
+                f.write(content)
+        journal = {"staging": staging, "trash": trash,
+                   "swap": ["day=new", "day=old"], "delete": ["day=gone"]}
+        with open(path + ".merge-journal", "w") as f:
+            json.dump(journal, f)
+        return path, journal
+
+    def state(path):
+        out = {}
+        for d in sorted(os.listdir(path)) if os.path.isdir(path) else []:
+            p = os.path.join(path, d, "part.parquet")
+            out[d] = open(p).read() if os.path.exists(p) else None
+        return out
+
+    want = {"day=old": "new-rep", "day=new": "new-ins"}
+
+    for crash_at in range(6):  # ≥ total renames → also the after-all case
+        root = tmp_path / f"case{crash_at}"
+        root.mkdir()
+        path, journal = build(root)
+        with pytest.raises(_InjectedCrash):
+            _apply_swaps_with_crash(path, journal, crash_at)
+        assert recover(path) is True, f"crash_at={crash_at}"
+        assert state(path) == want, f"crash_at={crash_at}"
+        assert not os.path.exists(path + ".merge-journal")
+        assert recover(path) is False  # second recover: clean no-op
+        assert state(path) == want
