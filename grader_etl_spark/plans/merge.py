@@ -33,12 +33,22 @@ Crash contract: the journal is written only AFTER staging is
 complete, so recovery is always ROLL-FORWARD — the swap loop is
 idempotent (every step is guarded by existence checks), and
 ``recover()`` simply re-runs it. A crash before the journal exists
-leaves only garbage staging dirs, which recovery sweeps. Readers keep
-planning against whatever directory set they listed — partition-level
-snapshot consistency, the honest single-FS rendition of what a
-transaction log provides (documented gap: a reader listing partitions
-MID-swap can see partition A new and partition B old; Delta's log
-closes exactly that window).
+leaves only garbage staging dirs, which recovery sweeps. Durability
+ordering is enforced with directory fsyncs: the journal's dirent is
+fsync'd before the first rename (so no persisted rename can exist
+without a recoverable journal), and every rename is fsync'd before
+the journal is unlinked in ``_finish`` (so a missing journal proves
+the commit fully persisted and the trash/staging leftovers really
+are garbage — without that barrier a power loss could persist the
+renames but drop the journal dirent, and the journal-less sweep
+would delete the only copy of retired partitions).
+
+Reader consistency: each commit's LAST step atomically publishes a
+versioned manifest (``plans/manifest.py``) naming every partition
+dir + content nonce; ``manifest.read_table``/``snapshot`` verify it
+and therefore see old-or-new, never a torn mid-swap listing. (Plain
+``spark.read.parquet(path)`` still works and keeps the round-6
+documented mid-swap window; the manifest readers close it.)
 
 Concurrency: writers serialize on the same advisory ``_store_lock``
 as idempotent_append, so merge/append/merge interleavings see each
@@ -57,6 +67,8 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from grader_etl_spark.plans import manifest as _manifest
+from grader_etl_spark.plans.manifest import _fsync_dir
 from grader_etl_spark.plans.pipeline import _store_lock
 
 # Partition directory-name rendition we accept without owning Hive's
@@ -113,6 +125,7 @@ def _apply_swaps(path: str, journal: dict, on_step=None) -> None:
     new in this merge has no trash copy to restore it from).
     ``on_step`` is a pre-rename hook (crash-injection tests)."""
     staging, trash = journal["staging"], journal["trash"]
+    os.makedirs(path, exist_ok=True)  # table creation commits through here too
     os.makedirs(trash, exist_ok=True)
     step = on_step or (lambda: None)
     for d in journal["swap"]:
@@ -130,8 +143,28 @@ def _apply_swaps(path: str, journal: dict, on_step=None) -> None:
             os.rename(live, kept)
 
 
+def _publish_from_journal(path: str, journal: dict) -> None:
+    """Publish the post-commit manifest recorded in the journal — runs
+    after the swap loop on both the happy path and roll-forward
+    recovery (idempotent: same version, same content). Journals
+    written before manifests existed lack the key and skip."""
+    man = journal.get("manifest")
+    if man:
+        _manifest.publish(path, man["partitions"], man["version"])
+
+
 def _finish(path: str, journal: dict) -> None:
+    # Durability barrier: every rename's dirent change must persist
+    # BEFORE the journal unlink does — otherwise a power loss could
+    # leave "journal gone, renames not", and the journal-less sweep
+    # below would rmtree trash dirs holding the only copy of retired
+    # partitions (the round-6 ADVICE data-loss route).
+    for d in (path, journal["staging"], journal["trash"]):
+        if os.path.isdir(d):
+            _fsync_dir(d)
     os.remove(_journal_path(path))
+    parent = os.path.dirname(_journal_path(path)) or "."
+    _fsync_dir(parent)
     shutil.rmtree(journal["trash"], ignore_errors=True)
     shutil.rmtree(journal["staging"], ignore_errors=True)
 
@@ -154,6 +187,7 @@ def _recover_unlocked(path: str) -> bool:
         with open(jp) as f:
             journal = json.load(f)
         _apply_swaps(path, journal)
+        _publish_from_journal(path, journal)
         _finish(path, journal)
         finished = True
     # staging/trash dirs without a journal: a crash BEFORE commit —
@@ -290,9 +324,17 @@ def _merge_locked(
             )
         if when_not_matched != "insert":
             return MergeStats(0, 0, 0, 0, noop=True)
+        # Table creation commits through the SAME staging + journal +
+        # swap path as updates: a crash mid-write must leave either no
+        # table or the whole first batch — never a half-written live
+        # table the next merge would treat as fully existing.
         first = _cluster_output(src, keys, partition_col, files_per_partition)
-        first.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-        return MergeStats(n_src, 0, 0, src.select(partition_col).distinct().count())
+        staged, deleted = _stage_and_commit(
+            spark, path, first, partition_col,
+            touched=set(), existing_dirs=set(),
+            _crash_after_swaps=_crash_after_swaps,
+        )
+        return MergeStats(n_src, 0, 0, staged)
 
     src_values = [r[0] for r in src.select(partition_col).distinct().collect()]
     touched = {_dirname_for(partition_col, v): v for v in src_values}
@@ -306,6 +348,7 @@ def _merge_locked(
             f"missing={sorted(missing)} — evolve the table first "
             "(plans/evolution.py) if the widening is intended"
         )
+    _check_types(src, target_all, partition_col)
     if not prune_with_source_partitions:
         # keys may have moved partitions: also rewrite partitions
         # holding CURRENT matches (key-only scan, broadcast probe).
@@ -347,35 +390,121 @@ def _merge_locked(
         for p in parts[1:]:
             result = result.unionByName(p)
 
+    result = _cluster_output(result, keys, partition_col, files_per_partition)
+    staged, deleted = _stage_and_commit(
+        spark, path, result, partition_col,
+        touched=set(touched), existing_dirs=existing_dirs,
+        _crash_after_swaps=_crash_after_swaps,
+    )
+    return MergeStats(n_ins, n_upd, n_del, staged + deleted)
+
+
+def _check_types(src: DataFrame, target: DataFrame, partition_col: str) -> None:
+    """Type gate beyond the name-set check: a silently mismatched
+    column either fails later inside unionByName with an opaque error
+    or union-coerces into a surprise type. Non-partition columns must
+    match exactly. The partition column is exempt when EITHER side is
+    string — Spark's partition inference reads string-valued dirs back
+    as date/int/string depending on content (booleans come back as the
+    on-disk strings 'true'/'false'), and the string<->inferred pairs
+    coerce consistently with ``_dirname_for``'s rendition; anything
+    else (e.g. date vs int) is a real mismatch."""
+    src_t, tgt_t = dict(src.dtypes), dict(target.dtypes)
+    bad = {
+        c: (src_t[c], tgt_t[c])
+        for c in src_t
+        if c != partition_col and c in tgt_t and src_t[c] != tgt_t[c]
+    }
+    if bad:
+        raise ValueError(
+            f"merge source column types differ from target: {bad} — "
+            "cast the source (or evolve the table, plans/evolution.py) first"
+        )
+    ps, pt = src_t[partition_col], tgt_t.get(partition_col)
+    if pt is not None and ps != pt and "string" not in (ps, pt):
+        raise ValueError(
+            f"partition column {partition_col!r} type mismatch: "
+            f"source {ps} vs target {pt} — partition pruning would "
+            "compare differently-typed values; cast the source first"
+        )
+
+
+def _current_partition_nonces(path: str) -> tuple[int, dict[str, str]]:
+    """(current manifest version, {leaf dir: content nonce}) from
+    DISK, stamping any unmarked legacy dir — the before-image the
+    post-commit manifest is derived from. Caller holds the lock."""
+    cur = _manifest.load_manifest(path)
+    version = cur["version"] if cur else 0
+    parts: dict[str, str] = {}
+    for d in _manifest.leaf_dirs(path):
+        abs_ = os.path.join(path, d)
+        nonce = _manifest.dir_nonce(abs_)
+        if nonce is None:
+            nonce = _manifest.new_nonce()
+            _manifest.mark_dir(abs_, nonce)
+        parts[d] = nonce
+    return version, parts
+
+
+def _stage_and_commit(
+    spark: SparkSession,
+    path: str,
+    result: DataFrame,
+    partition_col: str,
+    *,
+    touched: set[str],
+    existing_dirs: set[str],
+    _crash_after_swaps: int | None,
+) -> tuple[int, int]:
+    """Write ``result`` to a sibling staging dir, stamp content
+    nonces, journal the swap + the post-commit manifest, apply the
+    swaps, publish the manifest, clean up. Shared by the update path
+    and table creation. Returns (partitions swapped, partitions
+    deleted). Caller holds the store lock."""
     nonce = uuid.uuid4().hex[:12]
     staging = path.rstrip("/") + f".merge-staging-{nonce}"
     trash = path.rstrip("/") + f".merge-trash-{nonce}"
-    result = _cluster_output(result, keys, partition_col, files_per_partition)
-    # (already under the caller's _store_lock — not reentrant)
     result.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
     staged_dirs = set(_partition_dirs(staging, partition_col))
+    staged_nonces = {}
+    for d in staged_dirs:
+        n = _manifest.new_nonce()
+        _manifest.mark_dir(os.path.join(staging, d), n)
+        staged_nonces[d] = n
     # a touched partition absent from staging was emptied
     # (delete mode) — its live dir must be retired too.
     deletes = sorted(d for d in touched if d in existing_dirs and d not in staged_dirs)
+    version, parts = _current_partition_nonces(path)
+    post = {
+        d: n for d, n in parts.items() if d not in staged_dirs and d not in set(deletes)
+    }
+    post.update(staged_nonces)
     journal = {
         "staging": staging,
         "trash": trash,
         "swap": sorted(staged_dirs),
         "delete": deletes,
+        "manifest": {"version": version + 1, "partitions": post},
     }
     jp = _journal_path(path)
     with open(jp, "w") as f:
         json.dump(journal, f)
         f.flush()
         os.fsync(f.fileno())
+    # The journal's dirent must be durable BEFORE the first rename:
+    # otherwise a power loss can persist renames while losing the
+    # journal, and the journal-less sweep would delete the trash dirs
+    # holding the only copy of retired partitions.
+    _fsync_dir(os.path.dirname(jp) or ".")
     if _crash_after_swaps is not None:
         _apply_swaps_with_crash(path, journal, _crash_after_swaps)
     _apply_swaps(path, journal)
+    _publish_from_journal(path, journal)
     _finish(path, journal)
     # same-session readers may hold cached file listings for the
     # swapped directories; invalidate so their next plan re-lists.
     spark.catalog.refreshByPath(path)
-    return MergeStats(n_ins, n_upd, n_del, len(staged_dirs) + len(deletes))
+    return len(staged_dirs), len(deletes)
 
 
 class _InjectedCrash(RuntimeError):

@@ -264,16 +264,24 @@ class ParquetStore:
         deduped = first_writer_wins(
             batch, keys=DEDUP_KEYS, order=["attempt_type", "oauth_consumer_key"]
         )
+        from grader_etl_spark.plans import manifest as _manifest
+
         with _store_lock(self.path):
             existing = self.read()
             if existing is not None:
                 deduped = insert_new_keys_only(deduped, existing, keys=DEDUP_KEYS)
+            before = _manifest.dir_mtimes(self.path) if os.path.isdir(self.path) else {}
             (
                 deduped.withColumn("event_date", F.to_date("event_timestamp"))
                 .write.mode("append")
                 .partitionBy("event_date")
                 .parquet(self.path)
             )
+            # Publish the next manifest version so manifest readers
+            # (plans/manifest.read_table / snapshot) see this append as
+            # one committed step — only the touched partitions are
+            # re-stamped (dir-mtime diff, metadata-only).
+            _manifest.republish_changed(self.path, before)
 
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,7 @@ import shutil
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from grader_etl_spark.plans import manifest
 from grader_etl_spark.plans.layout import PARTITION_COL
 from grader_etl_spark.plans.pipeline import _store_lock
 
@@ -63,8 +64,11 @@ def expire_before(spark: SparkSession, path: str, cutoff_day: str) -> DataFrame:
     days = _partition_days(path)
     dropped = [d for d in days if dt.date.fromisoformat(d) < cutoff]
     with _store_lock(path):
+        before = manifest.dir_mtimes(path) if os.path.isdir(path) else {}
         for d in dropped:
             shutil.rmtree(os.path.join(path, f"{PARTITION_COL}={d}"))
+        if os.path.isdir(path):
+            manifest.republish_changed(path, before)
     return spark.createDataFrame(
         [
             (
@@ -95,6 +99,7 @@ def erase_users(spark: SparkSession, path: str, user_ids: list[int]) -> DataFram
     tomb = [int(u) for u in user_ids]
     days = _partition_days(path)
     with _store_lock(path):
+        before = manifest.dir_mtimes(path) if os.path.isdir(path) else {}
         store = spark.read.parquet(path)
         affected_rows = (
             store.select("user_id", PARTITION_COL)
@@ -127,6 +132,8 @@ def erase_users(spark: SparkSession, path: str, user_ids: list[int]) -> DataFram
             marker = os.path.join(part_dir, "_SUCCESS")
             if os.path.exists(marker):
                 os.remove(marker)
+        if os.path.isdir(path):
+            manifest.republish_changed(path, before)
     return spark.createDataFrame(
         [
             (

@@ -16,9 +16,14 @@ from grader_etl_spark.plans.retention import erase_users, expire_before
 
 
 def _file_state(path: str) -> dict[str, tuple[int, float]]:
+    # the pin is about DATA files: manifest metadata (_manifest.json,
+    # per-dir _content-* nonces) is re-published by every lifecycle
+    # commit by design and excluded here
     out = {}
     for root, _dirs, files in os.walk(path):
         for f in files:
+            if f.startswith(("_content-", "_manifest.json")):
+                continue
             p = os.path.join(root, f)
             st = os.stat(p)
             out[os.path.relpath(p, path)] = (st.st_size, st.st_mtime)

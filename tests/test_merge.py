@@ -438,3 +438,56 @@ def test_swap_crash_matrix_every_rename_point(tmp_path):
         assert not os.path.exists(path + ".merge-journal")
         assert recover(path) is False  # second recover: clean no-op
         assert state(path) == want
+
+
+@pytest.mark.parametrize("crash_after", [0, 1, 99])
+def test_crash_mid_create_rolls_forward(spark, tmp_path, crash_after):
+    """Table CREATION commits through the same staging+journal+swap
+    path as updates: a crash mid-create leaves either a pending
+    journal (roll forward completes the whole first batch) — never a
+    half-written live table the next merge would treat as existing."""
+    path = str(tmp_path / "fresh")
+    src = spark.createDataFrame([(1, "a", "d1"), (2, "b", "d2")], SCHEMA)
+    with pytest.raises(_InjectedCrash):
+        merge_into(spark, path, src, keys=["k"], partition_col="day",
+                   _crash_after_swaps=crash_after)
+    assert os.path.exists(path + ".merge-journal")
+    assert recover(path) is True
+    assert _rows(spark, path) == {(1, "a", "d1"), (2, "b", "d2")}
+    leftovers = [d for d in os.listdir(tmp_path) if ".merge-" in d]
+    assert leftovers == []
+
+
+def test_next_merge_completes_crashed_create(spark, tmp_path):
+    path = str(tmp_path / "fresh")
+    src1 = spark.createDataFrame([(1, "a", "d1")], SCHEMA)
+    with pytest.raises(_InjectedCrash):
+        merge_into(spark, path, src1, keys=["k"], partition_col="day",
+                   _crash_after_swaps=0)
+    src2 = spark.createDataFrame([(2, "b", "d2")], SCHEMA)
+    merge_into(spark, path, src2, keys=["k"], partition_col="day")
+    assert _rows(spark, path) == {(1, "a", "d1"), (2, "b", "d2")}
+
+
+def test_column_type_mismatch_raises_with_guidance(spark, tmp_path):
+    """Name-set equality is not enough: a silently mismatched column
+    type would fail later inside unionByName (opaque) or coerce into
+    a surprise type — the gate names the column and both types."""
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    src = spark.createDataFrame([(7, 42, "d2")], "k int, v int, day string")
+    with pytest.raises(ValueError, match="column types differ.*'v'"):
+        merge_into(spark, path, src, keys=["k"], partition_col="day")
+
+
+def test_partition_type_incompatible_raises(spark, tmp_path):
+    """date-vs-int partition column types never coerce consistently
+    with the on-disk dirname — refuse. (string on either side stays
+    allowed: partition inference reads string dirs back as date/int,
+    pinned by the boolean-partition test above.)"""
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a", 20240101)], "k int, v string, day int") \
+        .write.partitionBy("day").parquet(path)
+    src = spark.sql("SELECT 2 AS k, 'b' AS v, DATE'2024-01-02' AS day")
+    with pytest.raises(ValueError, match="partition column 'day' type mismatch"):
+        merge_into(spark, path, src, keys=["k"], partition_col="day")

@@ -137,12 +137,114 @@ def check(records: list[dict], ckpt_dir: str | None) -> list[str]:
     return problems
 
 
+# ---------------------------------------------------------------------------
+# reader/writer soak (--mode readers): a SEPARATE reader process takes
+# repeated consistent counts (manifest.locked_parquet_files + DuckDB —
+# no SparkSession) while this process merges lap after lap. Invariants
+# the reader checks on EVERY read:
+#   - both partitions carry the same max lap stamp (one merge updates
+#     both in one commit — a torn p0-new/p1-old read breaks this);
+#   - row count == 11 + max_lap (lap 0 creates the 10 fixed keys + 1;
+#     each later lap upserts the same 10 and inserts exactly one new).
+# Any mixed or uncommitted state fails loudly. Before the round-7
+# manifest commit this soak FAILS mid-swap by design; it now pins the
+# closed window.
+# ---------------------------------------------------------------------------
+
+
+def _reader_child(table: str, stop_file: str) -> int:
+    import duckdb
+
+    from grader_etl_spark.plans.manifest import locked_parquet_files
+
+    n_reads = 0
+    while not os.path.exists(stop_file):
+        try:
+            with locked_parquet_files(table) as files:
+                day_max = duckdb.sql(
+                    "SELECT day, max(lap) AS m FROM read_parquet(?, hive_partitioning=1) GROUP BY day",
+                    params=[files],
+                ).fetchall()
+                count = duckdb.sql(
+                    "SELECT count(*) FROM read_parquet(?)", params=[files]
+                ).fetchone()[0]
+        except FileNotFoundError:
+            continue  # table not created yet
+        laps = {m for _, m in day_max}
+        # lap 0 creates 11 rows (10 fixed keys + 1 new); each later lap
+        # upserts the 10 and inserts exactly one more
+        ok = len(laps) == 1 and count == 11 + max(laps)
+        print(json.dumps({"count": count, "laps": sorted(laps), "ok": ok}), flush=True)
+        if not ok:
+            return 1
+        n_reads += 1
+        time.sleep(0.02)
+    print(json.dumps({"reads": n_reads}), flush=True)
+    return 0 if n_reads > 0 else 1
+
+
+def reader_writer_soak(laps: int) -> int:
+    import subprocess
+
+    from grader_etl_spark.plans.merge import merge_into
+    from grader_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="grader-etl-spark-rw-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="soak_rw_")
+    table = os.path.join(root, "t")
+    stop_file = os.path.join(root, "STOP")
+
+    def lap_src(lap: int):
+        rows = [(i, lap, "p0") for i in range(5)] + [(i, lap, "p1") for i in range(5, 10)]
+        rows.append((100 + lap, lap, "p0" if lap % 2 else "p1"))
+        return spark.createDataFrame(rows, "k int, lap int, day string")
+
+    merge_into(spark, table, lap_src(0), keys=["k"], partition_col="day")
+    reader = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--mode", "reader-child",
+         "--table", table, "--stop-file", stop_file],
+        stdout=subprocess.PIPE, text=True, cwd=_REPO,
+    )
+    try:
+        for lap in range(1, laps + 1):
+            merge_into(spark, table, lap_src(lap), keys=["k"], partition_col="day")
+    finally:
+        open(stop_file, "w").close()
+    out, _ = reader.communicate(timeout=120)
+    lines = [json.loads(ln) for ln in out.splitlines() if ln.strip()]
+    reads = [ln for ln in lines if "count" in ln]
+    bad = [ln for ln in reads if not ln["ok"]]
+    verdict = {
+        "mode": "readers",
+        "writer_laps": laps,
+        "reader_reads": len(reads),
+        "inconsistent_reads": len(bad),
+        "reader_exit": reader.returncode,
+    }
+    print(json.dumps(verdict), flush=True)
+    ok = reader.returncode == 0 and not bad and len(reads) > 0
+    print(f"RW-SOAK {'PASS' if ok else 'FAIL'}", flush=True)
+    for ln in bad:
+        print("  inconsistent read: " + json.dumps(ln), flush=True)
+    return 0 if ok else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--laps", type=int, default=3)
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--profile", choices=("local", "reliable", "both"), default="both")
+    ap.add_argument("--mode", choices=("session", "readers", "reader-child"),
+                    default="session")
+    ap.add_argument("--table", help="(reader-child) table path")
+    ap.add_argument("--stop-file", help="(reader-child) exit when this file appears")
     args = ap.parse_args()
+
+    if args.mode == "reader-child":
+        return _reader_child(args.table, args.stop_file)
+    if args.mode == "readers":
+        return reader_writer_soak(laps=max(args.laps, 15))
 
     profiles = ["local", "reliable"] if args.profile == "both" else [args.profile]
     failures: list[str] = []
