@@ -16,7 +16,7 @@ way the formats do under the hood —
    list. If keys can MOVE between partitions, ``prune_with_source_
    partitions=False`` additionally discovers the partitions holding
    current matches with one key-only scan (broadcast source, column-
-   pruned to the keys + partition column).
+   pruned to the keys + partition columns).
 2. **Compose**: per touched partition, the post-merge content is an
    anti/semi-join algebra over (target_touched, source) — never a
    row-at-a-time loop, never a full-table rewrite.
@@ -28,6 +28,24 @@ way the formats do under the hood —
    two atomic renames (old → trash, staged → live). Untouched
    partitions are never listed, read, or rewritten — their files stay
    byte-identical.
+
+Delta-parity clause surface:
+
+- ``when_matched`` = "update" (whole row), "delete", or None;
+  ``when_not_matched`` = "insert" or None.
+- ``when_matched_condition``: a SQL predicate over the matched pair,
+  target aliased ``t`` and source aliased ``s`` (Delta's
+  ``WHEN MATCHED AND <cond>``) — matched rows failing it are KEPT
+  unchanged; inserts are not gated.
+- ``update_cols``: partial-column SET — update only these columns
+  from the source, keep every other target column (Delta's
+  ``SET col = s.col, ...``). With ``when_not_matched=None`` the
+  source may then be a narrow changes feed (keys + partition cols +
+  updated cols only).
+- ``partition_cols``: multi-column partitioning, e.g.
+  ``["event_date", "source"]`` — nested hive layout
+  ``event_date=.../source=.../``; pruning, swaps, deletes, and the
+  manifest all operate on leaf directories.
 
 Crash contract: the journal is written only AFTER staging is
 complete, so recovery is always ROLL-FORWARD — the swap loop is
@@ -57,7 +75,9 @@ other's commits.
 
 from __future__ import annotations
 
+import functools
 import json
+import operator
 import os
 import re
 import shutil
@@ -65,7 +85,7 @@ import uuid
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from grader_etl_spark.plans import manifest as _manifest
 from grader_etl_spark.plans.manifest import _fsync_dir
@@ -94,16 +114,6 @@ def _journal_path(path: str) -> str:
     return path.rstrip("/") + ".merge-journal"
 
 
-def _partition_dirs(root: str, partition_col: str) -> list[str]:
-    if not os.path.isdir(root):
-        return []
-    pref = f"{partition_col}="
-    return sorted(
-        d for d in os.listdir(root)
-        if d.startswith(pref) and os.path.isdir(os.path.join(root, d))
-    )
-
-
 def _dirname_for(partition_col: str, value) -> str:
     # Spark/Hive writes booleans lowercase (pt=true); str(True) is not
     # the on-disk rendition and would silently miss every dir.
@@ -114,6 +124,32 @@ def _dirname_for(partition_col: str, value) -> str:
             "merge_into only handles plain-token partition values"
         )
     return f"{partition_col}={s}"
+
+
+def _leaf_dirname(pcols: list[str], values) -> str:
+    """Relative leaf path for a partition-value tuple:
+    ``day=d1`` or ``day=d1/source=a`` (nested hive layout)."""
+    return "/".join(_dirname_for(c, v) for c, v in zip(pcols, values))
+
+
+def _dir_col_names(rel: str) -> list[str]:
+    return [seg.split("=", 1)[0] for seg in rel.split("/")]
+
+
+def _prune_empty_parents(path: str, rels: list[str]) -> None:
+    """After a nested leaf is retired, its now-empty ``col=value``
+    ancestors must go too — an empty intermediate dir would read as a
+    phantom leaf to manifest verification. rmdir only succeeds on
+    empty dirs, so this is idempotent and never races a re-populated
+    parent."""
+    for rel in rels:
+        parent = os.path.dirname(rel)
+        while parent:
+            try:
+                os.rmdir(os.path.join(path, parent))
+            except OSError:
+                break
+            parent = os.path.dirname(parent)
 
 
 def _apply_swaps(path: str, journal: dict, on_step=None) -> None:
@@ -133,14 +169,18 @@ def _apply_swaps(path: str, journal: dict, on_step=None) -> None:
         if os.path.isdir(staged):
             if os.path.isdir(live) and not os.path.isdir(kept):
                 step()
+                os.makedirs(os.path.dirname(kept), exist_ok=True)
                 os.rename(live, kept)
             step()
+            os.makedirs(os.path.dirname(live), exist_ok=True)
             os.rename(staged, live)
     for d in journal["delete"]:
         live, kept = os.path.join(path, d), os.path.join(trash, d)
         if os.path.isdir(live) and not os.path.isdir(kept):
             step()
+            os.makedirs(os.path.dirname(kept), exist_ok=True)
             os.rename(live, kept)
+    _prune_empty_parents(path, journal["delete"])
 
 
 def _publish_from_journal(path: str, journal: dict) -> None:
@@ -158,8 +198,16 @@ def _finish(path: str, journal: dict) -> None:
     # BEFORE the journal unlink does — otherwise a power loss could
     # leave "journal gone, renames not", and the journal-less sweep
     # below would rmtree trash dirs holding the only copy of retired
-    # partitions (the round-6 ADVICE data-loss route).
-    for d in (path, journal["staging"], journal["trash"]):
+    # partitions (the round-6 ADVICE data-loss route). Nested layouts
+    # rename inside subdirectories, so fsync every dir level that saw
+    # a dirent change, not just the three roots.
+    changed_dirs = {path, journal["staging"], journal["trash"]}
+    for rel in list(journal["swap"]) + list(journal["delete"]):
+        sub = os.path.dirname(rel)
+        if sub:
+            for root in (path, journal["staging"], journal["trash"]):
+                changed_dirs.add(os.path.join(root, sub))
+    for d in sorted(changed_dirs):
         if os.path.isdir(d):
             _fsync_dir(d)
     os.remove(_journal_path(path))
@@ -200,7 +248,7 @@ def _recover_unlocked(path: str) -> bool:
     return finished
 
 
-def _cluster_output(df: DataFrame, keys: list[str], partition_col: str,
+def _cluster_output(df: DataFrame, keys: list[str], pcols: list[str],
                     files_per_partition: int) -> DataFrame:
     """Cluster a write so each output partition lands in AT MOST
     ``files_per_partition`` files. Without this, every touched
@@ -213,9 +261,23 @@ def _cluster_output(df: DataFrame, keys: list[str], partition_col: str,
     below it when the partition is small, which is exactly the
     adaptive behavior we want)."""
     if files_per_partition <= 1:
-        return df.repartition(F.col(partition_col))
+        return df.repartition(*[F.col(c) for c in pcols])
     salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(files_per_partition))
-    return df.repartition(F.col(partition_col), salt)
+    return df.repartition(*[F.col(c) for c in pcols], salt)
+
+
+def _partition_filter(pcols: list[str], tuples) -> Column:
+    """OR-of-conjunctions predicate selecting exactly the touched
+    partition-value tuples — equality literals on partition columns,
+    so it reaches the scan as a PartitionFilter (single column folds
+    to IN)."""
+    if len(pcols) == 1:
+        return F.col(pcols[0]).isin([t[0] for t in tuples])
+    preds = [
+        functools.reduce(operator.and_, [F.col(c) == F.lit(v) for c, v in zip(pcols, t)])
+        for t in tuples
+    ]
+    return functools.reduce(operator.or_, preds)
 
 
 def merge_into(
@@ -224,19 +286,32 @@ def merge_into(
     source: DataFrame,
     *,
     keys: list[str],
-    partition_col: str,
+    partition_col: str | None = None,
+    partition_cols: list[str] | None = None,
     when_matched: str | None = "update",
     when_not_matched: str | None = "insert",
+    when_matched_condition: str | None = None,
+    update_cols: list[str] | None = None,
     prune_with_source_partitions: bool = True,
     files_per_partition: int = 1,
     _crash_after_swaps: int | None = None,
 ) -> MergeStats:
     """MERGE ``source`` into the parquet table at ``path``.
 
-    * ``when_matched``: "update" (whole-row replace), "delete", or
-      None (keep target row — with insert this is exactly
-      idempotent_append's ON CONFLICT DO NOTHING).
+    * ``when_matched``: "update" (whole-row replace, or
+      ``update_cols``-partial SET), "delete", or None (keep target
+      row — with insert this is exactly idempotent_append's
+      ON CONFLICT DO NOTHING).
     * ``when_not_matched``: "insert" or None.
+    * ``when_matched_condition``: SQL predicate over the matched pair
+      (target ``t``, source ``s``) gating the matched clause —
+      e.g. ``"s.updated_at > t.updated_at"``. Failing pairs keep the
+      target row unchanged.
+    * ``update_cols``: update only these columns from the source,
+      keep the rest of the target row. Keys and partition columns are
+      not updatable this way (a partial update cannot move a row).
+    * ``partition_col`` / ``partition_cols``: single- or multi-column
+      hive partitioning (exactly one of the two).
     * Duplicate keys in ``source`` raise (Delta parity: a multi-match
       merge is ambiguous). Re-running the same merge is idempotent.
     * ``_crash_after_swaps``: test hook — abort mid-commit after N
@@ -248,8 +323,29 @@ def merge_into(
         raise ValueError(f"when_not_matched={when_not_matched!r}")
     if not keys:
         raise ValueError("keys must be non-empty")
-    if partition_col not in source.columns:
-        raise ValueError(f"source lacks partition column {partition_col!r}")
+    if (partition_col is None) == (partition_cols is None):
+        raise ValueError("pass exactly one of partition_col / partition_cols")
+    pcols = list(partition_cols) if partition_cols is not None else [partition_col]
+    if not pcols:
+        raise ValueError("partition_cols must be non-empty")
+    for c in pcols:
+        if c not in source.columns:
+            raise ValueError(f"source lacks partition column {c!r}")
+    if when_matched_condition is not None and when_matched is None:
+        raise ValueError("when_matched_condition needs a when_matched clause")
+    if update_cols is not None:
+        if when_matched != "update":
+            raise ValueError("update_cols only applies to when_matched='update'")
+        bad = set(update_cols) & (set(keys) | set(pcols))
+        if bad:
+            raise ValueError(
+                f"update_cols may not include keys or partition columns: {sorted(bad)} "
+                "(a partial update cannot rekey or move a row — use whole-row "
+                "update with prune_with_source_partitions=False to move keys)"
+            )
+        missing = [c for c in list(keys) + list(update_cols) if c not in source.columns]
+        if missing:
+            raise ValueError(f"source lacks columns needed for the partial update: {missing}")
 
     src = source.persist()
     try:
@@ -259,7 +355,10 @@ def merge_into(
         dup = src.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
         if dup:
             raise ValueError(f"source has duplicate merge keys, e.g. {dup[0]}")
-        if src.filter(F.col(partition_col).isNull()).limit(1).collect():
+        null_pred = functools.reduce(
+            operator.or_, [F.col(c).isNull() for c in pcols]
+        )
+        if src.filter(null_pred).limit(1).collect():
             # Refused on EVERY branch (including table creation): Spark
             # writes NULL as __HIVE_DEFAULT_PARTITION__ while
             # isin([None]) matches nothing at merge time — rows landed
@@ -268,14 +367,16 @@ def merge_into(
             # success to error, breaking replay idempotence.
             raise ValueError(
                 "NULL partition values are not mergeable; coalesce "
-                f"{partition_col!r} to an explicit sentinel first"
+                f"{pcols!r} to explicit sentinels first"
             )
         bsrc = F.broadcast(src) if n_src <= _BROADCAST_ROWS else src
         with _store_lock(path):
             return _merge_locked(
                 spark, path, src, bsrc, n_src,
-                keys=keys, partition_col=partition_col,
+                keys=keys, pcols=pcols,
                 when_matched=when_matched, when_not_matched=when_not_matched,
+                when_matched_condition=when_matched_condition,
+                update_cols=update_cols,
                 prune_with_source_partitions=prune_with_source_partitions,
                 files_per_partition=files_per_partition,
                 _crash_after_swaps=_crash_after_swaps,
@@ -292,9 +393,11 @@ def _merge_locked(
     n_src: int,
     *,
     keys: list[str],
-    partition_col: str,
+    pcols: list[str],
     when_matched: str | None,
     when_not_matched: str | None,
+    when_matched_condition: str | None,
+    update_cols: list[str] | None,
     prune_with_source_partitions: bool,
     files_per_partition: int,
     _crash_after_swaps: int | None,
@@ -306,21 +409,23 @@ def _merge_locked(
     journal."""
     _recover_unlocked(path)
 
-    table_exists = os.path.isdir(path) and bool(_partition_dirs(path, partition_col))
-    if not table_exists:
-        foreign = os.path.isdir(path) and any(
-            n.endswith(".parquet")
-            or ("=" in n and os.path.isdir(os.path.join(path, n)))
-            for n in os.listdir(path)
+    existing_leaves = _manifest.leaf_dirs(path) if os.path.isdir(path) else []
+    layout_ok = bool(existing_leaves) and all(
+        _dir_col_names(d) == pcols for d in existing_leaves
+    )
+    if not layout_ok:
+        foreign = os.path.isdir(path) and (
+            bool(existing_leaves)
+            or any(n.endswith(".parquet") for n in os.listdir(path))
         )
         if foreign:
             # parquet files (unpartitioned table) or some OTHER col=
-            # partition dirs: the target is a DIFFERENT table. Falling
-            # through to the create branch would silently OVERWRITE it
-            # — refuse instead.
+            # partition layout: the target is a DIFFERENT table.
+            # Falling through to the create branch would silently
+            # OVERWRITE it — refuse instead.
             raise ValueError(
                 f"{path} holds parquet data not partitioned by "
-                f"{partition_col!r}; merge_into refuses to overwrite it"
+                f"{pcols!r}; merge_into refuses to overwrite it"
             )
         if when_not_matched != "insert":
             return MergeStats(0, 0, 0, 0, noop=True)
@@ -328,105 +433,175 @@ def _merge_locked(
         # swap path as updates: a crash mid-write must leave either no
         # table or the whole first batch — never a half-written live
         # table the next merge would treat as fully existing.
-        first = _cluster_output(src, keys, partition_col, files_per_partition)
-        staged, deleted = _stage_and_commit(
-            spark, path, first, partition_col,
+        first = _cluster_output(src, keys, pcols, files_per_partition)
+        staged, _ = _stage_and_commit(
+            spark, path, first, pcols,
             touched=set(), existing_dirs=set(),
             _crash_after_swaps=_crash_after_swaps,
         )
         return MergeStats(n_src, 0, 0, staged)
 
-    src_values = [r[0] for r in src.select(partition_col).distinct().collect()]
-    touched = {_dirname_for(partition_col, v): v for v in src_values}
+    src_tuples = [tuple(r) for r in src.select(*pcols).distinct().collect()]
+    touched = {_leaf_dirname(pcols, t): t for t in src_tuples}
     target_all = spark.read.parquet(path)
-    if set(src.columns) != set(target_all.columns):
-        extra = set(src.columns) - set(target_all.columns)
-        missing = set(target_all.columns) - set(src.columns)
-        raise ValueError(
-            "merge source schema must match target columns "
-            f"(whole-row update semantics); extra={sorted(extra)} "
-            f"missing={sorted(missing)} — evolve the table first "
-            "(plans/evolution.py) if the widening is intended"
-        )
-    _check_types(src, target_all, partition_col)
+    _check_schema(src, target_all, keys, pcols, update_cols, when_not_matched)
     if not prune_with_source_partitions:
         # keys may have moved partitions: also rewrite partitions
         # holding CURRENT matches (key-only scan, broadcast probe).
         moved = (
-            target_all.select(partition_col, *keys)
+            target_all.select(*pcols, *keys)
             .join(bsrc.select(*keys), on=keys, how="left_semi")
-            .select(partition_col).distinct().collect()
+            .select(*pcols).distinct().collect()
         )
         for r in moved:
-            touched[_dirname_for(partition_col, r[0])] = r[0]
-    existing_dirs = set(_partition_dirs(path, partition_col))
+            t = tuple(r)
+            touched[_leaf_dirname(pcols, t)] = t
+    existing_dirs = set(existing_leaves)
     touched = {d: v for d, v in touched.items()
                if d in existing_dirs or when_not_matched == "insert"}
 
-    tgt = target_all.filter(
-        F.col(partition_col).isin([v for v in touched.values()])
-    )
+    tgt = target_all.filter(_partition_filter(pcols, list(touched.values())))
     matched_src = src.join(tgt.select(*keys), on=keys, how="left_semi")
     n_matched = matched_src.count()
     n_ins = (n_src - n_matched) if when_not_matched == "insert" else 0
-    n_upd = n_matched if when_matched == "update" else 0
-    n_del = n_matched if when_matched == "delete" else 0
+
+    if when_matched is not None and (when_matched_condition or update_cols):
+        result, n_upd, n_del = _compose_conditional(
+            tgt, src, bsrc, keys, when_matched, when_not_matched,
+            when_matched_condition, update_cols,
+        )
+    else:
+        n_upd = n_matched if when_matched == "update" else 0
+        n_del = n_matched if when_matched == "delete" else 0
+        if when_matched == "update" and when_not_matched == "insert":
+            result = tgt.join(bsrc.select(*keys), on=keys, how="left_anti").unionByName(src)
+        else:
+            keep = (
+                tgt.join(bsrc.select(*keys), on=keys, how="left_anti")
+                if when_matched in ("update", "delete") else tgt
+            )
+            parts = [keep]
+            if when_matched == "update":
+                parts.append(matched_src)
+            if when_not_matched == "insert":
+                parts.append(src.join(tgt.select(*keys), on=keys, how="left_anti"))
+            result = parts[0]
+            for p in parts[1:]:
+                result = result.unionByName(p)
     if n_ins == 0 and n_upd == 0 and n_del == 0:
         return MergeStats(0, 0, 0, 0, noop=True)
 
-    if when_matched == "update" and when_not_matched == "insert":
-        result = tgt.join(bsrc.select(*keys), on=keys, how="left_anti").unionByName(src)
-    else:
-        keep = (
-            tgt.join(bsrc.select(*keys), on=keys, how="left_anti")
-            if when_matched in ("update", "delete") else tgt
-        )
-        parts = [keep]
-        if when_matched == "update":
-            parts.append(matched_src)
-        if when_not_matched == "insert":
-            parts.append(src.join(tgt.select(*keys), on=keys, how="left_anti"))
-        result = parts[0]
-        for p in parts[1:]:
-            result = result.unionByName(p)
-
-    result = _cluster_output(result, keys, partition_col, files_per_partition)
+    result = _cluster_output(result, keys, pcols, files_per_partition)
     staged, deleted = _stage_and_commit(
-        spark, path, result, partition_col,
+        spark, path, result, pcols,
         touched=set(touched), existing_dirs=existing_dirs,
         _crash_after_swaps=_crash_after_swaps,
     )
     return MergeStats(n_ins, n_upd, n_del, staged + deleted)
 
 
-def _check_types(src: DataFrame, target: DataFrame, partition_col: str) -> None:
-    """Type gate beyond the name-set check: a silently mismatched
-    column either fails later inside unionByName with an opaque error
-    or union-coerces into a surprise type. Non-partition columns must
-    match exactly. The partition column is exempt when EITHER side is
-    string — Spark's partition inference reads string-valued dirs back
-    as date/int/string depending on content (booleans come back as the
+def _compose_conditional(
+    tgt: DataFrame,
+    src: DataFrame,
+    bsrc: DataFrame,
+    keys: list[str],
+    when_matched: str,
+    when_not_matched: str | None,
+    when_matched_condition: str | None,
+    update_cols: list[str] | None,
+) -> tuple[DataFrame, int, int]:
+    """The general matched-clause algebra (predicate-gated and/or
+    partial-column): one inner join of the touched target against the
+    broadcast source yields the matched pairs; pairs passing the
+    condition are updated (column-wise t/s mix) or deleted, pairs
+    failing it keep the target row via the anti-join complement.
+    Returns (result, n_updated, n_deleted)."""
+    pair_cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
+    pairs = tgt.alias("t").join(bsrc.alias("s"), functools.reduce(operator.and_, pair_cond), "inner")
+    hit = pairs.filter(F.expr(when_matched_condition)) if when_matched_condition else pairs
+    n_hit = hit.count()
+    hit_keys = hit.select(*[F.col(f"t.{k}").alias(k) for k in keys])
+    kept = tgt.join(hit_keys, on=keys, how="left_anti")
+    parts = [kept]
+    n_upd = n_del = 0
+    if when_matched == "update":
+        n_upd = n_hit
+        upd_set = set(update_cols) if update_cols is not None else set(src.columns)
+        updated = hit.select(*[
+            (F.col(f"s.{c}") if c in upd_set else F.col(f"t.{c}")).alias(c)
+            for c in tgt.columns
+        ])
+        parts.append(updated)
+    else:  # delete
+        n_del = n_hit
+    if when_not_matched == "insert":
+        parts.append(src.join(tgt.select(*keys), on=keys, how="left_anti"))
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    return result, n_upd, n_del
+
+
+def _check_schema(
+    src: DataFrame,
+    target: DataFrame,
+    keys: list[str],
+    pcols: list[str],
+    update_cols: list[str] | None,
+    when_not_matched: str | None,
+) -> None:
+    """Schema gate. Whole-row mode requires name-set equality; partial
+    mode (``update_cols``) accepts a narrow changes feed — keys +
+    partition cols + updated cols — unless inserts are requested, in
+    which case the source must still carry every target column (an
+    insert takes the whole source row). Beyond names, TYPES must
+    match: a silently mismatched column either fails later inside
+    unionByName with an opaque error or union-coerces into a surprise
+    type. Partition columns are exempt when EITHER side is string —
+    Spark's partition inference reads string-valued dirs back as
+    date/int/string depending on content (booleans come back as the
     on-disk strings 'true'/'false'), and the string<->inferred pairs
     coerce consistently with ``_dirname_for``'s rendition; anything
     else (e.g. date vs int) is a real mismatch."""
+    src_cols, tgt_cols = set(src.columns), set(target.columns)
+    extra = src_cols - tgt_cols
+    if extra:
+        raise ValueError(
+            f"merge source carries columns the target lacks: {sorted(extra)} — "
+            "evolve the table first (plans/evolution.py) if the widening is intended"
+        )
+    if update_cols is None or when_not_matched == "insert":
+        missing = tgt_cols - src_cols
+        if missing:
+            mode = "whole-row update" if update_cols is None else "insert clause"
+            raise ValueError(
+                f"merge source schema must match target columns ({mode} "
+                f"semantics); missing={sorted(missing)}"
+            )
+    else:
+        needed = set(keys) | set(pcols) | set(update_cols)
+        missing = needed - src_cols
+        if missing:
+            raise ValueError(f"partial-update source lacks {sorted(missing)}")
     src_t, tgt_t = dict(src.dtypes), dict(target.dtypes)
     bad = {
         c: (src_t[c], tgt_t[c])
         for c in src_t
-        if c != partition_col and c in tgt_t and src_t[c] != tgt_t[c]
+        if c not in pcols and c in tgt_t and src_t[c] != tgt_t[c]
     }
     if bad:
         raise ValueError(
             f"merge source column types differ from target: {bad} — "
             "cast the source (or evolve the table, plans/evolution.py) first"
         )
-    ps, pt = src_t[partition_col], tgt_t.get(partition_col)
-    if pt is not None and ps != pt and "string" not in (ps, pt):
-        raise ValueError(
-            f"partition column {partition_col!r} type mismatch: "
-            f"source {ps} vs target {pt} — partition pruning would "
-            "compare differently-typed values; cast the source first"
-        )
+    for c in pcols:
+        ps, pt = src_t.get(c), tgt_t.get(c)
+        if ps and pt and ps != pt and "string" not in (ps, pt):
+            raise ValueError(
+                f"partition column {c!r} type mismatch: "
+                f"source {ps} vs target {pt} — partition pruning would "
+                "compare differently-typed values; cast the source first"
+            )
 
 
 def _current_partition_nonces(path: str) -> tuple[int, dict[str, str]]:
@@ -450,7 +625,7 @@ def _stage_and_commit(
     spark: SparkSession,
     path: str,
     result: DataFrame,
-    partition_col: str,
+    pcols: list[str],
     *,
     touched: set[str],
     existing_dirs: set[str],
@@ -464,8 +639,8 @@ def _stage_and_commit(
     nonce = uuid.uuid4().hex[:12]
     staging = path.rstrip("/") + f".merge-staging-{nonce}"
     trash = path.rstrip("/") + f".merge-trash-{nonce}"
-    result.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
-    staged_dirs = set(_partition_dirs(staging, partition_col))
+    result.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
+    staged_dirs = set(_manifest.leaf_dirs(staging))
     staged_nonces = {}
     for d in staged_dirs:
         n = _manifest.new_nonce()

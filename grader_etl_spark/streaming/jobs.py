@@ -387,12 +387,15 @@ def upsert_stream(
     path: str,
     *,
     keys: list[str],
-    partition_col: str,
+    partition_col: str | None = None,
+    partition_cols: list[str] | None = None,
     order_col: str,
     checkpoint: str,
     op_col: str | None = None,
     delete_op: str = "delete",
     prune_with_source_partitions: bool = True,
+    when_matched_condition: str | None = None,
+    update_cols: list[str] | None = None,
 ):
     """Streaming UPSERT: ``foreachBatch`` + ``plans.merge.merge_into``
     — the table-maintenance composition a CDC/mutable-entity feed
@@ -427,6 +430,13 @@ def upsert_stream(
     feed metadata, not table data). A replayed delete finds no match
     and no-ops, so exactly-once is preserved.
 
+    Delta-parity clause passthrough: ``partition_cols`` (multi-column
+    layouts), ``when_matched_condition`` (e.g. ``"s.ts > t.ts"`` to
+    make stale replays/out-of-order feeds lose against the stored
+    row — it gates CDC deletes too), and ``update_cols`` (narrow
+    changes feeds that SET a column subset) flow straight through to
+    ``merge_into``.
+
     Returns the started StreamingQuery (availableNow trigger; caller
     awaits)."""
     from pyspark.sql.window import Window
@@ -443,11 +453,16 @@ def upsert_stream(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        mkw = dict(
+            keys=keys, partition_col=partition_col,
+            partition_cols=partition_cols,
+            prune_with_source_partitions=prune_with_source_partitions,
+        )
         if op_col is None:
             merge_into(
                 batch.sparkSession, path, latest,
-                keys=keys, partition_col=partition_col,
-                prune_with_source_partitions=prune_with_source_partitions,
+                when_matched_condition=when_matched_condition,
+                update_cols=update_cols, **mkw,
             )
             return
         # one materialization of the window collapse feeds BOTH merges
@@ -462,14 +477,13 @@ def upsert_stream(
             # disjoint key sets (one latest op per key): order immaterial
             merge_into(
                 batch.sparkSession, path, ups,
-                keys=keys, partition_col=partition_col,
-                prune_with_source_partitions=prune_with_source_partitions,
+                when_matched_condition=when_matched_condition,
+                update_cols=update_cols, **mkw,
             )
             merge_into(
                 batch.sparkSession, path, dels,
-                keys=keys, partition_col=partition_col,
                 when_matched="delete", when_not_matched=None,
-                prune_with_source_partitions=prune_with_source_partitions,
+                when_matched_condition=when_matched_condition, **mkw,
             )
         finally:
             latest.unpersist()

@@ -163,3 +163,37 @@ def test_upsert_stream_moved_key_with_unpruned_mode(spark, tmp_path):
     rows = _rows(spark, table)
     assert rows == {(1, "closed", "d2"), (2, "x", "d2")}
     assert sum(1 for k, _, _ in rows if k == 1) == 1  # no duplicate across partitions
+
+
+def test_upsert_stream_clause_passthrough_multi_col_newer_wins(spark, tmp_path):
+    """Round-7 passthrough: a CDC feed into a (day, src)-partitioned
+    table where stale replays must LOSE — partition_cols +
+    when_matched_condition flow through foreachBatch into merge_into.
+    Batch 2 carries an out-of-order stale row for k1 (older ts) that
+    must not clobber batch 1's newer value."""
+    schema = "k int, v string, ts timestamp, day string, src string"
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(landing)
+
+    t = lambda h: T0 + dt.timedelta(hours=h)  # noqa: E731
+    land([(1, "new", t(5), "d1", "web"), (2, "b", t(0), "d1", "app")])
+    land([(1, "stale", t(1), "d1", "web"),     # out-of-order replay: loses
+          (2, "b2", t(2), "d1", "app"),        # genuinely newer: wins
+          (3, "c", t(0), "d2", "web")])        # fresh insert
+
+    q = upsert_stream(
+        file_stream(spark, landing, spark.createDataFrame([], schema).schema,
+                    max_files_per_trigger=1),
+        table, keys=["k"], partition_cols=["day", "src"], order_col="ts",
+        checkpoint=str(tmp_path / "chk"),
+        when_matched_condition="s.ts > t.ts",
+    )
+    q.awaitTermination()
+    got = {(r.k, r.v, r.day, r.src) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, "new", "d1", "web"), (2, "b2", "d1", "app"),
+                   (3, "c", "d2", "web")}
+    import os
+    assert os.path.isdir(os.path.join(table, "day=d1", "src=web"))
