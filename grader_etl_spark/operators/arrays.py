@@ -123,11 +123,28 @@ def q_map_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survives the map round-trip exactly like the oracle's plain
     # grouped aggregate (nulls fuzz shape). Collision assumption: no
     # NATURAL event_type ever equals the sentinel — it embeds NUL
-    # bytes, which no tokenizer/ingest path emits; a natural key that
-    # did collide would be silently decoded back to NULL.
+    # bytes, which no tokenizer/ingest path emits; ENFORCED, not
+    # hoped: a natural key carrying a NUL byte raises per-row
+    # (raise_error, codegen'd) instead of being silently decoded
+    # back to NULL at the explode.
     _NK = "\x00null\x00"
+    nat = F.col("event_type")
+    encoded = (
+        F.when(nat.isNull(), F.lit(_NK))
+        .when(
+            nat.contains("\x00"),
+            F.raise_error(
+                F.concat(
+                    F.lit("q_map_algebra: natural event_type contains NUL "
+                          "(sentinel collision): "),
+                    nat,
+                )
+            ),
+        )
+        .otherwise(nat)
+    )
     per_type = ev.groupBy(
-        "user_id", F.coalesce("event_type", F.lit(_NK)).alias("event_type")
+        "user_id", encoded.alias("event_type")
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),

@@ -61,10 +61,20 @@ def _stable_double_casts(sql: str) -> str:
     BIGINT/HUGEINT (exact digits). Rewriting at registration keeps the
     519 cast sites across 150 oracles on one definition.
 
-    The one exclusion: a bare ``x`` operand — the ``list_transform``
-    element variable, always FLOAT32 in this engine — where the DIRECT
-    cast is exact widening on both engines and the varchar route would
-    instead re-round through the float's shortest decimal repr."""
+    Exclusions from the varchar route (direct cast preserved): a bare
+    ``x`` operand — the ``list_transform`` element variable, always
+    FLOAT32 in this engine, where the DIRECT cast is exact widening on
+    both engines and the varchar route would instead re-round through
+    the float's shortest decimal repr — and any operand ending in an
+    explicit ``/*exact*/`` marker comment (the opt-out for a future
+    FLOAT lambda variable with another name; relying on the name alone
+    would silently re-round it).
+
+    Scanner hardening (round 7): parentheses inside single-quoted SQL
+    string literals (with ``''`` escapes) don't count toward depth,
+    and an unbalanced CAST raises at REGISTRATION instead of silently
+    producing a mangled rewrite; tests/test_registry_smoke.py
+    additionally EXPLAINs every registered oracle against DuckDB."""
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:
@@ -75,19 +85,40 @@ def _stable_double_casts(sql: str) -> str:
         out.append(sql[i : m.start()])
         depth, k = 0, m.end() - 1
         while k < n:
-            if sql[k] == "(":
+            ch = sql[k]
+            if ch == "'":
+                # skip the quoted literal ('' is the escaped quote)
+                k += 1
+                while k < n:
+                    if sql[k] == "'":
+                        if k + 1 < n and sql[k + 1] == "'":
+                            k += 2
+                            continue
+                        break
+                    k += 1
+                if k >= n:
+                    raise ValueError(
+                        "unterminated string literal inside CAST while "
+                        f"rewriting oracle SQL near: {sql[m.start():m.start()+80]!r}"
+                    )
+            elif ch == "(":
                 depth += 1
-            elif sql[k] == ")":
+            elif ch == ")":
                 depth -= 1
                 if depth == 0:
                     break
             k += 1
+        if k >= n or depth != 0:
+            raise ValueError(
+                "unbalanced parentheses inside CAST while rewriting "
+                f"oracle SQL near: {sql[m.start():m.start()+80]!r}"
+            )
         inner = _stable_double_casts(sql[m.end() : k])
         tail = _AS_DOUBLE_TAIL.search(inner)
         if tail is not None:
             expr = inner[: tail.start()]
             es = expr.strip()
-            if es == "x" or _VARCHAR_CAST.fullmatch(es):
+            if es == "x" or es.endswith("/*exact*/") or _VARCHAR_CAST.fullmatch(es):
                 out.append(f"CAST({inner})")
             else:
                 out.append(f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)")

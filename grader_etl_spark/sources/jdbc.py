@@ -53,6 +53,44 @@ def read_table(spark: SparkSession, cfg: JdbcConfig) -> DataFrame:
     return spark.read.format("jdbc").options(**cfg.options()).load()
 
 
+# Exact missing-relation SQLSTATEs: 42X05 Derby, 42P01 Postgres,
+# 42S02 MySQL/SQLServer. Oracle reports the generic 42000 for
+# ORA-00942, so its vendor errorCode is matched instead.
+_MISSING_TABLE_SQLSTATES = {"42X05", "42P01", "42S02"}
+_MISSING_TABLE_VENDOR_CODES = {942}  # ORA-00942: table or view does not exist
+
+
+def _sql_state_and_code(e: Exception) -> tuple[str | None, int | None]:
+    """Walk the wrapped JVM exception's cause chain to the first
+    java.sql.SQLException and return its (getSQLState(),
+    getErrorCode()) EXACTLY — never by substring-sniffing the message,
+    where a transient failure whose stack trace mentions another
+    missing relation (or happens to embed '42p01') would be
+    misclassified. Returns (None, None) when no SQLException is
+    reachable (pure-Python or non-JDBC failure)."""
+    j = getattr(e, "java_exception", None)
+    if j is None:
+        # pyspark's CapturedException keeps the Py4J error under _origin
+        origin = getattr(e, "_origin", None)
+        j = getattr(origin, "java_exception", None) if origin is not None else None
+    depth = 0
+    while j is not None and depth < 16:
+        state = code = None
+        try:
+            state = j.getSQLState()
+            code = j.getErrorCode()
+        except Exception:
+            pass  # not a SQLException level: keep walking the causes
+        if state is not None:
+            return str(state), int(code) if code is not None else None
+        try:
+            j = j.getCause()
+        except Exception:
+            return None, None
+        depth += 1
+    return None, None
+
+
 def idempotent_mirror_append(
     batch: DataFrame, cfg: JdbcConfig, keys: list[str], order: list[str]
 ) -> None:
@@ -67,19 +105,25 @@ def idempotent_mirror_append(
         # Only a MISSING mirror table means first delivery (append
         # below creates it). A transient read failure must re-raise:
         # swallowing it would append the whole deduped batch and
-        # launder duplicates past the idempotence contract. The check
-        # requires BOTH the not-found phrase AND the table name in the
-        # message (Derby: "Table/View 'T' does not exist", Postgres:
-        # 'relation "t" does not exist') so unrelated failures whose
-        # stack trace merely contains "not found" re-raise.
-        msg = str(e).lower()
-        tbl = cfg.table.split(".")[-1].strip('"').strip("'").lower()
-        phrase = "does not exist" in msg or "not found" in msg
-        # dialect-spanning missing-table markers for engines whose
-        # message omits the table name: Oracle ORA-00942, SQLSTATE
-        # 42X05 (Derby), 42P01 (Postgres), 42S02 (MySQL/SQLServer)
-        coded = any(c in msg for c in ("ora-00942", "42x05", "42p01", "42s02"))
-        if not (coded or (phrase and tbl in msg)):
-            raise
+        # launder duplicates past the idempotence contract.
+        # Classification is by the underlying SQLException's EXACT
+        # SQLState/vendor code; when one is present and not a
+        # missing-relation marker we re-raise even if the message text
+        # happens to contain one. The message heuristic survives only
+        # as the fallback for exception shapes carrying no SQLState,
+        # and requires BOTH the not-found phrase AND the table name
+        # (Derby: "Table/View 'T' does not exist", Postgres:
+        # 'relation "t" does not exist').
+        state, code = _sql_state_and_code(e)
+        if state is not None or code is not None:
+            if not (state in _MISSING_TABLE_SQLSTATES
+                    or code in _MISSING_TABLE_VENDOR_CODES):
+                raise
+        else:
+            msg = str(e).lower()
+            tbl = cfg.table.split(".")[-1].strip('"').strip("'").lower()
+            phrase = "does not exist" in msg or "not found" in msg
+            if not (phrase and tbl in msg):
+                raise
         new_rows = deduped
     new_rows.write.format("jdbc").options(**cfg.options()).mode("append").save()

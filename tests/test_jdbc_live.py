@@ -100,3 +100,76 @@ def test_bad_url_surfaces_loudly(spark, tmp_path):
     batch = spark.createDataFrame([("u1",)], "user_id string")
     with pytest.raises(Exception):
         idempotent_mirror_append(batch, cfg, keys=["user_id"], order=["user_id"])
+
+
+def test_sqlstate_classification_not_fooled_by_message_text(spark, tmp_path, monkeypatch):
+    """Round-7 hardening: classification is by the underlying
+    SQLException's EXACT SQLState, so a transient failure whose
+    MESSAGE happens to contain a missing-table code or phrase
+    re-raises instead of laundering the whole batch past the
+    idempotence anti-join."""
+    import datetime as dt
+
+    from grader_etl_spark.sources import jdbc as jdbc_mod
+
+    class FakeJavaSQLException:
+        def __init__(self, state, code, cause=None):
+            self._s, self._c, self._cause = state, code, cause
+
+        def getSQLState(self):
+            return self._s
+
+        def getErrorCode(self):
+            return self._c
+
+        def getCause(self):
+            return self._cause
+
+    class FakeError(Exception):
+        def __init__(self, msg, state, code):
+            super().__init__(msg)
+            self.java_exception = FakeJavaSQLException(state, code)
+
+    batch = spark.createDataFrame(
+        [("u1", dt.datetime(2024, 1, 15, 10), "run", "ok")], SCHEMA
+    )
+    cfg = _cfg(tmp_path)
+
+    # connection failure (08006) whose message name-drops 42P01 and the
+    # not-found phrase + table name: MUST re-raise
+    poisoned = FakeError(
+        'connection dropped while checking relation "statistics" does not '
+        "exist hint 42p01 42x05", "08006", 0,
+    )
+    monkeypatch.setattr(jdbc_mod, "read_table", lambda *_: (_ for _ in ()).throw(poisoned))
+    with pytest.raises(FakeError):
+        idempotent_mirror_append(batch, cfg, keys=["user_id", "event_timestamp"],
+                                 order=["attempt_type", "oauth_consumer_key"])
+
+    # genuine missing relation by exact state: first delivery proceeds
+    # (append creates the table)
+    missing = FakeError("whatever text", "42P01", 0)
+    monkeypatch.setattr(jdbc_mod, "read_table", lambda *_: (_ for _ in ()).throw(missing))
+    idempotent_mirror_append(batch, cfg, keys=["user_id", "event_timestamp"],
+                             order=["attempt_type", "oauth_consumer_key"])
+    monkeypatch.undo()
+    assert _rows(spark, cfg) == [("u1", "2024-01-15T10:00:00", "run")]
+
+
+def test_sqlstate_walk_on_real_missing_derby_table(spark, tmp_path):
+    """The real Derby chain (SparkException -> SQLSyntaxErrorException)
+    resolves to exact SQLState 42X05."""
+    from grader_etl_spark.sources.jdbc import _sql_state_and_code
+
+    cfg = JdbcConfig(
+        url=f"jdbc:derby:{tmp_path}/probe;create=true", table="nosuchtable",
+        extra={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+    try:
+        read_table(spark, cfg).collect()
+        raise AssertionError("expected missing-table failure")
+    except AssertionError:
+        raise
+    except Exception as e:
+        assert _sql_state_and_code(e)[0] == "42X05"
+    assert _sql_state_and_code(ValueError("not found 42p01")) == (None, None)

@@ -40,3 +40,51 @@ def test_query_executes(spark, sf_dir, name):
     df = REGISTRY[name].fn(spark, sf_dir)
     assert df.columns, f"{name}: empty schema"
     df.limit(5).collect()  # plan executes end-to-end
+
+
+def test_every_rewritten_oracle_still_parses_in_duckdb(sf_dir):
+    """Round-7 hardening gate for the registration-time CAST rewriter:
+    every registered oracle (post-rewrite) must still EXPLAIN cleanly
+    against DuckDB with the driver's view set — a silently mangled
+    rewrite fails HERE with the query's name, not as an opaque driver
+    hash mismatch."""
+    import duckdb
+
+    from grader_etl_spark.io import TABLES
+    from grader_etl_spark.registry import all_oracles
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    failures = []
+    for name, sql in sorted(all_oracles().items()):
+        try:
+            con.execute("EXPLAIN " + sql)
+        except Exception as ex:
+            failures.append(f"{name}: {ex}")
+    assert not failures, "\n".join(failures)
+
+
+def test_cast_rewriter_hardening():
+    """String-literal parens don't confuse the scanner; unbalanced
+    CASTs raise at registration; /*exact*/ opts out of the varchar
+    route."""
+    import pytest
+
+    from grader_etl_spark.registry import _stable_double_casts as rw
+
+    # parens inside a quoted literal (with '' escape) are not depth
+    s = "SELECT CAST(strpos(v, '(''x))') + d AS DOUBLE) FROM t"
+    assert rw(s) == (
+        "SELECT CAST(CAST(strpos(v, '(''x))') + d AS VARCHAR) AS DOUBLE) FROM t"
+    )
+    # bare x stays direct; /*exact*/ marker stays direct
+    assert rw("CAST(x AS DOUBLE)") == "CAST(x AS DOUBLE)"
+    assert rw("CAST(y /*exact*/ AS DOUBLE)") == "CAST(y /*exact*/ AS DOUBLE)"
+    # other operands reroute
+    assert rw("CAST(y AS DOUBLE)") == "CAST(CAST(y AS VARCHAR) AS DOUBLE)"
+    # unbalanced paren raises with context instead of mangling
+    with pytest.raises(ValueError, match="unbalanced parentheses"):
+        rw("SELECT CAST(a + (b AS DOUBLE FROM t")
+    with pytest.raises(ValueError, match="unterminated string"):
+        rw("SELECT CAST(a || 'oops AS DOUBLE) FROM t")
