@@ -9,12 +9,14 @@ time (never the whole partition as rows, never the driver).
 The compressed-codec libraries (PIL/librosa/av) are NOT in this
 container, so that half of the decode kernel is gated exactly as the
 project brief directs: ``decode_image`` raises NotImplementedError
-for compressed formats unless PIL is importable. Uncompressed
-formats, though, need no codec: ``decode_image_raw`` is a REAL
-numpy-only PPM(P6)/24-bit-BMP decoder (header parse, stride padding,
-bottom-up flip, BGR→RGB), and ``decode_assets_real`` runs it through
-the same mapInPandas plumbing, pixel-verified against independent
-test-side encoders. The oracle-checked registry path keeps the
+for JPEG-class formats unless PIL is importable. Formats whose codec
+is in the standard library need no gate: ``decode_image_raw`` is a
+REAL PPM(P6)/24-bit-BMP decoder (header parse, stride padding,
+bottom-up flip, BGR→RGB) plus a full 8-bit PNG decoder (chunk walk
+with CRC checks, stdlib-zlib inflate, all five scanline unfilters —
+gray/RGB/gray+alpha/RGBA), and ``decode_assets_real`` runs them
+through the same mapInPandas plumbing, pixel-verified against
+independent test-side encoders. The oracle-checked registry path keeps the
 deterministic fake decoder (pure function of blob bytes) so the Arrow
 plumbing stays SQL-oracleable end-to-end.
 """
@@ -40,9 +42,10 @@ except ImportError:
 
 
 def decode_image(blob: bytes) -> object:
-    """Image decode: REAL for the uncompressed formats this container
-    can own outright (PPM P6, 24-bit BMP — ``decode_image_raw``,
-    numpy-only); compressed codecs (PNG/JPEG/...) remain PIL-gated.
+    """Image decode: REAL for the formats this container can own
+    outright (PPM P6, 24-bit BMP, and — round 7 — 8-bit PNG via
+    stdlib zlib; ``decode_image_raw``); only JPEG and the remaining
+    exotic variants stay PIL-gated.
 
     Exception contract: the raw path raises ValueError/struct.error;
     when PIL is present, variants the raw decoder refuses fall through
@@ -50,19 +53,20 @@ def decode_image(blob: bytes) -> object:
     UnidentifiedImageError, lazy raster errors at .load()). Operator
     kernels use ``decode_image_raw`` directly, whose contract is
     uniform."""
-    if blob[:2] in (b"P6", b"BM"):
+    if blob[:2] in (b"P6", b"BM") or blob[:8] == _PNG_MAGIC:
         try:
             return decode_image_raw(blob)
         except (ValueError, struct.error):
             if not _HAVE_PIL:
                 raise
-            # a PPM/BMP variant the raw decoder refuses (palettized,
-            # RLE, 16-bit): fall through to PIL when it is present
+            # a variant the raw decoder refuses (palettized, RLE,
+            # 16-bit, interlaced PNG): fall through to PIL if present
     if not _HAVE_PIL:
         raise NotImplementedError(
-            "compressed-image decode requires PIL; this environment ships "
-            "without codecs — PPM/BMP decode natively, other formats use "
-            "fake_decode_meta (deterministic stub) in tests/benches"
+            "JPEG/compressed-image decode requires PIL; this environment "
+            "ships without codecs — PPM/BMP/PNG decode natively, other "
+            "formats use fake_decode_meta (deterministic stub) in "
+            "tests/benches"
         )
     import io as _io
 
@@ -113,15 +117,117 @@ def _bmp_decode(blob: bytes):
     return img[..., ::-1].copy()  # BGR -> RGB
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_decode(blob: bytes):
+    """PNG decode with stdlib zlib only — no PIL. Supports the formats
+    a training-data pipeline actually stores: 8-bit depth, color types
+    0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced. Full
+    chunk walk with CRC verification (a bit-flipped chunk raises, it
+    does not decode to garbage), inflate, then per-scanline unfilter of
+    all five PNG filters (None/Sub/Up/Average/Paeth). Sub and Up are
+    vectorized (uint8 wraparound IS the mod-256 the spec asks for;
+    Sub = per-byte-lane prefix sum); Average/Paeth carry a genuine
+    sequential dependence along x and run as per-byte loops — PNG
+    rows are KB-scale, and this path exists for correctness-verified
+    ingest, not pixel-rate throughput. Returns HxWx3 uint8 RGB (alpha
+    dropped, gray replicated) — the decode_image_raw contract."""
+    import zlib
+
+    import numpy as np
+
+    if blob[:8] != _PNG_MAGIC:
+        raise ValueError(f"not a PNG payload (magic={blob[:8]!r})")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        body = blob[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(blob):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit non-interlaced PNG supported (depth={depth}, "
+            f"interlace={interlace})"
+        )
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if nch is None:
+        raise ValueError(f"palette PNG (color type {color_type}) not supported")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    stride = w * nch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG raster size mismatch")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = nch  # bytes per pixel at depth 8
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1).copy()
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: per-byte-lane prefix sum, uint8 wrap = mod 256
+            line = np.add.accumulate(line.reshape(w, bpp), axis=0, dtype=np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            line += prev
+        elif f in (3, 4):  # Average / Paeth: sequential along x
+            rec = line.astype(np.int32)
+            pr = prev.astype(np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(pr[x])
+                if f == 3:
+                    rec[x] = (rec[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(pr[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (rec[x] + pred) & 0xFF
+            line = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        img[y] = line
+        prev = img[y]
+    px = img.reshape(h, w, nch)
+    if nch == 1:
+        return np.repeat(px, 3, axis=2).copy()
+    if nch == 2:  # gray+alpha: replicate gray, drop alpha
+        return np.repeat(px[..., :1], 3, axis=2).copy()
+    if nch == 4:  # RGBA: drop alpha
+        return px[..., :3].copy()
+    return px.copy()
+
+
 def decode_image_raw(blob: bytes):
-    """REAL numpy-only decode for uncompressed formats. Returns an
-    HxWx3 uint8 RGB array; raises ValueError on anything else — the
-    operator layer maps that to NULL metadata, same as a NULL blob."""
+    """REAL codec-library-free decode: PPM(P6) and 24-bit BMP
+    (uncompressed containers) plus PNG (stdlib zlib inflate +
+    unfilter). Returns an HxWx3 uint8 RGB array; raises ValueError on
+    anything else — the operator layer maps that to NULL metadata,
+    same as a NULL blob."""
     if blob[:2] == b"P6":
         return _ppm_decode(blob)
     if blob[:2] == b"BM":
         return _bmp_decode(blob)
-    raise ValueError(f"not an uncompressed PPM/BMP payload (magic={blob[:2]!r})")
+    if blob[:8] == _PNG_MAGIC:
+        return _png_decode(blob)
+    raise ValueError(f"not a PPM/BMP/PNG payload (magic={blob[:2]!r})")
 
 
 _REAL_DECODE_SCHEMA = (

@@ -17,20 +17,22 @@ from grader_etl_spark.operators.multimodal import (
 
 @pytest.mark.skipif(_HAVE_PIL, reason="PIL present: the real decoder path applies")
 def test_decode_image_gate_raises_cleanly():
+    # PNG now decodes natively (round 7) — the gate applies to JPEG
     with pytest.raises(NotImplementedError, match="requires PIL"):
-        decode_image(b"\x89PNG\r\n\x1a\n")
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
 @pytest.mark.skipif(not _HAVE_PIL, reason="PIL absent in this container")
 def test_decode_image_real_path():
     # If a future container ships PIL, the gate must open and decode a
-    # 1x1 PNG rather than raise.
+    # 1x1 JPEG rather than raise (PNG no longer reaches PIL — the
+    # native decoder owns it).
     import io
 
     from PIL import Image
 
     buf = io.BytesIO()
-    Image.new("RGB", (1, 1)).save(buf, format="PNG")
+    Image.new("RGB", (1, 1)).save(buf, format="JPEG")
     img = decode_image(buf.getvalue())
     assert img.size == (1, 1)
 
@@ -239,3 +241,151 @@ def test_zero_frame_wav_rms_is_null_not_nan(spark):
     r = audio_features_real(assets).collect()[0]
     assert (r.sample_rate, r.channels, r.duration_s) == (8000, 1, 0.0)
     assert r.rms is None  # NULL, never NaN
+
+
+# ---------------------------------------------------------------------------
+# native PNG decode (round 7): independent test-side encoder, all five
+# scanline filters, gray/RGB/RGBA, CRC + truncation refusal
+# ---------------------------------------------------------------------------
+
+
+def _encode_png(img, filters=None, color_type=2) -> bytes:
+    """Independent PNG writer (struct+zlib only, shares no code with
+    the decoder): per-row filter choice exercises every unfilter path.
+    Prediction inputs are the RECONSTRUCTED bytes, which equal the
+    original since we encode from ground truth."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    nch = img.shape[2] if img.ndim == 3 else 1
+    flat = img.reshape(h, w * nch).astype(np.int32)
+    bpp = nch
+    raw = bytearray()
+    prev = np.zeros(w * nch, dtype=np.int32)
+    for y in range(h):
+        line = flat[y]
+        f = filters[y % len(filters)] if filters else 0
+        enc = np.zeros_like(line)
+        for x in range(len(line)):
+            a = int(line[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (int(line[x]) - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(t, body):
+        return (struct.pack(">I", len(body)) + t + body
+                + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    comp = zlib.compress(bytes(raw))
+    # split the stream across two IDAT chunks — decoders must concat
+    mid = len(comp) // 2
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", comp[:mid]) + chunk(b"IDAT", comp[mid:])
+            + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_every_filter_type():
+    import numpy as np
+
+    from grader_etl_spark.operators.multimodal import decode_image_raw
+
+    img = _test_img(w=9, h=10, seed=11)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        blob = _encode_png(img, filters=filters)
+        out = decode_image_raw(blob)
+        assert out.dtype == np.uint8 and out.shape == img.shape
+        assert (out == img).all(), f"filters={filters}"
+
+
+def test_png_rgba_and_gray_variants():
+    import numpy as np
+
+    from grader_etl_spark.operators.multimodal import decode_image_raw
+
+    rng = np.random.RandomState(3)
+    rgba = rng.randint(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    out = decode_image_raw(_encode_png(rgba, filters=[4, 2], color_type=6))
+    assert (out == rgba[..., :3]).all()
+
+    gray = rng.randint(0, 256, size=(5, 7, 1), dtype=np.uint8)
+    out = decode_image_raw(_encode_png(gray, filters=[1, 3], color_type=0))
+    assert out.shape == (5, 7, 3)
+    assert (out == np.repeat(gray, 3, axis=2)).all()
+
+    ga = rng.randint(0, 256, size=(3, 4, 2), dtype=np.uint8)
+    out = decode_image_raw(_encode_png(ga, filters=[0, 4], color_type=4))
+    assert (out == np.repeat(ga[..., :1], 3, axis=2)).all()
+
+
+def test_png_corrupt_payloads_refused():
+    import pytest as _pytest
+
+    from grader_etl_spark.operators.multimodal import decode_image_raw
+
+    blob = bytearray(_encode_png(_test_img(), filters=[1]))
+    # flip one raster bit: the chunk CRC must catch it
+    blob[60] ^= 0x01
+    with _pytest.raises(ValueError, match="CRC|truncated|raster"):
+        decode_image_raw(bytes(blob))
+    # truncation mid-chunk
+    with _pytest.raises(ValueError, match="truncated|missing"):
+        decode_image_raw(_encode_png(_test_img())[:-20])
+    # palette PNGs stay refused (PIL-gated)
+    import struct
+    import zlib
+
+    def chunk(t, body):
+        return (struct.pack(">I", len(body)) + t + body
+                + struct.pack(">I", zlib.crc32(t + body) & 0xFFFFFFFF))
+
+    pal = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+           + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="palette"):
+        decode_image_raw(pal)
+
+
+def test_decode_assets_real_handles_png_beside_ppm(spark):
+    """The mapInPandas real-decode path accepts mixed PPM/PNG payloads
+    and NULLs corrupt PNGs, with pixel-exact mean luma."""
+    import numpy as np
+
+    from grader_etl_spark.operators.multimodal import decode_assets_real
+
+    img1 = _test_img(w=4, h=3, seed=1)
+    img2 = _test_img(w=6, h=2, seed=2)
+    corrupt = _encode_png(img2)[:-22]
+    assets = spark.createDataFrame(
+        [(1, bytearray(_encode_ppm(img1))),
+         (2, bytearray(_encode_png(img2, filters=[0, 1, 2, 3, 4]))),
+         (3, bytearray(corrupt))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in decode_assets_real(assets).collect()}
+    for doc, img in ((1, img1), (2, img2)):
+        lum = (0.299 * img[..., 0].astype(np.float64)
+               + 0.587 * img[..., 1] + 0.114 * img[..., 2]).mean()
+        r = got[doc]
+        assert (r.width, r.height, r.channels) == (img.shape[1], img.shape[0], 3)
+        assert abs(r.mean_luma - float(lum)) < 1e-12
+    assert got[3].width is None and got[3].mean_luma is None
