@@ -112,6 +112,151 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RFM_DIMS = (
+    # (name, sort-order cell expression SQL, spark cell builder):
+    # cells ascend in SCORE order, so score = 1 + #cutoffs strictly
+    # below — recency ascends naturally; frequency/monetary score
+    # DESC, so their cells are negated.
+    ("r", "recency_days"),
+    ("f", "-frequency"),
+    ("m", "-CAST(FLOOR(monetary) AS BIGINT)"),
+)
+
+
+def _rfm_cuts_sql(dim: str, cell_sql: str) -> str:
+    cuts = ",\n         ".join(
+        f"MIN(CASE WHEN cm >= ({j} * n + 4) // 5 THEN cell END) AS {dim}c{j}"
+        for j in range(1, 5)
+    )
+    return f"""{dim}h AS (
+  SELECT c_mktsegment, {cell_sql} AS cell, COUNT(*) AS c
+  FROM joined GROUP BY c_mktsegment, cell
+),
+{dim}cum AS (
+  SELECT c_mktsegment, cell,
+         SUM(c) OVER (PARTITION BY c_mktsegment ORDER BY cell
+                      ROWS UNBOUNDED PRECEDING) AS cm,
+         SUM(c) OVER (PARTITION BY c_mktsegment) AS n
+  FROM {dim}h
+),
+{dim}cuts AS (
+  SELECT c_mktsegment,
+         {cuts}
+  FROM {dim}cum GROUP BY c_mktsegment
+)"""
+
+
+def _rfm_score_sql(dim: str, cell_sql: str) -> str:
+    above = "\n           + ".join(
+        f"(({cell_sql.replace('recency_days', 'j.recency_days').replace('frequency', 'j.frequency').replace('monetary', 'j.monetary')}) > {dim}c{j})::INT"
+        for j in range(1, 5)
+    )
+    return f"CAST(1 + ({above}) AS BIGINT)"
+
+
+@query(
+    "q_rfm_segments_approx",
+    oracle=f"""
+WITH base AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '{RFM_ASOF}')
+           AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS monetary
+  FROM orders
+  GROUP BY o_custkey
+), joined AS (
+  SELECT c_custkey, c_mktsegment, recency_days, frequency, monetary
+  FROM base JOIN customer ON c_custkey = o_custkey
+),
+{_rfm_cuts_sql('r', _RFM_DIMS[0][1])},
+{_rfm_cuts_sql('f', _RFM_DIMS[1][1])},
+{_rfm_cuts_sql('m', _RFM_DIMS[2][1])}
+SELECT j.c_custkey, j.c_mktsegment, j.recency_days, j.frequency, j.monetary,
+       {_rfm_score_sql('r', _RFM_DIMS[0][1])} AS r_score,
+       {_rfm_score_sql('f', _RFM_DIMS[1][1])} AS f_score,
+       {_rfm_score_sql('m', _RFM_DIMS[2][1])} AS m_score
+FROM joined j
+JOIN rcuts USING (c_mktsegment)
+JOIN fcuts USING (c_mktsegment)
+JOIN mcuts USING (c_mktsegment)
+""",
+)
+def q_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_rfm_segments' documented approx-cutoff variant, executable
+    (B10's 100 TB swap; G29b/G40b precedents): the three per-segment
+    NTILE(5) sorts — each a total order over every customer in a
+    segment — are replaced by quintile CUTOFFS derived from COMPACT
+    per-segment value histograms (recency in whole days, frequency
+    exact counts, monetary in whole dollars), then one map-side
+    score-by-comparison against the broadcast 4-cutoff rows. Nothing
+    ever sorts the customer set: histogram state is bounded by the
+    value domains, not by |customers|, which is the whole point at
+    extreme per-segment cardinality.
+
+    Bucket depth error ≤ one cell's mass (customers tied within one
+    day / one order / one dollar land in one bucket together instead
+    of splitting on the c_custkey tie-break). Like the equi-depth
+    precedent, the grid pipeline is integer-deterministic end to end,
+    so the DuckDB oracle verifies every score value-for-value — this
+    is the approx twin, not a weaker gate."""
+    od = load(spark, sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    base = od.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ASOF).cast("date"), F.max(F.to_date("o_orderdate"))
+        ).cast("long").alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = base.join(cust, base.o_custkey == cust.c_custkey).select(
+        "c_custkey", "c_mktsegment", "recency_days", "frequency", "monetary"
+    )
+    cells = {
+        "r": F.col("recency_days"),
+        "f": -F.col("frequency"),
+        "m": -F.floor("monetary").cast("long"),
+    }
+    out = joined
+    for dim, cell in cells.items():
+        hist = joined.groupBy("c_mktsegment", cell.alias("cell")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        wc = (
+            Window.partitionBy("c_mktsegment")
+            .orderBy("cell")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = hist.select(
+            "c_mktsegment",
+            "cell",
+            F.sum("c").over(wc).alias("cm"),
+            F.sum("c").over(Window.partitionBy("c_mktsegment")).alias("n"),
+        )
+        cuts = cum.groupBy("c_mktsegment").agg(
+            *[
+                F.min(
+                    F.when(F.col("cm") >= F.expr(f"({j} * n + 4) div 5"), F.col("cell"))
+                ).alias(f"{dim}c{j}")
+                for j in range(1, 5)
+            ]
+        )
+        out = out.join(F.broadcast(cuts), on="c_mktsegment")
+        score = F.lit(1) + sum(
+            (cell > F.col(f"{dim}c{j}")).cast("int") for j in range(1, 5)
+        )
+        out = out.withColumn(f"{dim}_score", score.cast("long")).drop(
+            *[f"{dim}c{j}" for j in range(1, 5)]
+        )
+    return out.select(
+        "c_custkey", "c_mktsegment", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+    )
+
+
 @query(
     "q_spearman_corr",
     oracle="""

@@ -125,3 +125,39 @@ def test_equidepth_histogram_approx_bounds_exact(spark, sf_dir):
         assert rows[b + 1]["lo"] >= rows[b]["hi"] - 1.0, (b, rows[b]["hi"], rows[b + 1]["lo"])
     mn, mx = od.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
     assert rows[1]["lo"] == mn and rows[EQUIDEPTH_BUCKETS]["hi"] == mx
+
+
+def test_rfm_segments_approx_scores_monotone_and_near_exact(spark, sf_dir):
+    """The no-per-segment-sort RFM swap (B10's 100 TB variant): all
+    three scores in 1..5, each score MONOTONE in its metric within a
+    segment (better metric never scores worse), and agreement with the
+    exact NTILE scores except where the grid lumps ties the NTILE
+    tie-break would split — so any disagreeing pair must share its
+    grid cell boundary (|Δscore| <= 1)."""
+    from grader_etl_spark.operators.insights import (
+        q_rfm_segments,
+        q_rfm_segments_approx,
+    )
+
+    exact = {r.c_custkey: r for r in q_rfm_segments(spark, sf_dir).collect()}
+    rows = q_rfm_segments_approx(spark, sf_dir).collect()
+    assert rows and len(rows) == len(exact)
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        for s in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[s] <= 5, (r.c_custkey, s)
+        by_seg.setdefault(r.c_mktsegment, []).append(r)
+        e = exact[r.c_custkey]
+        for s in ("r_score", "f_score", "m_score"):
+            assert abs(r[s] - e[s]) <= 1, (r.c_custkey, s, r[s], e[s])
+    for seg, rs in by_seg.items():
+        # monotone: sort by metric, scores must be non-decreasing in
+        # score order (recency asc, frequency desc, monetary desc)
+        for key, score, rev in (
+            (lambda x: x.recency_days, "r_score", False),
+            (lambda x: x.frequency, "f_score", True),
+            (lambda x: (x.monetary // 1), "m_score", True),
+        ):
+            ordered = sorted(rs, key=key, reverse=rev)
+            scores = [r[score] for r in ordered]
+            assert scores == sorted(scores), (seg, score)
