@@ -65,6 +65,46 @@ def build_index(spark: SparkSession, sf_dir: str, index_path: str, k: int = N_CE
     ).write.mode("overwrite").parquet(os.path.join(index_path, "_centroids"))
 
 
+def extend_index(spark: SparkSession, index_path: str, delta: DataFrame):
+    """Fold an unindexed delta INTO the stored index without
+    retraining — the rebuild increment between ``serve``'s delta-union
+    stopgap and a full ``build_index``: assign each fresh vector its
+    cell with the EXISTING centroids (the same distributed codegen
+    ``assign`` kernel the build uses), then MERGE the assigned rows
+    into the cell-partitioned corpus keyed on vec_id
+    (``plans/merge.merge_into``) — only the cells that actually
+    receive fresh vectors are rewritten (copy-on-write partition
+    swaps; untouched cell files stay byte-identical, pytest-pinned),
+    the centroid table is untouched, and serving drops back to pure
+    pruned-cell search with no delta union.
+
+    Re-ingested vec_ids UPDATE their stored embedding; the new
+    embedding can land in a different cell, so the merge runs in
+    moved-key discovery mode (one key-only corpus scan) — the old row
+    never survives as a duplicate. Centroids DRIFT as the corpus
+    grows: the retrain-drift probe (tests/test_ann_index.py) measures
+    the recall gap vs a full retrain on a shifted delta, and
+    BASELINE.md records when the gap warrants ``build_index``.
+
+    Returns the MergeStats (inserted/updated/cells rewritten)."""
+    from grader_etl_spark.plans.merge import merge_into
+
+    cent_rows = sorted(
+        spark.read.parquet(os.path.join(index_path, "_centroids")).collect(),
+        key=lambda r: r["cell"],
+    )
+    centroids = [list(r["centroid"]) for r in cent_rows]
+    fresh = valid_vectors(delta.select("vec_id", "embedding"))
+    assigned = assign(fresh, centroids).select(
+        "vec_id", "embedding", F.col("cluster").cast("int").alias("cell")
+    )
+    return merge_into(
+        spark, os.path.join(index_path, "vectors"), assigned,
+        keys=["vec_id"], partition_col="cell",
+        prune_with_source_partitions=False,
+    )
+
+
 def _probed_corpus(
     spark: SparkSession, index_path: str, queries: DataFrame, nprobe: int
 ) -> DataFrame:
