@@ -240,11 +240,18 @@ def _recover_unlocked(path: str) -> bool:
         finished = True
     # staging/trash dirs without a journal: a crash BEFORE commit —
     # the live table was never touched, the leftovers are garbage.
+    # Torn journal TMP files (the commit point is the atomic rename to
+    # the journal name; a tmp is pre-commit by definition) sweep too.
     parent, base = os.path.split(path.rstrip("/"))
     if os.path.isdir(parent or "."):
         for d in os.listdir(parent or "."):
             if d.startswith(base + ".merge-staging-") or d.startswith(base + ".merge-trash-"):
                 shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+            elif d.startswith(base + ".merge-journal.tmp-"):
+                try:
+                    os.remove(os.path.join(parent, d))
+                except OSError:
+                    pass
     return finished
 
 
@@ -649,6 +656,33 @@ def _stage_and_commit(
     # a touched partition absent from staging was emptied
     # (delete mode) — its live dir must be retired too.
     deletes = sorted(d for d in touched if d in existing_dirs and d not in staged_dirs)
+    _commit_journal(
+        spark, path, staging, trash,
+        staged_nonces=staged_nonces, deletes=deletes,
+        _crash_after_swaps=_crash_after_swaps,
+    )
+    return len(staged_dirs), len(deletes)
+
+
+def _commit_journal(
+    spark: SparkSession,
+    path: str,
+    staging: str,
+    trash: str,
+    *,
+    staged_nonces: dict[str, str],
+    deletes: list[str],
+    _crash_after_swaps: int | None,
+) -> None:
+    """The commit tail every journaled table mutation shares (merge,
+    retention's partition drops, GDPR erasure): derive the post-commit
+    manifest, write the journal ATOMICALLY (tmp + fsync + rename — a
+    crash mid-write leaves only a sweepable tmp, never a torn journal
+    that recovery would choke on; the rename is the commit point),
+    fsync the journal's dirent before the first rename, apply the
+    swaps, publish the manifest, clean up. Caller holds the store
+    lock."""
+    staged_dirs = set(staged_nonces)
     version, parts = _current_partition_nonces(path)
     post = {
         d: n for d, n in parts.items() if d not in staged_dirs and d not in set(deletes)
@@ -658,14 +692,16 @@ def _stage_and_commit(
         "staging": staging,
         "trash": trash,
         "swap": sorted(staged_dirs),
-        "delete": deletes,
+        "delete": sorted(deletes),
         "manifest": {"version": version + 1, "partitions": post},
     }
     jp = _journal_path(path)
-    with open(jp, "w") as f:
+    tmp = jp + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
         json.dump(journal, f)
         f.flush()
         os.fsync(f.fileno())
+    os.rename(tmp, jp)
     # The journal's dirent must be durable BEFORE the first rename:
     # otherwise a power loss can persist renames while losing the
     # journal, and the journal-less sweep would delete the trash dirs
@@ -679,7 +715,6 @@ def _stage_and_commit(
     # same-session readers may hold cached file listings for the
     # swapped directories; invalidate so their next plan re-lists.
     spark.catalog.refreshByPath(path)
-    return len(staged_dirs), len(deletes)
 
 
 class _InjectedCrash(RuntimeError):

@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import datetime as dt
 import os
-import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -60,15 +59,31 @@ def expire_before(spark: SparkSession, path: str, cutoff_day: str) -> DataFrame:
     (YYYY-MM-DD). Pure directory removal — no scan, no rewrite; the
     audit row reports dropped/kept partition counts and the dropped
     day range."""
+    import uuid
+
+    from grader_etl_spark.plans.merge import _commit_journal, _recover_unlocked
+
     cutoff = dt.date.fromisoformat(cutoff_day)
     days = _partition_days(path)
     dropped = [d for d in days if dt.date.fromisoformat(d) < cutoff]
     with _store_lock(path):
-        before = manifest.dir_mtimes(path) if os.path.isdir(path) else {}
-        for d in dropped:
-            shutil.rmtree(os.path.join(path, f"{PARTITION_COL}={d}"))
-        if os.path.isdir(path):
-            manifest.republish_changed(path, before)
+        _recover_unlocked(path)
+        if dropped and os.path.isdir(path):
+            # Journaled partition DROP through the same commit machinery
+            # as merge (empty staging, delete list only): a crash
+            # mid-drop rolls FORWARD on the next recover instead of
+            # leaving half the days dropped with a stale manifest —
+            # and the manifest publish is part of the same commit.
+            nonce = uuid.uuid4().hex[:12]
+            staging = path.rstrip("/") + f".merge-staging-{nonce}"
+            trash = path.rstrip("/") + f".merge-trash-{nonce}"
+            os.makedirs(staging)
+            _commit_journal(
+                spark, path, staging, trash,
+                staged_nonces={},
+                deletes=[f"{PARTITION_COL}={d}" for d in dropped],
+                _crash_after_swaps=None,
+            )
     return spark.createDataFrame(
         [
             (
@@ -90,16 +105,20 @@ def erase_users(spark: SparkSession, path: str, user_ids: list[int]) -> DataFram
 
     Plan: (1) one column-pruned scan of (user_id, partition col) with
     the tombstone set broadcast finds affected days — at scale this
-    is the only corpus-wide read and it reads two columns; (2) each
-    affected day is rewritten day-by-day with an anti-join and
-    atomically swapped in (write to a sibling temp dir, rename);
-    (3) every other partition's files are untouched. Returns the
-    audit row: rows erased, partitions rewritten, partitions
-    untouched."""
+    is the only corpus-wide read and it reads two columns; (2) ONE
+    anti-join plan over exactly those partitions is staged and
+    committed through merge's fsync'd-journal machinery (round 7 —
+    roll-forward crash recovery and the atomic manifest publish come
+    with it; previously a bespoke rename pair with a documented
+    neither-dir-exists window); (3) every other partition's files are
+    untouched. Returns the audit row: rows erased, partitions
+    rewritten, partitions untouched."""
+    from grader_etl_spark.plans.merge import _recover_unlocked, _stage_and_commit
+
     tomb = [int(u) for u in user_ids]
     days = _partition_days(path)
     with _store_lock(path):
-        before = manifest.dir_mtimes(path) if os.path.isdir(path) else {}
+        _recover_unlocked(path)
         store = spark.read.parquet(path)
         affected_rows = (
             store.select("user_id", PARTITION_COL)
@@ -109,31 +128,34 @@ def erase_users(spark: SparkSession, path: str, user_ids: list[int]) -> DataFram
             .collect()
         )
         affected = {str(r[PARTITION_COL]): r["n"] for r in affected_rows}
-        for day in sorted(affected):
-            part_dir = os.path.join(path, f"{PARTITION_COL}={day}")
-            tmp_dir = part_dir + ".__rewrite__"
-            keep = (
-                spark.read.parquet(part_dir)
+        if affected:
+            # Rewrite the affected partitions through merge's staged
+            # journaled commit (round 7): one anti-join plan over ONLY
+            # those partitions, clustered one file per day and
+            # time-sorted like the original layout, swapped in by the
+            # roll-forward-idempotent journal — replaces the bespoke
+            # rename pair whose "neither dir exists" window this
+            # module used to document, and publishes the manifest as
+            # part of the same commit. A day whose every row is erased
+            # stages empty and is retired via the journal's delete
+            # list.
+            result = (
+                store.filter(F.col(PARTITION_COL).isin(sorted(affected)))
                 .filter(~F.col("user_id").isin(tomb))
-                .sortWithinPartitions("ts")
-                .coalesce(1)
+                .repartition(F.col(PARTITION_COL))
+                # prefix the sort with the partition column so the file
+                # writer's required ordering is already satisfied and it
+                # keeps the ts order (layout contract: time-sorted row
+                # groups) even if AQE coalesces two days into one task
+                .sortWithinPartitions(PARTITION_COL, "ts")
             )
-            keep.write.mode("overwrite").parquet(tmp_dir)
-            # Atomic-ish swap: the window where neither dir exists is
-            # the rename pair below; a real lakehouse closes it with a
-            # manifest commit (Delta/Iceberg), which is the documented
-            # production swap for this whole function.
-            old_dir = part_dir + ".__old__"
-            os.rename(part_dir, old_dir)
-            os.rename(tmp_dir, part_dir)
-            shutil.rmtree(old_dir)
-            # drop the _SUCCESS marker so the partition dir stays a
-            # plain hive-style leaf
-            marker = os.path.join(part_dir, "_SUCCESS")
-            if os.path.exists(marker):
-                os.remove(marker)
-        if os.path.isdir(path):
-            manifest.republish_changed(path, before)
+            touched = {f"{PARTITION_COL}={d}" for d in affected}
+            existing = {f"{PARTITION_COL}={d}" for d in days}
+            _stage_and_commit(
+                spark, path, result, [PARTITION_COL],
+                touched=touched, existing_dirs=existing,
+                _crash_after_swaps=None,
+            )
     return spark.createDataFrame(
         [
             (

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from grader_etl_spark.io import load
@@ -97,3 +99,98 @@ def test_erase_users_rewrites_only_affected_partitions(spark, sf_dir, tmp_path):
     now = spark.read.parquet(store)
     assert now.filter(F.col("user_id").isin([int(s) for s in subjects])).count() == 0
     assert now.count() == total_before - expect_erased
+
+
+def test_expire_crash_mid_drop_rolls_forward(spark, sf_dir, tmp_path, monkeypatch):
+    """Round 7: retention drops commit through merge's journal — a
+    crash mid-drop leaves a journal that the next reader/writer rolls
+    FORWARD (all expired days gone, manifest consistent), never half
+    the days dropped with a stale manifest."""
+    from grader_etl_spark.plans import manifest as M
+    from grader_etl_spark.plans import merge as merge_mod
+    from grader_etl_spark.plans.merge import _InjectedCrash, recover
+
+    store = str(tmp_path / "store")
+    write_date_partitioned(load(spark, sf_dir, "events"), store)
+    days = _days(store)
+    assert len(days) >= 3
+    cutoff = days[2]
+
+    real_apply = merge_mod._apply_swaps
+
+    def crash_after_one(path, journal, on_step=None):
+        done = {"n": 0}
+
+        def step():
+            done["n"] += 1
+            if done["n"] > 1:
+                raise _InjectedCrash("injected")
+
+        real_apply(path, journal, on_step=step)
+
+    monkeypatch.setattr(merge_mod, "_apply_swaps", crash_after_one)
+    with pytest.raises(_InjectedCrash):
+        expire_before(spark, store, cutoff)
+    monkeypatch.undo()
+    assert os.path.exists(store + ".merge-journal")
+
+    assert recover(store) is True
+    assert _days(store) == days[2:]
+    assert M.mismatches(store) == []
+
+
+def test_erase_crash_mid_swap_rolls_forward(spark, sf_dir, tmp_path, monkeypatch):
+    from grader_etl_spark.plans import manifest as M
+    from grader_etl_spark.plans import merge as merge_mod
+    from grader_etl_spark.plans.merge import _InjectedCrash
+    from grader_etl_spark.plans.retention import erase_users
+
+    store = str(tmp_path / "store")
+    write_date_partitioned(load(spark, sf_dir, "events"), store)
+    # a subject present on >=2 days so the commit has >=2 swaps to
+    # crash between
+    user = int(
+        spark.read.parquet(store)
+        .groupBy("user_id").agg(F.countDistinct(PARTITION_COL).alias("d"))
+        .filter(F.col("d") >= 2).orderBy("user_id").limit(1)
+        .collect()[0]["user_id"]
+    )
+
+    real_apply = merge_mod._apply_swaps
+
+    def crash_after_one(path, journal, on_step=None):
+        done = {"n": 0}
+
+        def step():
+            done["n"] += 1
+            if done["n"] > 1:
+                raise _InjectedCrash("injected")
+
+        real_apply(path, journal, on_step=step)
+
+    monkeypatch.setattr(merge_mod, "_apply_swaps", crash_after_one)
+    with pytest.raises(_InjectedCrash):
+        erase_users(spark, store, [user])
+    monkeypatch.undo()
+
+    # the manifest reader completes the commit and never sees the
+    # subject again
+    df = M.read_table(spark, store)
+    assert df.filter(df.user_id == user).count() == 0
+    assert M.mismatches(store) == []
+
+
+def test_torn_journal_tmp_is_swept_not_fatal(tmp_path):
+    """A crash mid-journal-write leaves only a tmp (the rename is the
+    commit point): recovery sweeps it and reports no commit."""
+    from grader_etl_spark.plans.merge import recover
+
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "day=d1"))
+    with open(path + ".merge-journal.tmp-abc", "w") as f:
+        f.write('{"staging": "x", "trash":')  # torn JSON
+    os.makedirs(path + ".merge-staging-abc/day=d1")
+    assert recover(path) is False
+    assert not os.path.exists(path + ".merge-journal.tmp-abc")
+    assert not os.path.isdir(path + ".merge-staging-abc")
+    assert os.path.isdir(os.path.join(path, "day=d1"))  # table untouched
