@@ -49,3 +49,98 @@ def test_sorted_compaction_keeps_disjoint_ranges(spark, fragmented, tmp_path_fac
     spans = sorted((r.lo, r.hi) for r in stats)
     for (_, prev_hi), (cur_lo, _) in zip(spans, spans[1:]):
         assert cur_lo > prev_hi
+
+
+def test_compact_partitions_in_place_journaled(spark, sf_dir, tmp_path):
+    """Round 7: in-place compaction rewrites ONLY fragmented leaves
+    through the journaled commit — fragmented days collapse to one
+    file, already-compact days stay byte-identical, the row set is
+    unchanged, the manifest verifies, and a rerun no-ops."""
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    from grader_etl_spark.io import load
+    from grader_etl_spark.plans import manifest as M
+    from grader_etl_spark.plans.compaction import compact_partitions
+
+    store = str(tmp_path / "store")
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    days = sorted(r[0] for r in ev.select("event_date").distinct().collect())
+    assert len(days) >= 3
+    # day 0: written once (already compact); other days: fragmented by
+    # three append batches
+    ev.filter(F.col("event_date") == days[0]).coalesce(1) \
+        .write.partitionBy("event_date").parquet(store)
+    rest = ev.filter(F.col("event_date") != days[0])
+    for i in range(3):
+        rest.filter(F.col("user_id") % 3 == i).repartition(4) \
+            .write.mode("append").partitionBy("event_date").parquet(store)
+
+    def files(day):
+        d = _os.path.join(store, f"event_date={day}")
+        return sorted(f for f in _os.listdir(d) if f.endswith(".parquet"))
+
+    def fstate(day):
+        d = _os.path.join(store, f"event_date={day}")
+        return {f: _os.stat(_os.path.join(d, f)).st_mtime_ns for f in files(day)}
+
+    assert len(files(days[1])) > 1
+    before_d0 = fstate(days[0])
+    rows_before = {tuple(r) for r in spark.read.parquet(store).collect()}
+
+    audit = compact_partitions(spark, store, sort_cols=["ts"]).collect()[0]
+    assert audit["partitions_compacted"] == len(days) - 1
+    assert audit["partitions_untouched"] == 1
+    assert audit["files_after"] == len(days)  # one file per day now
+
+    for day in days[1:]:
+        assert len(files(day)) == 1, day
+    assert fstate(days[0]) == before_d0  # untouched day byte-identical
+    assert {tuple(r) for r in spark.read.parquet(store).collect()} == rows_before
+    assert M.mismatches(store) == []
+
+    # idempotent rerun: nothing fragmented, table untouched
+    state = {d: fstate(d) for d in days}
+    audit2 = compact_partitions(spark, store).collect()[0]
+    assert audit2["partitions_compacted"] == 0
+    assert {d: fstate(d) for d in days} == state
+
+
+def test_compact_partitions_crash_rolls_forward(spark, sf_dir, tmp_path, monkeypatch):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from grader_etl_spark.io import load
+    from grader_etl_spark.plans import manifest as M
+    from grader_etl_spark.plans import merge as merge_mod
+    from grader_etl_spark.plans.compaction import compact_partitions
+    from grader_etl_spark.plans.merge import _InjectedCrash, recover
+
+    store = str(tmp_path / "store")
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    for i in range(2):
+        ev.filter(F.col("user_id") % 2 == i).repartition(3) \
+            .write.mode("append").partitionBy("event_date").parquet(store)
+    rows_before = spark.read.parquet(store).count()
+
+    real_apply = merge_mod._apply_swaps
+
+    def crash_after_one(path, journal, on_step=None):
+        done = {"n": 0}
+
+        def step():
+            done["n"] += 1
+            if done["n"] > 1:
+                raise _InjectedCrash("injected")
+
+        real_apply(path, journal, on_step=step)
+
+    monkeypatch.setattr(merge_mod, "_apply_swaps", crash_after_one)
+    with _pytest.raises(_InjectedCrash):
+        compact_partitions(spark, store)
+    monkeypatch.undo()
+
+    assert recover(store) is True
+    assert spark.read.parquet(store).count() == rows_before
+    assert M.mismatches(store) == []
