@@ -208,7 +208,16 @@ def reader_writer_soak(laps: int) -> int:
     )
     try:
         for lap in range(1, laps + 1):
-            merge_into(spark, table, lap_src(lap), keys=["k"], partition_col="day")
+            # fan merges across up to 3 files per partition so the
+            # periodic in-place compaction below has real work; the
+            # reader's row-set invariant is blind to file layout, so a
+            # consistent read must hold across BOTH mutation kinds
+            merge_into(spark, table, lap_src(lap), keys=["k"], partition_col="day",
+                       files_per_partition=3)
+            if lap % 5 == 0:
+                from grader_etl_spark.plans.compaction import compact_partitions
+
+                compact_partitions(spark, table)
     finally:
         open(stop_file, "w").close()
     out, _ = reader.communicate(timeout=120)
