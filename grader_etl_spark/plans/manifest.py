@@ -230,29 +230,24 @@ def republish_changed(path: str, before: dict[str, int]) -> None:
 
 def ensure_consistent(path: str, timeout: float = 120.0) -> None:
     """Block until ``path`` verifies as a committed version: roll any
-    crashed commit forward, adopt a legacy table, and wait out a live
-    writer (``recover`` takes the store lock). Raises TimeoutError
-    with the outstanding mismatches if the table never settles."""
-    from grader_etl_spark.plans.merge import recover
+    crashed commit forward, adopt a legacy table, heal journal-less
+    drift, and wait out a live writer (the lock acquisition waits).
+    Raises TimeoutError with the outstanding mismatches if the table
+    never settles."""
     from grader_etl_spark.plans.pipeline import _store_lock
 
     deadline = time.monotonic() + timeout
     while True:
-        bad = mismatches(path)
-        if not bad:
-            return
-        # recover() completes a journaled commit (incl. its manifest
-        # publish) and, by taking the lock, waits for a live writer's
-        # in-flight commit to finish before we re-verify.
-        recover(path)
-        if load_manifest(path) is None:
-            with _store_lock(path):
-                if load_manifest(path) is None and not os.path.exists(
-                    _journal_path_of(path)
-                ):
-                    _adopt_unlocked(path)
         if not mismatches(path):
             return
+        # Taking the lock waits out a live writer's in-flight commit;
+        # under it, _verify_under_lock rolls forward / adopts / heals.
+        try:
+            with _store_lock(path, timeout=max(1.0, deadline - time.monotonic())):
+                _verify_under_lock(path)
+            return
+        except RuntimeError:
+            pass  # re-check below; transient only if a writer raced us
         if time.monotonic() > deadline:
             raise TimeoutError(
                 f"table at {path} did not settle to a committed version: "
@@ -278,8 +273,17 @@ def read_table(spark, path: str, timeout: float = 120.0):
 
 def _verify_under_lock(path: str) -> None:
     """Caller holds the store lock: roll a crashed commit forward,
-    adopt a legacy table, then require a verified committed version.
-    No live writer can interleave, so one pass settles or raises."""
+    adopt a legacy table, HEAL a journal-less drift, then require a
+    verified committed version. No live writer can interleave, so one
+    pass settles or raises.
+
+    The heal step: every engine rewrite (merge, retention, erasure,
+    compaction) commits through the journal, so a mismatch WITHOUT a
+    journal can only be a crashed add-only append (files landed, the
+    manifest republish didn't run) or an out-of-band writer — in both
+    cases the on-disk state IS the table, and re-stamping + publishing
+    from disk restores verifiability instead of blocking every reader
+    until the next unrelated commit."""
     bad = mismatches(path)
     if bad and os.path.exists(_journal_path_of(path)):
         from grader_etl_spark.plans.merge import _recover_unlocked
@@ -288,6 +292,9 @@ def _verify_under_lock(path: str) -> None:
         bad = mismatches(path)
     if bad and load_manifest(path) is None:
         _adopt_unlocked(path)
+        bad = mismatches(path)
+    if bad and not os.path.exists(_journal_path_of(path)):
+        republish_changed(path, {})
         bad = mismatches(path)
     if bad:
         raise RuntimeError(

@@ -236,3 +236,33 @@ def test_journal_without_manifest_key_still_recovers(tmp_path):
     assert recover(path) is True
     assert open(os.path.join(path, "day=a", "part.parquet")).read() == "new"
     assert M.load_manifest(path) is None
+
+
+def test_journal_less_drift_heals_instead_of_blocking(spark, tmp_path):
+    """A crashed add-only append (files landed, republish didn't run)
+    or an out-of-band writer leaves a mismatch with NO journal. Every
+    engine rewrite commits through the journal, so this class is safe
+    to HEAL: readers re-stamp + publish from disk instead of looping
+    to timeout."""
+    path = str(tmp_path / "t")
+    merge_into(spark, path, spark.createDataFrame([(1, "a", "d1")], SCHEMA),
+               keys=["k"], partition_col="day")
+    v1 = M.load_manifest(path)["version"]
+
+    # simulate the crashed append: a new partition dir full of data
+    # with no manifest update
+    spark.createDataFrame([(2, "b", "d2")], SCHEMA).coalesce(1) \
+        .write.mode("append").partitionBy("day").parquet(path)
+    assert M.mismatches(path) != []
+
+    df = M.read_table(spark, path, timeout=10)
+    assert _rows(df) == {(1, "a", "d1"), (2, "b", "d2")}
+    assert M.load_manifest(path)["version"] > v1
+    assert M.mismatches(path) == []
+
+    # and a stale marker (content changed without republish) heals too
+    M.mark_dir(os.path.join(path, "day=d1"), "feedfacefeed")
+    # manifest now disagrees with the marker
+    assert M.mismatches(path) != []
+    assert _rows(M.read_table(spark, path, timeout=10)) == {(1, "a", "d1"), (2, "b", "d2")}
+    assert M.mismatches(path) == []
