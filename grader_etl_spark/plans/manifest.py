@@ -307,7 +307,9 @@ class snapshot:
     across the caller's action so no writer can swap partitions out
     from under the running job. The strict reader mode; writers queue
     behind it (documented single-FS trade vs a transaction log over
-    immutable files)."""
+    immutable files). The store lock is NOT reentrant: do not call
+    merge/retention/compaction on the same table inside the block —
+    they would queue behind this snapshot until its lock timeout."""
 
     def __init__(self, spark, path: str, timeout: float = 120.0):
         self.spark, self.path, self.timeout = spark, path, timeout
