@@ -278,6 +278,10 @@ def _partition_filter(pcols: list[str], tuples) -> Column:
     partition-value tuples — equality literals on partition columns,
     so it reaches the scan as a PartitionFilter (single column folds
     to IN)."""
+    if not tuples:
+        # update/delete-only merge whose source partitions don't exist
+        # on disk: nothing can match (reduce() over [] would throw)
+        return F.lit(False)
     if len(pcols) == 1:
         return F.col(pcols[0]).isin([t[0] for t in tuples])
     preds = [

@@ -402,3 +402,19 @@ def test_clause_sequences_match_dict_model(spark, tmp_path_factory, scenario):
         assert actual == expected, f"after {op} {rows}"
     if os.path.isdir(path):
         assert M.mismatches(path) == []
+
+
+def test_multi_col_update_only_into_absent_partitions_noops(spark, tmp_path):
+    """Review regression pin: an update-only merge whose source
+    partition tuples don't exist on disk must no-op (the empty touched
+    set used to crash the multi-column partition filter)."""
+    path = str(tmp_path / "t")
+    _mtarget(spark, path)
+    src = spark.createDataFrame([(9, "x", "d9", "tv")], MSCHEMA)
+    stats = merge_into(spark, path, src, keys=["k"], partition_cols=["day", "src"],
+                       when_matched="update", when_not_matched=None)
+    assert stats.noop
+    assert _mrows(spark, path) == {
+        (1, "a", "d1", "web"), (2, "b", "d1", "app"),
+        (3, "c", "d2", "web"), (4, "d", "d2", "app"),
+    }
