@@ -92,11 +92,29 @@ def compact_partitions(
 
     from grader_etl_spark.plans import manifest as _manifest
     from grader_etl_spark.plans.merge import (
+        _SAFE_PARTITION_VALUE,
         _cluster_output,
         _recover_unlocked,
         _stage_and_commit,
     )
     from grader_etl_spark.plans.pipeline import _store_lock
+
+    def _rewritable(leaf: str) -> bool:
+        """Only leaves whose EVERY directory value provably round-trips
+        through ``cast(col as string) == value`` may be rewritten
+        in-place. NULL partitions (``__HIVE_DEFAULT_PARTITION__`` —
+        ``isNull`` on disk, matched by no equality literal) and
+        hive-percent-escaped values (``%3A`` etc. — the cast renders
+        the UNescaped value) would match zero rows, stage empty, and
+        land the leaf on the journal's delete list: the partition
+        would be silently trashed (ADVICE r7 high). Such leaves are
+        left fragmented rather than risked; merge_into refuses them
+        at write time for the same reason."""
+        for seg in leaf.split("/"):
+            v = seg.split("=", 1)[1]
+            if v == "__HIVE_DEFAULT_PARTITION__" or not _SAFE_PARTITION_VALUE.match(v):
+                return False
+        return True
 
     def _audit(compacted, untouched, before, after):
         return spark.createDataFrame(
@@ -114,7 +132,9 @@ def compact_partitions(
         budget = {
             d: max(max_files, math.ceil(b / target_bytes)) for d, (n, b) in stats.items()
         }
-        frag = sorted(d for d, (n, _b) in stats.items() if n > budget[d])
+        frag = sorted(
+            d for d, (n, _b) in stats.items() if n > budget[d] and _rewritable(d)
+        )
         if not frag:
             return _audit(0, len(leaves), sum(n for n, _ in stats.values()),
                           sum(n for n, _ in stats.values()))
@@ -143,6 +163,10 @@ def compact_partitions(
             spark, path, out, pcols,
             touched=set(frag), existing_dirs=set(leaves),
             _crash_after_swaps=None,
+            # compaction rewrites content 1:1 — a selected leaf that
+            # fails to reappear in staging means the filter missed it;
+            # abort rather than retire the partition.
+            forbid_deletes=True,
         )
         after = _leaf_file_stats(path, _manifest.leaf_dirs(path))
         return _audit(

@@ -54,6 +54,15 @@ _MARKER_PREFIX = "_content-"
 _PART_DIR = re.compile(r"^[^=/]+=[^/]*$")
 
 
+class TableInconsistentError(RuntimeError):
+    """``_verify_under_lock`` exhausted roll-forward, adoption, and
+    journal-less healing UNDER THE LOCK and the table still does not
+    verify — a terminal diagnostic, not a transient race. Distinct
+    from the lock-acquisition ``TimeoutError`` so ``ensure_consistent``
+    surfaces it immediately instead of spinning its retry loop for the
+    full timeout and masking the real failure (ADVICE r7)."""
+
+
 def new_nonce() -> str:
     return uuid.uuid4().hex[:12]
 
@@ -246,8 +255,10 @@ def ensure_consistent(path: str, timeout: float = 120.0) -> None:
             with _store_lock(path, timeout=max(1.0, deadline - time.monotonic())):
                 _verify_under_lock(path)
             return
-        except RuntimeError:
-            pass  # re-check below; transient only if a writer raced us
+        except TableInconsistentError:
+            raise  # terminal: healing under the lock failed — surface it now
+        except (TimeoutError, RuntimeError):
+            pass  # lock held by a live writer; re-check below
         if time.monotonic() > deadline:
             raise TimeoutError(
                 f"table at {path} did not settle to a committed version: "
@@ -297,7 +308,7 @@ def _verify_under_lock(path: str) -> None:
         republish_changed(path, {})
         bad = mismatches(path)
     if bad:
-        raise RuntimeError(
+        raise TableInconsistentError(
             f"table at {path} inconsistent under lock: " + "; ".join(bad)
         )
 

@@ -641,25 +641,45 @@ def _stage_and_commit(
     touched: set[str],
     existing_dirs: set[str],
     _crash_after_swaps: int | None,
+    forbid_deletes: bool = False,
 ) -> tuple[int, int]:
     """Write ``result`` to a sibling staging dir, stamp content
     nonces, journal the swap + the post-commit manifest, apply the
     swaps, publish the manifest, clean up. Shared by the update path
     and table creation. Returns (partitions swapped, partitions
-    deleted). Caller holds the store lock."""
+    deleted). Caller holds the store lock.
+
+    ``forbid_deletes``: callers whose rewrite can never legitimately
+    empty a partition (compaction rewrites content 1:1) pass True —
+    a touched leaf that fails to reappear in staging then ABORTS the
+    commit (live table untouched, staging swept) instead of landing
+    on the journal's delete list and silently trashing the partition.
+    That is the terminal guard against a partition filter that fails
+    to match its own directory value (ADVICE r7: NULL partitions,
+    hive-escaped values, cast round-trip drift)."""
     nonce = uuid.uuid4().hex[:12]
     staging = path.rstrip("/") + f".merge-staging-{nonce}"
     trash = path.rstrip("/") + f".merge-trash-{nonce}"
     result.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
     staged_dirs = set(_manifest.leaf_dirs(staging))
+    # a touched partition absent from staging was emptied
+    # (delete mode) — its live dir must be retired too.
+    deletes = sorted(d for d in touched if d in existing_dirs and d not in staged_dirs)
+    if forbid_deletes and deletes:
+        # No journal exists yet and the live table is untouched:
+        # sweeping the staging dir fully aborts.
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"staging produced no rows for touched partitions {deletes} "
+            "but the caller forbids partition retirement — the rewrite's "
+            "partition filter did not match the directory value; aborting "
+            "without touching the live table"
+        )
     staged_nonces = {}
     for d in staged_dirs:
         n = _manifest.new_nonce()
         _manifest.mark_dir(os.path.join(staging, d), n)
         staged_nonces[d] = n
-    # a touched partition absent from staging was emptied
-    # (delete mode) — its live dir must be retired too.
-    deletes = sorted(d for d in touched if d in existing_dirs and d not in staged_dirs)
     _commit_journal(
         spark, path, staging, trash,
         staged_nonces=staged_nonces, deletes=deletes,

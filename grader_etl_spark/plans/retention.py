@@ -64,10 +64,14 @@ def expire_before(spark: SparkSession, path: str, cutoff_day: str) -> DataFrame:
     from grader_etl_spark.plans.merge import _commit_journal, _recover_unlocked
 
     cutoff = dt.date.fromisoformat(cutoff_day)
-    days = _partition_days(path)
-    dropped = [d for d in days if dt.date.fromisoformat(d) < cutoff]
     with _store_lock(path):
+        # List partitions only AFTER recovery, under the lock: a merge
+        # committing in the listing→lock gap could add an expired day
+        # this run would otherwise silently miss (ADVICE r7 medium),
+        # and recovery itself can change the directory set.
         _recover_unlocked(path)
+        days = _partition_days(path)
+        dropped = [d for d in days if dt.date.fromisoformat(d) < cutoff]
         if dropped and os.path.isdir(path):
             # Journaled partition DROP through the same commit machinery
             # as merge (empty staging, delete list only): a crash
@@ -116,9 +120,13 @@ def erase_users(spark: SparkSession, path: str, user_ids: list[int]) -> DataFram
     from grader_etl_spark.plans.merge import _recover_unlocked, _stage_and_commit
 
     tomb = [int(u) for u in user_ids]
-    days = _partition_days(path)
     with _store_lock(path):
+        # Listing must follow recovery INSIDE the lock: a day added by
+        # a merge committing in the gap, all of whose rows are erased,
+        # would stage empty yet be absent from existing_dirs — never
+        # retired, tombstoned rows surviving the erasure (ADVICE r7).
         _recover_unlocked(path)
+        days = _partition_days(path)
         store = spark.read.parquet(path)
         affected_rows = (
             store.select("user_id", PARTITION_COL)

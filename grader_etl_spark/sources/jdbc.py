@@ -115,13 +115,21 @@ def idempotent_mirror_append(
         # (Derby: "Table/View 'T' does not exist", Postgres:
         # 'relation "t" does not exist').
         state, code = _sql_state_and_code(e)
+        tbl = cfg.table.split(".")[-1].strip('"').strip("'").lower()
         if state is not None or code is not None:
             if not (state in _MISSING_TABLE_SQLSTATES
                     or code in _MISSING_TABLE_VENDOR_CODES):
                 raise
+            # A missing-relation SQLState alone is not enough: the
+            # mirror read can surface a missing VIEW/synonym referenced
+            # via cfg options or a dropped dependency — treating that
+            # as first delivery would append the whole batch and
+            # launder duplicates (ADVICE r7). First delivery only when
+            # the error names the mirror table itself.
+            if tbl not in str(e).lower():
+                raise
         else:
             msg = str(e).lower()
-            tbl = cfg.table.split(".")[-1].strip('"').strip("'").lower()
             phrase = "does not exist" in msg or "not found" in msg
             if not (phrase and tbl in msg):
                 raise

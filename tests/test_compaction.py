@@ -144,3 +144,90 @@ def test_compact_partitions_crash_rolls_forward(spark, sf_dir, tmp_path, monkeyp
     assert recover(store) is True
     assert spark.read.parquet(store).count() == rows_before
     assert M.mismatches(store) == []
+
+
+def test_compact_partitions_skips_null_partition_leaf(spark, tmp_path):
+    """ADVICE r8 (high): a __HIVE_DEFAULT_PARTITION__ leaf (NULL
+    partition value, e.g. ParquetStore.append with a null timestamp)
+    can NEVER match compaction's cast-equality filter — the old code
+    staged it empty and silently trashed it via the journal's delete
+    list. It must be SKIPPED: left fragmented, files byte-identical,
+    while normal leaves still compact."""
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    from grader_etl_spark.plans import manifest as M
+    from grader_etl_spark.plans.compaction import compact_partitions
+
+    store = str(tmp_path / "store")
+    df = spark.range(200).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 2).cast("string"))
+        ).alias("k"),
+    )
+    for i in range(3):  # fragment every leaf, NULL one included
+        df.filter(F.col("id") % 3 == i).repartition(4) \
+            .write.mode("append").partitionBy("k").parquet(store)
+
+    null_leaf = _os.path.join(store, "k=__HIVE_DEFAULT_PARTITION__")
+    assert _os.path.isdir(null_leaf)
+
+    def fstate(d):
+        return {
+            f: _os.stat(_os.path.join(d, f)).st_mtime_ns
+            for f in _os.listdir(d) if f.endswith(".parquet")
+        }
+
+    null_before = fstate(null_leaf)
+    assert len(null_before) > 1  # genuinely fragmented
+    rows_before = spark.read.parquet(store).count()
+
+    audit = compact_partitions(spark, store).collect()[0]
+    assert audit["partitions_compacted"] == 2  # k0, k1 only
+    # NULL leaf survives untouched, byte-identical
+    assert fstate(null_leaf) == null_before
+    for k in ("k=k0", "k=k1"):
+        assert len(fstate(_os.path.join(store, k))) == 1
+    assert spark.read.parquet(store).count() == rows_before
+    assert M.mismatches(store) == []
+
+
+def test_stage_and_commit_forbid_deletes_aborts_not_trashes(spark, tmp_path):
+    """Terminal guard behind the skip: a selected leaf whose directory
+    value does NOT round-trip through cast(col as string) — here a
+    zero-padded int dir that Spark infers as int 7, rendering '7' ≠
+    '007' — stages empty. With forbid_deletes the commit ABORTS with
+    the live table untouched and no journal, instead of retiring the
+    partition."""
+    import os as _os
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from grader_etl_spark.plans.compaction import compact_partitions
+    from grader_etl_spark.plans.merge import _journal_path
+
+    store = str(tmp_path / "store")
+    leaf = _os.path.join(store, "k=007")
+    _os.makedirs(leaf)
+    base = spark.range(60).select(F.col("id"))
+    # three files -> fragmented -> selected for rewrite
+    for i in range(3):
+        tmp_out = str(tmp_path / f"b{i}")
+        base.filter(F.col("id") % 3 == i).coalesce(1).write.parquet(tmp_out)
+        src = next(f for f in _os.listdir(tmp_out) if f.endswith(".parquet"))
+        _os.rename(_os.path.join(tmp_out, src), _os.path.join(leaf, f"part-{i}.parquet"))
+
+    files_before = sorted(_os.listdir(leaf))
+    rows_before = spark.read.parquet(store).count()
+    with _pytest.raises(RuntimeError, match="forbids partition retirement"):
+        compact_partitions(spark, store)
+    assert sorted(f for f in _os.listdir(leaf) if f.endswith(".parquet")) == [
+        f for f in files_before if f.endswith(".parquet")
+    ]
+    assert spark.read.parquet(store).count() == rows_before
+    assert not _os.path.exists(_journal_path(store))
+    parent = _os.path.dirname(store)
+    assert not [d for d in _os.listdir(parent) if ".merge-staging-" in d]

@@ -146,9 +146,19 @@ def test_sqlstate_classification_not_fooled_by_message_text(spark, tmp_path, mon
         idempotent_mirror_append(batch, cfg, keys=["user_id", "event_timestamp"],
                                  order=["attempt_type", "oauth_consumer_key"])
 
-    # genuine missing relation by exact state: first delivery proceeds
-    # (append creates the table)
-    missing = FakeError("whatever text", "42P01", 0)
+    # missing-relation SQLState that names a DIFFERENT relation (a
+    # dropped view/synonym the mirror read depends on, not the mirror
+    # table itself): MUST re-raise — classifying it as first delivery
+    # would append the whole batch and launder duplicates (ADVICE r7)
+    other_rel = FakeError('relation "stats_view" does not exist', "42P01", 0)
+    monkeypatch.setattr(jdbc_mod, "read_table", lambda *_: (_ for _ in ()).throw(other_rel))
+    with pytest.raises(FakeError):
+        idempotent_mirror_append(batch, cfg, keys=["user_id", "event_timestamp"],
+                                 order=["attempt_type", "oauth_consumer_key"])
+
+    # genuine missing relation: exact state AND the error names the
+    # mirror table — first delivery proceeds (append creates the table)
+    missing = FakeError('relation "statistics" does not exist', "42P01", 0)
     monkeypatch.setattr(jdbc_mod, "read_table", lambda *_: (_ for _ in ()).throw(missing))
     idempotent_mirror_append(batch, cfg, keys=["user_id", "event_timestamp"],
                              order=["attempt_type", "oauth_consumer_key"])

@@ -194,3 +194,83 @@ def test_torn_journal_tmp_is_swept_not_fatal(tmp_path):
     assert not os.path.exists(path + ".merge-journal.tmp-abc")
     assert not os.path.isdir(path + ".merge-staging-abc")
     assert os.path.isdir(os.path.join(path, "day=d1"))  # table untouched
+
+
+def test_expire_lists_partitions_under_lock(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r8 (medium): the partition listing must happen INSIDE the
+    store lock, after recovery — a merge committing in the gap between
+    a pre-lock listing and lock acquisition could add an expired day
+    the run would silently keep. Simulated by having recovery (the
+    first thing expire_before does under the lock) install a
+    gap-committed expired day: the fix lists AFTER it, so the day is
+    dropped."""
+    import shutil
+
+    from grader_etl_spark.plans import merge as merge_mod
+
+    store = str(tmp_path / "store")
+    write_date_partitioned(load(spark, sf_dir, "events"), store)
+    days = _days(store)
+    cutoff = days[1]
+    real = merge_mod._recover_unlocked
+    gap = os.path.join(store, f"{PARTITION_COL}=1999-01-01")
+
+    def recover_then_gap_day(path):
+        out = real(path)
+        if not os.path.isdir(gap):
+            shutil.copytree(os.path.join(store, f"{PARTITION_COL}={days[0]}"), gap)
+        return out
+
+    monkeypatch.setattr(merge_mod, "_recover_unlocked", recover_then_gap_day)
+    audit = expire_before(spark, store, cutoff).collect()[0]
+    monkeypatch.undo()
+    assert audit["partitions_dropped"] == 2  # days[0] AND the gap day
+    assert audit["oldest_dropped"] == "1999-01-01"
+    assert "1999-01-01" not in _days(store)
+    assert _days(store) == days[1:]
+
+
+def test_erase_users_retires_gap_committed_day(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r8 (medium), erasure side: a day committed in the
+    listing→lock gap whose EVERY row belongs to the erased subject
+    must be retired — under the old pre-lock listing it stayed on disk
+    (stage-empty but absent from existing_dirs), tombstoned rows
+    surviving the GDPR erasure."""
+    import shutil as _shutil
+
+    from grader_etl_spark.plans import merge as merge_mod
+
+    store = str(tmp_path / "store")
+    events = load(spark, sf_dir, "events")
+    write_date_partitioned(events, store)
+    days = _days(store)
+    subject = events.groupBy("user_id").count().orderBy("user_id").limit(1).collect()[0][
+        "user_id"
+    ]
+
+    # Build the gap day off to the side: subject-only rows under a new date.
+    side = str(tmp_path / "side")
+    write_date_partitioned(
+        events.filter(F.col("user_id") == subject)
+        .withColumn("ts", F.expr("ts - INTERVAL 3650 DAYS")),
+        side,
+    )
+    gap_leaf = sorted(n for n in os.listdir(side) if n.startswith(f"{PARTITION_COL}="))[0]
+    gap_day = gap_leaf.split("=", 1)[1]
+    assert gap_day not in days
+
+    real = merge_mod._recover_unlocked
+
+    def recover_then_gap_day(path):
+        out = real(path)
+        if not os.path.isdir(os.path.join(store, gap_leaf)):
+            _shutil.copytree(os.path.join(side, gap_leaf), os.path.join(store, gap_leaf))
+        return out
+
+    monkeypatch.setattr(merge_mod, "_recover_unlocked", recover_then_gap_day)
+    erase_users(spark, store, [subject]).collect()
+    monkeypatch.undo()
+
+    # The all-subject gap day is RETIRED, and no subject row survives.
+    assert gap_day not in _days(store)
+    assert spark.read.parquet(store).filter(F.col("user_id") == subject).count() == 0

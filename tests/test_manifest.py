@@ -266,3 +266,28 @@ def test_journal_less_drift_heals_instead_of_blocking(spark, tmp_path):
     assert M.mismatches(path) != []
     assert _rows(M.read_table(spark, path, timeout=10)) == {(1, "a", "d1"), (2, "b", "d2")}
     assert M.mismatches(path) == []
+
+
+def test_unhealable_table_fails_fast_not_timeout(spark, tmp_path, monkeypatch):
+    """ADVICE r8 (low): when healing under the lock exhausts roll-
+    forward, adoption, and journal-less republish and the table STILL
+    does not verify, ensure_consistent must surface that terminal
+    diagnostic immediately (TableInconsistentError) — not spin its
+    50 ms retry loop for the full timeout and bury it in a generic
+    TimeoutError."""
+    import time as _time
+
+    path = str(tmp_path / "t")
+    _target(spark, path)
+    M.ensure_consistent(path)  # adopt → verified
+
+    # Drift the table, and disable the healing republish so the drift
+    # is genuinely unhealable for this test.
+    os.makedirs(os.path.join(path, "day=rogue"))
+    open(os.path.join(path, "day=rogue", "_content-deadbeef0000"), "w").close()
+    monkeypatch.setattr(M, "republish_changed", lambda *_a, **_k: None)
+
+    t0 = _time.monotonic()
+    with pytest.raises(M.TableInconsistentError, match="inconsistent under lock"):
+        M.ensure_consistent(path, timeout=60.0)
+    assert _time.monotonic() - t0 < 10.0  # fast-fail, not the 60 s spin
