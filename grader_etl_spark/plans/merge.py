@@ -68,9 +68,26 @@ and therefore see old-or-new, never a torn mid-swap listing. (Plain
 ``spark.read.parquet(path)`` still works and keeps the round-6
 documented mid-swap window; the manifest readers close it.)
 
-Concurrency: writers serialize on the same advisory ``_store_lock``
-as idempotent_append, so merge/append/merge interleavings see each
-other's commits.
+Concurrency: by default writers serialize on the same advisory
+``_store_lock`` as idempotent_append, so merge/append/merge
+interleavings see each other's commits. Round 8 adds the OPTIMISTIC
+mode (``optimistic=True``) — Delta's optimistic concurrency protocol
+rendered on the same journal machinery: the expensive phases (target
+read, merge composition, staging write) run WITHOUT the lock; the
+lock is held only for the metadata-speed commit tail (conflict check,
+journal publish, directory swaps, manifest bump). Conflicts are
+detected by comparing the touched partitions' content NONCES (and
+existence) against the snapshot taken at the start of the attempt —
+exactly Delta's "did anything I read/write change since my snapshot"
+check at partition granularity. Merges touching DISJOINT partition
+sets therefore commit concurrently; overlapping merges make the loser
+sweep its staging and RETRY from a fresh snapshot (bounded by
+``max_commit_retries``). In-flight staging directories carry their
+owner's pid in the name so a concurrent writer's recovery sweep skips
+live work and still reclaims dead writers' garbage. Same-process
+concurrency is process-granular: two optimistic writers racing the
+same table must be separate processes (the racing-writer pytest and
+the soak's writer mode run them that way).
 """
 
 from __future__ import annotations
@@ -108,10 +125,60 @@ class MergeStats:
     deleted: int
     partitions_rewritten: int
     noop: bool = False
+    commit_retries: int = 0  # optimistic mode: conflicts retried before this commit won
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """An optimistic merge lost the conflict check ``max_commit_retries``
+    times in a row — some other writer keeps committing to the same
+    partitions. The table is untouched by this merge; retry with
+    backoff or fall back to ``optimistic=False`` (queue on the lock)."""
 
 
 def _journal_path(path: str) -> str:
     return path.rstrip("/") + ".merge-journal"
+
+
+def _staging_pair(path: str) -> tuple[str, str]:
+    """Sibling staging/trash directory names for one commit attempt.
+    The OWNER PID is part of the name so a concurrent writer's
+    journal-less sweep can distinguish a live writer's in-flight
+    staging (skip) from a dead writer's garbage (reclaim)."""
+    nonce = f"{os.getpid()}-{uuid.uuid4().hex[:12]}"
+    staging = path.rstrip("/") + f".merge-staging-{nonce}"
+    trash = path.rstrip("/") + f".merge-trash-{nonce}"
+    return staging, trash
+
+
+_OWNED_SIBLING = re.compile(r"\.merge-(?:staging|trash)-(\d+)-[0-9a-f]+$")
+
+# THIS process's in-flight, pre-journal staging/trash dirs: any
+# recovery sweep running in this process (a locked merge, retention,
+# an append — or another optimistic attempt) must not reclaim them;
+# pid-liveness alone cannot protect them from our own sweeps.
+_LIVE_STAGING: set[str] = set()
+
+
+def _owned_by_live_other(name: str) -> bool:
+    """True iff ``name`` is a pid-owned staging/trash sibling whose
+    owner is a LIVE process other than us. Legacy (pid-less) names and
+    our own pid are sweepable — an in-flight commit of THIS process
+    protects its dirs explicitly via ``_recover_unlocked(keep=...)``,
+    never via pid (a crashed previous life of a recycled pid must not
+    block the sweep forever)."""
+    m = _OWNED_SIBLING.search(name)
+    if not m:
+        return False
+    pid = int(m.group(1))
+    if pid == os.getpid():
+        return False
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # alive under another uid
 
 
 def _dirname_for(partition_col: str, value) -> str:
@@ -228,7 +295,7 @@ def recover(path: str) -> bool:
         return _recover_unlocked(path)
 
 
-def _recover_unlocked(path: str) -> bool:
+def _recover_unlocked(path: str, keep: frozenset[str] | set[str] = frozenset()) -> bool:
     jp = _journal_path(path)
     finished = False
     if os.path.exists(jp):
@@ -240,16 +307,24 @@ def _recover_unlocked(path: str) -> bool:
         finished = True
     # staging/trash dirs without a journal: a crash BEFORE commit —
     # the live table was never touched, the leftovers are garbage.
-    # Torn journal TMP files (the commit point is the atomic rename to
-    # the journal name; a tmp is pre-commit by definition) sweep too.
+    # Exceptions: (a) dirs named in ``keep`` (an optimistic commit of
+    # THIS process about to journal its own staging), (b) pid-owned
+    # dirs of a LIVE other process (an optimistic writer mid-staging —
+    # its commit is pre-journal by definition, so it is not garbage
+    # yet). Torn journal TMP files (the commit point is the atomic
+    # rename to the journal name; a tmp is pre-commit by definition)
+    # sweep too.
     parent, base = os.path.split(path.rstrip("/"))
     if os.path.isdir(parent or "."):
         for d in os.listdir(parent or "."):
+            full = os.path.join(parent, d)
             if d.startswith(base + ".merge-staging-") or d.startswith(base + ".merge-trash-"):
-                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+                if full in keep or full in _LIVE_STAGING or _owned_by_live_other(d):
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
             elif d.startswith(base + ".merge-journal.tmp-"):
                 try:
-                    os.remove(os.path.join(parent, d))
+                    os.remove(full)
                 except OSError:
                     pass
     return finished
@@ -305,7 +380,10 @@ def merge_into(
     update_cols: list[str] | None = None,
     prune_with_source_partitions: bool = True,
     files_per_partition: int = 1,
+    optimistic: bool = False,
+    max_commit_retries: int = 5,
     _crash_after_swaps: int | None = None,
+    _test_before_commit=None,
 ) -> MergeStats:
     """MERGE ``source`` into the parquet table at ``path``.
 
@@ -325,8 +403,21 @@ def merge_into(
       hive partitioning (exactly one of the two).
     * Duplicate keys in ``source`` raise (Delta parity: a multi-match
       merge is ambiguous). Re-running the same merge is idempotent.
+    * ``optimistic``: run the read/compose/stage phases WITHOUT the
+      store lock and hold it only for the nonce-checked commit tail —
+      merges touching disjoint partition sets commit concurrently;
+      a conflicting commit makes this one retry from a fresh snapshot
+      up to ``max_commit_retries`` times, then raise
+      ``ConcurrentWriteConflict`` (table untouched). Requires
+      ``prune_with_source_partitions=True`` (moved-key discovery
+      reads the whole table, so its conflict set IS the whole table —
+      use the default locked mode for that). Writers racing the same
+      table must be separate processes.
     * ``_crash_after_swaps``: test hook — abort mid-commit after N
       directory swaps to exercise the journal recovery.
+    * ``_test_before_commit``: optimistic-mode test hook, called after
+      staging completes and BEFORE the commit lock is taken — the
+      window a conflicting writer would race into.
     """
     if when_matched not in ("update", "delete", None):
         raise ValueError(f"when_matched={when_matched!r}")
@@ -357,6 +448,12 @@ def merge_into(
         missing = [c for c in list(keys) + list(update_cols) if c not in source.columns]
         if missing:
             raise ValueError(f"source lacks columns needed for the partial update: {missing}")
+    if optimistic and not prune_with_source_partitions:
+        raise ValueError(
+            "optimistic merge requires prune_with_source_partitions=True: "
+            "moved-key discovery scans the whole table, so its conflict set "
+            "is every partition — use the locked mode for key-moving merges"
+        )
 
     src = source.persist()
     try:
@@ -381,6 +478,17 @@ def merge_into(
                 f"{pcols!r} to explicit sentinels first"
             )
         bsrc = F.broadcast(src) if n_src <= _BROADCAST_ROWS else src
+        if optimistic:
+            return _merge_optimistic(
+                spark, path, src, bsrc, n_src,
+                keys=keys, pcols=pcols,
+                when_matched=when_matched, when_not_matched=when_not_matched,
+                when_matched_condition=when_matched_condition,
+                update_cols=update_cols,
+                files_per_partition=files_per_partition,
+                max_commit_retries=max_commit_retries,
+                _test_before_commit=_test_before_commit,
+            )
         with _store_lock(path):
             return _merge_locked(
                 spark, path, src, bsrc, n_src,
@@ -472,6 +580,194 @@ def _merge_locked(
                if d in existing_dirs or when_not_matched == "insert"}
 
     tgt = target_all.filter(_partition_filter(pcols, list(touched.values())))
+    result, n_ins, n_upd, n_del = _compose_and_count(
+        tgt, src, bsrc, n_src, keys, when_matched, when_not_matched,
+        when_matched_condition, update_cols,
+    )
+    if n_ins == 0 and n_upd == 0 and n_del == 0:
+        return MergeStats(0, 0, 0, 0, noop=True)
+
+    result = _cluster_output(result, keys, pcols, files_per_partition)
+    staged, deleted = _stage_and_commit(
+        spark, path, result, pcols,
+        touched=set(touched), existing_dirs=existing_dirs,
+        _crash_after_swaps=_crash_after_swaps,
+    )
+    return MergeStats(n_ins, n_upd, n_del, staged + deleted)
+
+
+def _touched_conflicts(path: str, touched: set[str], observed: dict[str, str]) -> list[str]:
+    """Partitions in ``touched`` whose on-disk state no longer matches
+    the snapshot ``observed`` ({existing leaf: content nonce} at
+    observe time): existence flipped either way, or the content nonce
+    changed — i.e. some other commit touched a partition this merge
+    read or intends to write. Empty list == safe to commit."""
+    out = []
+    for d in sorted(touched):
+        abs_ = os.path.join(path, d)
+        exists = os.path.isdir(abs_)
+        if exists != (d in observed):
+            out.append(d)
+        elif exists and _manifest.dir_nonce(abs_) != observed[d]:
+            out.append(d)
+    return out
+
+
+def _merge_optimistic(
+    spark: SparkSession,
+    path: str,
+    src: DataFrame,
+    bsrc: DataFrame,
+    n_src: int,
+    *,
+    keys: list[str],
+    pcols: list[str],
+    when_matched: str | None,
+    when_not_matched: str | None,
+    when_matched_condition: str | None,
+    update_cols: list[str] | None,
+    files_per_partition: int,
+    max_commit_retries: int,
+    _test_before_commit,
+) -> MergeStats:
+    """Optimistic-concurrency commit loop (Delta's protocol at
+    partition granularity on the shared journal machinery):
+
+    1. OBSERVE under a short lock hold: recover any crashed commit,
+       stamp unmarked dirs, snapshot {leaf: nonce} + manifest version.
+    2. READ + COMPOSE + STAGE without the lock: the target side is
+       read via DIRECT paths to the touched leaf directories (never a
+       whole-table listing — a concurrent disjoint commit renaming
+       OTHER partitions mid-listing cannot fault this read), the merge
+       algebra is the same ``_compose_and_count`` the locked path
+       runs, and the result lands in a pid-owned staging sibling.
+    3. COMMIT under the lock, metadata-speed only: re-run recovery
+       (keeping our own staging), re-check every touched partition's
+       nonce against the snapshot, and either journal-swap-publish
+       (exactly ``_commit_journal``) or — on conflict — sweep our
+       staging and retry from a fresh snapshot.
+
+    A job failure during phase 2 is adjudicated against the conflict
+    check: if a touched partition changed underneath the read, the
+    failure IS the conflict (files renamed out from under in-flight
+    tasks) and the attempt retries; otherwise it is a real error and
+    re-raises."""
+    last_conflicts: list[str] = []
+    for attempt in range(max_commit_retries + 1):
+        with _store_lock(path):
+            _recover_unlocked(path)
+            _version, observed = _current_partition_nonces(path)
+        if not observed or not all(_dir_col_names(d) == pcols for d in observed):
+            # Empty/absent table (creation) or foreign layout: both are
+            # the locked path's business — creation is a one-time event
+            # with nothing to overlap, and the foreign-layout refusal
+            # should come from the single authoritative check.
+            with _store_lock(path):
+                return _merge_locked(
+                    spark, path, src, bsrc, n_src,
+                    keys=keys, pcols=pcols,
+                    when_matched=when_matched, when_not_matched=when_not_matched,
+                    when_matched_condition=when_matched_condition,
+                    update_cols=update_cols,
+                    prune_with_source_partitions=True,
+                    files_per_partition=files_per_partition,
+                    _crash_after_swaps=None,
+                )
+
+        src_tuples = [tuple(r) for r in src.select(*pcols).distinct().collect()]
+        touched = {_leaf_dirname(pcols, t): t for t in src_tuples}
+        touched = {d: v for d, v in touched.items()
+                   if d in observed or when_not_matched == "insert"}
+        staging = trash = None
+        try:
+            try:
+                tgt_dirs = sorted(d for d in touched if d in observed)
+                if tgt_dirs:
+                    tgt = (
+                        spark.read.option("basePath", path)
+                        .parquet(*[os.path.join(path, d) for d in tgt_dirs])
+                    )
+                else:
+                    template = next(iter(sorted(observed)))
+                    tgt = (
+                        spark.read.option("basePath", path)
+                        .parquet(os.path.join(path, template))
+                        .limit(0)
+                    )
+                _check_schema(src, tgt, keys, pcols, update_cols, when_not_matched)
+                result, n_ins, n_upd, n_del = _compose_and_count(
+                    tgt, src, bsrc, n_src, keys, when_matched, when_not_matched,
+                    when_matched_condition, update_cols,
+                )
+                if n_ins == 0 and n_upd == 0 and n_del == 0:
+                    return MergeStats(0, 0, 0, 0, noop=True, commit_retries=attempt)
+                result = _cluster_output(result, keys, pcols, files_per_partition)
+                staging, trash = _staging_pair(path)
+                _LIVE_STAGING.update((staging, trash))
+                result.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
+            except ValueError:
+                raise  # schema/clause violations are never conflicts
+            except Exception:
+                mid_read = _touched_conflicts(path, set(touched), observed)
+                if mid_read:
+                    # a concurrent commit moved our touched partitions
+                    # out from under the read — the failure IS the
+                    # conflict; retry from a fresh snapshot
+                    last_conflicts = mid_read
+                    if staging:
+                        shutil.rmtree(staging, ignore_errors=True)
+                    continue
+                raise
+            staged_dirs = set(_manifest.leaf_dirs(staging))
+            staged_nonces = {}
+            for d in staged_dirs:
+                n = _manifest.new_nonce()
+                _manifest.mark_dir(os.path.join(staging, d), n)
+                staged_nonces[d] = n
+            deletes = sorted(d for d in touched if d in observed and d not in staged_dirs)
+            if _test_before_commit is not None:
+                _test_before_commit(attempt)
+            with _store_lock(path):
+                _recover_unlocked(path, keep={staging, trash})
+                last_conflicts = _touched_conflicts(path, set(touched), observed)
+                if not last_conflicts:
+                    _commit_journal(
+                        spark, path, staging, trash,
+                        staged_nonces=staged_nonces, deletes=deletes,
+                        _crash_after_swaps=None,
+                    )
+                    return MergeStats(
+                        n_ins, n_upd, n_del, len(staged_dirs) + len(deletes),
+                        commit_retries=attempt,
+                    )
+            # conflict: our snapshot is stale — sweep and retry fresh
+            shutil.rmtree(staging, ignore_errors=True)
+        finally:
+            if staging:
+                _LIVE_STAGING.discard(staging)
+                _LIVE_STAGING.discard(trash)
+    raise ConcurrentWriteConflict(
+        f"optimistic merge into {path} lost the conflict check "
+        f"{max_commit_retries + 1} times; last conflicting partitions: "
+        f"{last_conflicts}"
+    )
+
+
+def _compose_and_count(
+    tgt: DataFrame,
+    src: DataFrame,
+    bsrc: DataFrame,
+    n_src: int,
+    keys: list[str],
+    when_matched: str | None,
+    when_not_matched: str | None,
+    when_matched_condition: str | None,
+    update_cols: list[str] | None,
+) -> tuple[DataFrame, int, int, int]:
+    """The merge composition over (touched target, source) — shared
+    verbatim by the locked and optimistic paths so both commit modes
+    produce identical row algebra. Returns
+    (result, n_inserted, n_updated, n_deleted)."""
     matched_src = src.join(tgt.select(*keys), on=keys, how="left_semi")
     n_matched = matched_src.count()
     n_ins = (n_src - n_matched) if when_not_matched == "insert" else 0
@@ -499,16 +795,7 @@ def _merge_locked(
             result = parts[0]
             for p in parts[1:]:
                 result = result.unionByName(p)
-    if n_ins == 0 and n_upd == 0 and n_del == 0:
-        return MergeStats(0, 0, 0, 0, noop=True)
-
-    result = _cluster_output(result, keys, pcols, files_per_partition)
-    staged, deleted = _stage_and_commit(
-        spark, path, result, pcols,
-        touched=set(touched), existing_dirs=existing_dirs,
-        _crash_after_swaps=_crash_after_swaps,
-    )
-    return MergeStats(n_ins, n_upd, n_del, staged + deleted)
+    return result, n_ins, n_upd, n_del
 
 
 def _compose_conditional(
@@ -657,9 +944,7 @@ def _stage_and_commit(
     That is the terminal guard against a partition filter that fails
     to match its own directory value (ADVICE r7: NULL partitions,
     hive-escaped values, cast round-trip drift)."""
-    nonce = uuid.uuid4().hex[:12]
-    staging = path.rstrip("/") + f".merge-staging-{nonce}"
-    trash = path.rstrip("/") + f".merge-trash-{nonce}"
+    staging, trash = _staging_pair(path)
     result.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
     staged_dirs = set(_manifest.leaf_dirs(staging))
     # a touched partition absent from staging was emptied

@@ -59,9 +59,11 @@ def expire_before(spark: SparkSession, path: str, cutoff_day: str) -> DataFrame:
     (YYYY-MM-DD). Pure directory removal — no scan, no rewrite; the
     audit row reports dropped/kept partition counts and the dropped
     day range."""
-    import uuid
-
-    from grader_etl_spark.plans.merge import _commit_journal, _recover_unlocked
+    from grader_etl_spark.plans.merge import (
+        _commit_journal,
+        _recover_unlocked,
+        _staging_pair,
+    )
 
     cutoff = dt.date.fromisoformat(cutoff_day)
     with _store_lock(path):
@@ -78,9 +80,7 @@ def expire_before(spark: SparkSession, path: str, cutoff_day: str) -> DataFrame:
             # mid-drop rolls FORWARD on the next recover instead of
             # leaving half the days dropped with a stale manifest —
             # and the manifest publish is part of the same commit.
-            nonce = uuid.uuid4().hex[:12]
-            staging = path.rstrip("/") + f".merge-staging-{nonce}"
-            trash = path.rstrip("/") + f".merge-trash-{nonce}"
+            staging, trash = _staging_pair(path)
             os.makedirs(staging)
             _commit_journal(
                 spark, path, staging, trash,

@@ -152,7 +152,50 @@ def check(records: list[dict], ckpt_dir: str | None) -> list[str]:
 # ---------------------------------------------------------------------------
 
 
-def _reader_child(table: str, stop_file: str) -> int:
+def _check_committed_state(rows: list[tuple], check: str) -> tuple[bool, dict]:
+    """Invariants every COMMITTED table state must satisfy.
+
+    ``legacy`` (one writer): both partitions carry the same max lap
+    stamp and count == 11 + max_lap.
+
+    ``writers`` (main locked writer + a second OPTIMISTIC writer
+    process): the main writer's invariant holds restricted to its key
+    space (k < 1000), and the second writer's commits are atomic —
+    its lap counter row (k=1000, day=p2) agrees with its per-lap
+    inserts (1001+lap into p2 every lap; 2000+lap into the CONTENDED
+    p0 on odd laps). A torn or lost optimistic commit breaks one of
+    these counts."""
+    if check == "legacy":
+        day_max: dict[str, int] = {}
+        for _k, lap, day in rows:
+            day_max[day] = max(day_max.get(day, -1), lap)
+        laps = set(day_max.values())
+        ok = len(laps) == 1 and len(rows) == 11 + max(laps)
+        return ok, {"count": len(rows), "laps": sorted(laps)}
+    main = [(k, lap, day) for k, lap, day in rows if k < 1000]
+    day_max = {}
+    for _k, lap, day in main:
+        day_max[day] = max(day_max.get(day, -1), lap)
+    main_laps = {m for d, m in day_max.items() if d in ("p0", "p1")}
+    ok = len(main_laps) == 1 and len(main) == 11 + max(main_laps)
+    w2 = [(k, lap, day) for k, lap, day in rows if k >= 1000]
+    info = {"count": len(rows), "main_laps": sorted(main_laps)}
+    if w2:
+        counter = [lap for k, lap, d in w2 if k == 1000 and d == "p2"]
+        p2_ins = [(k, d) for k, lap, d in w2 if 1000 < k < 2000]
+        p0_ins = [(k, lap, d) for k, lap, d in w2 if k >= 2000]
+        ok = ok and len(counter) == 1
+        if counter:
+            l2 = counter[0]
+            ok = ok and len(p2_ins) == l2 + 1
+            ok = ok and all(d == "p2" for _k, d in p2_ins)
+            ok = ok and len(p0_ins) == (l2 + 1) // 2
+            ok = ok and all(d == "p0" for _k, _l, d in p0_ins)
+            info["w2_lap"] = l2
+    return ok, info
+
+
+def _reader_child(table: str, stop_file: str, check: str = "legacy") -> int:
     import duckdb
 
     from grader_etl_spark.plans.manifest import locked_parquet_files
@@ -161,20 +204,14 @@ def _reader_child(table: str, stop_file: str) -> int:
     while not os.path.exists(stop_file):
         try:
             with locked_parquet_files(table) as files:
-                day_max = duckdb.sql(
-                    "SELECT day, max(lap) AS m FROM read_parquet(?, hive_partitioning=1) GROUP BY day",
+                rows = duckdb.sql(
+                    "SELECT k, lap, day FROM read_parquet(?, hive_partitioning=1)",
                     params=[files],
                 ).fetchall()
-                count = duckdb.sql(
-                    "SELECT count(*) FROM read_parquet(?)", params=[files]
-                ).fetchone()[0]
         except FileNotFoundError:
             continue  # table not created yet
-        laps = {m for _, m in day_max}
-        # lap 0 creates 11 rows (10 fixed keys + 1 new); each later lap
-        # upserts the 10 and inserts exactly one more
-        ok = len(laps) == 1 and count == 11 + max(laps)
-        print(json.dumps({"count": count, "laps": sorted(laps), "ok": ok}), flush=True)
+        ok, info = _check_committed_state(rows, check)
+        print(json.dumps({**info, "ok": ok}), flush=True)
         if not ok:
             return 1
         n_reads += 1
@@ -183,7 +220,32 @@ def _reader_child(table: str, stop_file: str) -> int:
     return 0 if n_reads > 0 else 1
 
 
-def reader_writer_soak(laps: int) -> int:
+def _writer2_child(table: str, laps: int) -> int:
+    """The second writer: OPTIMISTIC merges from a separate process.
+    Even laps touch only its private partition p2 (disjoint — should
+    commit concurrently with the main writer); odd laps also insert
+    into the main writer's contended p0 (overlap — the conflict check
+    makes somebody retry). Prints total commit retries observed."""
+    from grader_etl_spark.plans.merge import merge_into
+    from grader_etl_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    spark = get_spark(app_name="grader-etl-spark-soak-writer2")
+    spark.sparkContext.setLogLevel("ERROR")
+    retries = 0
+    for lap in range(laps):
+        rows = [(1000, lap, "p2"), (1001 + lap, lap, "p2")]
+        if lap % 2 == 1:
+            rows.append((2000 + lap, lap, "p0"))
+        src = spark.createDataFrame(rows, "k int, lap int, day string")
+        st = merge_into(spark, table, src, keys=["k"], partition_col="day",
+                        optimistic=True, max_commit_retries=50)
+        retries += st.commit_retries
+    print(json.dumps({"writer2_laps": laps, "writer2_retries": retries}), flush=True)
+    return 0
+
+
+def reader_writer_soak(laps: int, writers: bool = False) -> int:
     import subprocess
 
     from grader_etl_spark.plans.merge import merge_into
@@ -201,11 +263,23 @@ def reader_writer_soak(laps: int) -> int:
         return spark.createDataFrame(rows, "k int, lap int, day string")
 
     merge_into(spark, table, lap_src(0), keys=["k"], partition_col="day")
+    check = "writers" if writers else "legacy"
     reader = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--mode", "reader-child",
-         "--table", table, "--stop-file", stop_file],
+         "--table", table, "--stop-file", stop_file, "--check", check],
         stdout=subprocess.PIPE, text=True, cwd=_REPO,
     )
+    writer2 = None
+    if writers:
+        # second writer: a separate process running OPTIMISTIC merges —
+        # disjoint (its own p2) on even laps, contending for p0 on odd
+        # laps — while this process keeps its locked laps going.
+        writer2 = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--mode", "writer2-child",
+             "--table", table, "--laps", str(laps)],
+            stdout=subprocess.PIPE, text=True, cwd=_REPO,
+        )
+    w2_out = None
     try:
         for lap in range(1, laps + 1):
             # fan merges across up to 3 files per partition so the
@@ -218,21 +292,50 @@ def reader_writer_soak(laps: int) -> int:
                 from grader_etl_spark.plans.compaction import compact_partitions
 
                 compact_partitions(spark, table)
+        if writer2 is not None:
+            w2_out, _ = writer2.communicate(timeout=600)
     finally:
+        if writer2 is not None and writer2.returncode is None:
+            writer2.kill()
         open(stop_file, "w").close()
     out, _ = reader.communicate(timeout=120)
     lines = [json.loads(ln) for ln in out.splitlines() if ln.strip()]
     reads = [ln for ln in lines if "count" in ln]
     bad = [ln for ln in reads if not ln["ok"]]
     verdict = {
-        "mode": "readers",
+        "mode": check if writers else "readers",
         "writer_laps": laps,
         "reader_reads": len(reads),
         "inconsistent_reads": len(bad),
         "reader_exit": reader.returncode,
     }
-    print(json.dumps(verdict), flush=True)
     ok = reader.returncode == 0 and not bad and len(reads) > 0
+    if writers:
+        w2 = json.loads(w2_out.strip().splitlines()[-1]) if w2_out else {}
+        verdict.update(w2)
+        verdict["writer2_exit"] = writer2.returncode
+        ok = ok and writer2.returncode == 0
+        # end-state: every row from BOTH writers present, committed,
+        # verified, no staging residue
+        from grader_etl_spark.plans import manifest as M
+
+        spark.catalog.refreshByPath(table)
+        final = {(r.k, r.lap, r.day) for r in spark.read.parquet(table).collect()}
+        missing = []
+        for lap in range(laps):
+            if (1001 + lap, lap, "p2") not in final:
+                missing.append(1001 + lap)
+            if lap % 2 == 1 and (2000 + lap, lap, "p0") not in final:
+                missing.append(2000 + lap)
+        verdict["lost_writer2_rows"] = missing
+        verdict["manifest_mismatches"] = M.mismatches(table)
+        orphans = [
+            d for d in os.listdir(root)
+            if ".merge-staging-" in d or ".merge-trash-" in d
+        ]
+        verdict["orphan_dirs"] = orphans
+        ok = ok and not missing and not verdict["manifest_mismatches"] and not orphans
+    print(json.dumps(verdict), flush=True)
     print(f"RW-SOAK {'PASS' if ok else 'FAIL'}", flush=True)
     for ln in bad:
         print("  inconsistent read: " + json.dumps(ln), flush=True)
@@ -244,16 +347,24 @@ def main() -> int:
     ap.add_argument("--laps", type=int, default=3)
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--profile", choices=("local", "reliable", "both"), default="both")
-    ap.add_argument("--mode", choices=("session", "readers", "reader-child"),
+    ap.add_argument("--mode",
+                    choices=("session", "readers", "writers", "reader-child",
+                             "writer2-child"),
                     default="session")
-    ap.add_argument("--table", help="(reader-child) table path")
+    ap.add_argument("--table", help="(reader-child/writer2-child) table path")
     ap.add_argument("--stop-file", help="(reader-child) exit when this file appears")
+    ap.add_argument("--check", choices=("legacy", "writers"), default="legacy",
+                    help="(reader-child) which committed-state invariant to check")
     args = ap.parse_args()
 
     if args.mode == "reader-child":
-        return _reader_child(args.table, args.stop_file)
+        return _reader_child(args.table, args.stop_file, check=args.check)
+    if args.mode == "writer2-child":
+        return _writer2_child(args.table, args.laps)
     if args.mode == "readers":
         return reader_writer_soak(laps=max(args.laps, 15))
+    if args.mode == "writers":
+        return reader_writer_soak(laps=max(args.laps, 15), writers=True)
 
     profiles = ["local", "reliable"] if args.profile == "both" else [args.profile]
     failures: list[str] = []
