@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from grader_etl_spark.io import load
+from grader_etl_spark.io import fan_out, load
 from grader_etl_spark.registry import query
 from grader_etl_spark.functions.quantize import floor_quantize
 
@@ -92,7 +92,10 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped scale variant is `q_approx_percentiles` (GK sketch,
     mergeable, single pass) — exact percentile must materialize each
     group's values."""
-    li = load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    # fan_out: the percentile buffer build (every value collected per
+    # group) otherwise runs on the one-row-group scan's 1-3 tasks;
+    # partial buffers from 2×cores tasks merge once. No-op at scale.
+    li = fan_out(load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"]))
     ps = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return (
         li.groupBy("l_returnflag")
@@ -192,7 +195,10 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     1%, and GK sketch cost scales with accuracy — 10× cheaper for
     the same guarantee. tests/test_approx.py additionally checks the
     tight n/accuracy rank bound at accuracy 10k on its own sketch."""
-    li = load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    # fan_out: both passes (exact percentile buffer + GK sketch, then
+    # the rank-count audit) are per-row-heavy aggregations pinned to
+    # the one-row-group scan's 1-3 tasks without it. No-op at scale.
+    li = fan_out(load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"]))
     p_ranks = ((1, 0.5), (2, 0.9), (3, 0.99))
     exact = F.percentile(
         "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))

@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from grader_etl_spark.io import load
+from grader_etl_spark.io import fan_out, load
 from grader_etl_spark.registry import query
 from grader_etl_spark.functions.quantize import floor_quantize
 
@@ -220,37 +220,58 @@ def q_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f": -F.col("frequency"),
         "m": -F.floor("monetary").cast("long"),
     }
-    out = joined
+    # ONE histogram pass for all three dimensions (was three: each dim
+    # re-derived base⋈customer and ran its own agg + two windows + its
+    # own broadcast join — 17 exchanges, 4 evaluations of the joined
+    # subtree). The three (dim, cell) readings explode map-side from
+    # one row, the per-(segment, dim) histogram/cumulative/cutoff
+    # algebra is UNCHANGED (same values, per dim), and the three
+    # 4-cutoff rows pivot into one per-segment row joined back once.
+    trip = joined.select(
+        "c_mktsegment",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dim).alias("dim"), cell.cast("long").alias("cell"))
+                    for dim, cell in cells.items()
+                ]
+            )
+        ).alias("t"),
+    ).select("c_mktsegment", "t.dim", "t.cell")
+    hist = trip.groupBy("c_mktsegment", "dim", "cell").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = (
+        Window.partitionBy("c_mktsegment", "dim")
+        .orderBy("cell")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "c_mktsegment",
+        "dim",
+        "cell",
+        F.sum("c").over(wc).alias("cm"),
+        F.sum("c").over(Window.partitionBy("c_mktsegment", "dim")).alias("n"),
+    )
+    cuts_long = cum.groupBy("c_mktsegment", "dim").agg(
+        *[
+            F.min(
+                F.when(F.col("cm") >= F.expr(f"({j} * n + 4) div 5"), F.col("cell"))
+            ).alias(f"c{j}")
+            for j in range(1, 5)
+        ]
+    )
+    cuts = (
+        cuts_long.groupBy("c_mktsegment")
+        .pivot("dim", list(cells))
+        .agg(*[F.first(f"c{j}").alias(f"c{j}") for j in range(1, 5)])
+    )
+    out = joined.join(F.broadcast(cuts), on="c_mktsegment")
     for dim, cell in cells.items():
-        hist = joined.groupBy("c_mktsegment", cell.alias("cell")).agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        wc = (
-            Window.partitionBy("c_mktsegment")
-            .orderBy("cell")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        cum = hist.select(
-            "c_mktsegment",
-            "cell",
-            F.sum("c").over(wc).alias("cm"),
-            F.sum("c").over(Window.partitionBy("c_mktsegment")).alias("n"),
-        )
-        cuts = cum.groupBy("c_mktsegment").agg(
-            *[
-                F.min(
-                    F.when(F.col("cm") >= F.expr(f"({j} * n + 4) div 5"), F.col("cell"))
-                ).alias(f"{dim}c{j}")
-                for j in range(1, 5)
-            ]
-        )
-        out = out.join(F.broadcast(cuts), on="c_mktsegment")
         score = F.lit(1) + sum(
-            (cell > F.col(f"{dim}c{j}")).cast("int") for j in range(1, 5)
+            (cell.cast("long") > F.col(f"{dim}_c{j}")).cast("int") for j in range(1, 5)
         )
-        out = out.withColumn(f"{dim}_score", score.cast("long")).drop(
-            *[f"{dim}c{j}" for j in range(1, 5)]
-        )
+        out = out.withColumn(f"{dim}_score", score.cast("long"))
     return out.select(
         "c_custkey", "c_mktsegment", "recency_days", "frequency", "monetary",
         "r_score", "f_score", "m_score",
@@ -1307,9 +1328,14 @@ def q_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio is one float division of identical decimals, rounded 4 dp.
     First year per nation reports NULL growth (no prior), matching
     SQL LAG semantics."""
-    li = load(
-        spark, sf_dir, "lineitem",
-        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    # fan_out: the fact-spine join and the per-row decimal revenue
+    # products otherwise run on the one-row-group scan's 1-3 tasks;
+    # no-op at scale.
+    li = fan_out(
+        load(
+            spark, sf_dir, "lineitem",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
     )
     orders = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
     cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])

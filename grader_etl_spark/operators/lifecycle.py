@@ -28,7 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from grader_etl_spark.io import load
+from grader_etl_spark.io import fan_out, load
 from grader_etl_spark.registry import query
 from grader_etl_spark.functions.quantize import floor_quantize
 
@@ -279,7 +279,14 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     stddev_pop spelling took a different FP path than DuckDB's Welford
     corr). Zero-variance guard is the same CASE predicate both sides.
     Rounded to 6 dp."""
-    li = load(spark, sf_dir, "lineitem", columns=list(_CORR_COLS)).select(
+    # fan_out BEFORE the decimal casts: the fixture is one parquet row
+    # group (unsplittable), so the 15 BigDecimal multiply+sum partials
+    # otherwise run on the scan's 1-3 tasks while every other core
+    # idles (measured 2.0→1.2 s at sf0.1); the exchange ships 8-byte
+    # doubles, the casts run on the scattered side. Guarded no-op on a
+    # many-split table at scale. Sums are exact decimal, so the result
+    # is partition-count-invariant.
+    li = fan_out(load(spark, sf_dir, "lineitem", columns=list(_CORR_COLS))).select(
         *[F.col(c).cast("decimal(19,4)").alias(c) for c in _CORR_SORTED]
     )
     aggs = [F.count(F.lit(1)).cast("double").alias("k"), F.count("*").alias("n")]

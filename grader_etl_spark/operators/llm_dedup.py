@@ -397,7 +397,11 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verification is too expensive."""
     sh = shingled_docs(spark, sf_dir)
     idx = _df_ordered_arrays(sh)
-    cand = prefix_filtered_candidates(sh, *_JACCARD_TAU)
+    # fan_out: AQE coalesces the MiB-scale candidate pairs to ~1
+    # partition, single-tasking the per-pair array_intersect verify
+    # (q_containment_dup measurement); scattering the 16-byte pairs is
+    # near-free. Guarded no-op at volume.
+    cand = fan_out(prefix_filtered_candidates(sh, *_JACCARD_TAU))
     # Verify on the index's INT64 id arrays (injective dictionary, so
     # |ids_1 ∩ ids_2| IS |A∩B| exactly); both sides are |docs|-row
     # frames (MiB-scale) broadcast so the candidate frame never
@@ -975,7 +979,14 @@ def q_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive directed all-pairs semantics, proving parity."""
     sh = shingled_docs(spark, sf_dir)
     idx = _df_ordered_arrays(sh)
-    cand = containment_prefix_candidates(sh, 3, 5)  # 0.6 = 3/5 exact
+    # fan_out the candidate pairs before verification: the pair table
+    # is MiB-scale here, so AQE coalesces the distinct's output to ~1
+    # partition and the whole verify stage (two hash-relation probes +
+    # one array_intersect per pair) runs on one core (measured 2.9 s of
+    # the query's 3.6 s at sf0.1). Scattering the 16-byte pairs is
+    # near-free and parallelizes the per-pair kernel; guarded no-op
+    # once the pair table has real volume.
+    cand = fan_out(containment_prefix_candidates(sh, 3, 5))  # 0.6 = 3/5 exact
     # Verify on the index's int64 id arrays (injective dictionary —
     # counts are exact); broadcast the |docs|-row sides.
     s1 = idx.select(F.col("doc_id").alias("doc_id_1"), F.col("sz").alias("sz_a"), F.col("ids").alias("ids_1"))
@@ -992,15 +1003,24 @@ def q_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("overlap") > 0)
     )
+    # Both directed readings explode MAP-SIDE from the one undirected
+    # row. The previous unionByName duplicated the `inter` subtree in
+    # the physical plan (no exchange between inter and the union, so
+    # nothing reuses it): every candidate's array_intersect ran TWICE.
     directed = inter.select(
-        F.col("id_a").alias("src_doc"), F.col("id_b").alias("dst_doc"),
-        "overlap", F.col("sz_a").alias("src_sz"),
-    ).unionByName(
-        inter.select(
-            F.col("id_b").alias("src_doc"), F.col("id_a").alias("dst_doc"),
-            "overlap", F.col("sz_b").alias("src_sz"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_doc"), F.col("id_b").alias("dst_doc"),
+                    F.col("overlap").alias("overlap"), F.col("sz_a").alias("src_sz"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_doc"), F.col("id_a").alias("dst_doc"),
+                    F.col("overlap").alias("overlap"), F.col("sz_b").alias("src_sz"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.src_doc", "d.dst_doc", "d.overlap", "d.src_sz")
     return (
         directed.withColumn(
             "containment", F.col("overlap").cast("double") / F.col("src_sz")
