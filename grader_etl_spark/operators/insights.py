@@ -1603,9 +1603,13 @@ def q_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL through the same grouped aggregate (order-independent,
     bit-equal cross-engine); the ratio is one float division of
     identical decimals, rounded 6 dp."""
-    li = load(
-        spark, sf_dir, "lineitem",
-        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    # fan_out: broadcast join + two decimal-product sums otherwise run
+    # on the one-row-group scan's 1-3 tasks (q_corr_matrix discipline).
+    li = fan_out(
+        load(
+            spark, sf_dir, "lineitem",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
     )
     part = load(spark, sf_dir, "part", columns=["p_partkey", "p_brand", "p_retailprice"])
     dec = "decimal(18,2)"

@@ -57,6 +57,26 @@ def get_spark(app_name: str = "grader-etl-spark", master: str | None = None) -> 
         # --- planner / runtime -------------------------------------------
         .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory target size when coalescing instead of
+        # maximizing parallelism (the Spark docs' recommended setting:
+        # "it's recommended to set this config to false and respect the
+        # configured target size"). With parallelismFirst=true every
+        # MB-scale exchange fans out to minPartitionSize-bounded
+        # micro-tasks whose scheduling overhead dominates small stages
+        # (measured ~0.1 s/query across the suite's tail at sf0.1).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Advisory post-shuffle partition size. Scale-dependent knob,
+        # env-parameterised (optimization guide §2.2/§9): production
+        # clusters want 64-256m so reducers get real volume; this
+        # host's bench shuffles are MB-scale, where 64m would coalesce
+        # CPU-heavy stages (per-pair verify kernels, decimal moment
+        # partials, window sorts) to a SINGLE task — a bytes-based
+        # heuristic blind to per-row cost. 4m keeps those stages on
+        # ~cores tasks locally and is still volume-respecting.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY", "4m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(_shuffle_partitions(cpus)))
         .config("spark.default.parallelism", str(max(cpus, 8)))
