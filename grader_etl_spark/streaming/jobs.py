@@ -287,13 +287,16 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "appe
     """Execute a streaming plan to completion over currently-available
     data (availableNow trigger) into an in-memory table — the test
     harness's sink; production uses foreachBatch/parquet instead."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from grader_etl_spark.session import stream_start_conf
+
+    with stream_start_conf(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return q
 
@@ -488,9 +491,12 @@ def upsert_stream(
         finally:
             latest.unpersist()
 
-    return (
-        stream_df.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from grader_etl_spark.session import stream_start_conf
+
+    with stream_start_conf(stream_df.sparkSession):
+        return (
+            stream_df.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

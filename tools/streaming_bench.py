@@ -59,13 +59,16 @@ def _stream(spark, path: str, schema):
 
 
 def _run(job_name: str, stream_df, output_mode: str = "append") -> dict:
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(f"bench_{job_name}")
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    from grader_etl_spark.session import stream_start_conf
+
+    with stream_start_conf(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(f"bench_{job_name}")
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
     t0 = time.perf_counter()
     q.awaitTermination()
     wall = time.perf_counter() - t0
