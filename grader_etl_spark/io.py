@@ -11,6 +11,7 @@ for readability, not necessity.
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -59,7 +60,7 @@ def load(spark: SparkSession, sf_dir: str, table: str, columns: list[str] | None
     return df
 
 
-def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
+def fan_out(df: DataFrame, parts: int | None = None, max_bytes: int | None = None) -> DataFrame:
     """Scatter a narrow scan before a CPU-heavy per-row kernel
     (shingling, rolling hashes, signature computation).
 
@@ -71,9 +72,32 @@ def fan_out(df: DataFrame, parts: int | None = None) -> DataFrame:
     after scattering its probe side). The guard keeps the exchange out
     of plans that don't need it; when it fires, it moves only the
     pruned scan columns once — negligible against the kernel cost it
-    unblocks."""
+    unblocks.
+
+    ``max_bytes`` adds a SIZE gate for the constant-shuffle aggregate
+    class (round-4 audit / tests/test_shuffle_contract.py): those
+    queries' exchanges must carry O(groups), never O(rows), so an
+    unconditional scatter would change their scale class whenever the
+    partition guard fires. With the gate the scatter only fires while
+    the (column-pruned) input stats sit under an ABSOLUTE byte cap —
+    the added exchange is bounded by the cap, not by the table, so the
+    O(groups) shuffle-growth story is preserved at every scale while
+    an under-split tiny input (the unsplittable one-row-group fixture)
+    still gets its per-row work spread across cores."""
     n = parts or df.sparkSession.sparkContext.defaultParallelism * 2
+    if max_bytes is not None:
+        stats_size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if stats_size > max_bytes:
+            return df
     return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
+# Absolute cap for size-gated scatters (env-overridable): one bounded
+# exchange of ≤ this many bytes is negligible on any cluster, and past
+# it the scan's own splits are trusted to provide parallelism.
+SCATTER_CAP = int(os.environ.get("SPARK_GRAFT_SCATTER_CAP", str(256 * 1024 * 1024)))
 
 
 def load_events_range(

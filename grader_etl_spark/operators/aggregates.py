@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.constants import CHECK_TYPE, REPORT_DATE, RUN_TYPE, SUCCESS_TYPE
-from grader_etl_spark.io import fan_out, load
+from grader_etl_spark.io import SCATTER_CAP, fan_out, load
 from grader_etl_spark.registry import query
 from grader_etl_spark.functions.quantize import floor_quantize
 
@@ -223,7 +223,8 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise run on the one-row-group scan's 1-3 tasks (q_corr_matrix
     # discipline); no-op on a many-split table.
     li = fan_out(
-        load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+        load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"]),
+        max_bytes=SCATTER_CAP,
     )
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_items"),
@@ -355,18 +356,16 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     BigDecimal path), and the query's contract is "the nearest
     double to the exact decimal sum" at every scale.
     """
-    # fan_out after the pushed-down filter: the one-row-group fixture
-    # pins the exact-decimal partial aggregation to the scan's 1-3
-    # tasks (guide §2.5 input-skew class); scattering the filtered
-    # narrow rows parallelizes the BigDecimal products. No-op at scale.
-    li = fan_out(
-        load(
-            spark, sf_dir, "lineitem",
-            columns=[
-                "l_returnflag", "l_linestatus", "l_quantity",
-                "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
-            ],
-        )
+    # NOT scattered: this query is in the pinned constant-shuffle
+    # contract class (tests/test_shuffle_contract.py) — its exchange
+    # must carry O(groups); a local scatter would trade that for
+    # O(rows) whenever the partition guard fires.
+    li = load(
+        spark, sf_dir, "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+        ],
     )
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")

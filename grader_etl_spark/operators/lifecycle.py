@@ -28,7 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from grader_etl_spark.io import fan_out, load
+from grader_etl_spark.io import SCATTER_CAP, fan_out, load
 from grader_etl_spark.registry import query
 from grader_etl_spark.functions.quantize import floor_quantize
 
@@ -286,7 +286,9 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doubles, the casts run on the scattered side. Guarded no-op on a
     # many-split table at scale. Sums are exact decimal, so the result
     # is partition-count-invariant.
-    li = fan_out(load(spark, sf_dir, "lineitem", columns=list(_CORR_COLS))).select(
+    li = fan_out(
+        load(spark, sf_dir, "lineitem", columns=list(_CORR_COLS)), max_bytes=SCATTER_CAP
+    ).select(
         *[F.col(c).cast("decimal(19,4)").alias(c) for c in _CORR_SORTED]
     )
     aggs = [F.count(F.lit(1)).cast("double").alias("k"), F.count("*").alias("n")]

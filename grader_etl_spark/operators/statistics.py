@@ -86,11 +86,11 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-determined on identical inputs, hence engine-independent at
     any magnitude. Zero-variance and n=1 groups yield NULL through
     try_divide, matching SQL x/0."""
-    # fan_out: five exact-decimal moment sums (BigDecimal products)
-    # otherwise run on the one-row-group scan's 1-3 tasks
-    # (q_corr_matrix discipline); guarded no-op at scale.
-    li = fan_out(
-        load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    # NOT scattered: pinned constant-shuffle contract class
+    # (tests/test_shuffle_contract.py) — the exchange must stay
+    # O(groups).
+    li = load(
+        spark, sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
     )
     p = F.col("l_extendedprice").cast("decimal(18,2)")
     q = F.col("l_quantity").cast("decimal(18,2)")
