@@ -60,7 +60,12 @@ def load(spark: SparkSession, sf_dir: str, table: str, columns: list[str] | None
     return df
 
 
-def fan_out(df: DataFrame, parts: int | None = None, max_bytes: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    parts: int | None = None,
+    max_bytes: int | None = None,
+    stats_of: DataFrame | None = None,
+) -> DataFrame:
     """Scatter a narrow scan before a CPU-heavy per-row kernel
     (shingling, rolling hashes, signature computation).
 
@@ -83,21 +88,54 @@ def fan_out(df: DataFrame, parts: int | None = None, max_bytes: int | None = Non
     the added exchange is bounded by the cap, not by the table, so the
     O(groups) shuffle-growth story is preserved at every scale while
     an under-split tiny input (the unsplittable one-row-group fixture)
-    still gets its per-row work spread across cores."""
+    still gets its per-row work spread across cores.
+
+    ``stats_of`` redirects the byte gate to ANOTHER frame's optimizer
+    stats. Join-derived frames (candidate pair tables) carry
+    multiplicative size estimates — measured ~1000× over actual at
+    sf0.1 — so gating on their own stats would suppress the scatter
+    exactly where it is needed; a file-backed upstream (the corpus
+    scan feeding the pair join) gives an honest, linearly-scaling
+    proxy for pair volume instead (prefix-filtered candidate mass is
+    near-linear in corpus bytes, round-4 audit)."""
     n = parts or df.sparkSession.sparkContext.defaultParallelism * 2
     if max_bytes is not None:
+        gate_frame = stats_of if stats_of is not None else df
         stats_size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            gate_frame._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
         if stats_size > max_bytes:
             return df
     return df.repartition(n) if df.rdd.getNumPartitions() < n else df
 
 
-# Absolute cap for size-gated scatters (env-overridable): one bounded
-# exchange of ≤ this many bytes is negligible on any cluster, and past
-# it the scan's own splits are trusted to provide parallelism.
-SCATTER_CAP = int(os.environ.get("SPARK_GRAFT_SCATTER_CAP", str(256 * 1024 * 1024)))
+def scatter_cap() -> int:
+    """Absolute byte cap for size-gated scatters, read from the env at
+    CALL time (an import-time constant silently ignored a cap set by
+    tests or notebook sessions after module import — round-8 advice):
+    one bounded exchange of ≤ this many bytes is negligible on any
+    cluster, and past it the scan's own splits are trusted to provide
+    parallelism."""
+    return int(os.environ.get("SPARK_GRAFT_SCATTER_CAP", str(256 * 1024 * 1024)))
+
+
+# Kept as a module attribute for source compatibility; prefer
+# scatter_cap() (call-time env read) at new call sites.
+SCATTER_CAP = scatter_cap()
+
+
+def kernel_scatter_cap() -> int:
+    """Byte cap for KERNEL-class scatters (candidate-pair verify,
+    shingling, signature kernels), deliberately far above the
+    aggregate-class cap: these inputs are narrow rows whose per-row
+    CPU cost dominates any bounded exchange, so the scatter is wanted
+    at any realistic volume — but an ABSOLUTE upper bound (default
+    4 GB, env SPARK_GRAFT_KERNEL_CAP) keeps even a pathological pair
+    explosion at 100 TB from adding an unbounded round-robin exchange:
+    past the cap the upstream shuffle's own partitioning is trusted
+    (at that size AQE no longer coalesces to ~1 task, which is the
+    only problem the scatter exists to fix)."""
+    return int(os.environ.get("SPARK_GRAFT_KERNEL_CAP", str(4 * 1024 ** 3)))
 
 
 def load_events_range(

@@ -20,7 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from grader_etl_spark.constants import CHECK_TYPE, REPORT_DATE, RUN_TYPE, SUCCESS_TYPE
-from grader_etl_spark.io import SCATTER_CAP, fan_out, load
+from grader_etl_spark.io import fan_out, load, scatter_cap
 from grader_etl_spark.registry import query
 from grader_etl_spark.functions.quantize import floor_quantize
 
@@ -224,7 +224,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline); no-op on a many-split table.
     li = fan_out(
         load(spark, sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"]),
-        max_bytes=SCATTER_CAP,
+        max_bytes=scatter_cap(),
     )
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_items"),

@@ -21,7 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from grader_etl_spark.io import SCATTER_CAP, fan_out, load
+from grader_etl_spark.io import fan_out, load, scatter_cap
 from grader_etl_spark.registry import query
 from grader_etl_spark.functions.quantize import floor_quantize
 
@@ -1336,7 +1336,7 @@ def q_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir, "lineitem",
             columns=["l_orderkey", "l_extendedprice", "l_discount"],
         ),
-        max_bytes=SCATTER_CAP,
+        max_bytes=scatter_cap(),
     )
     orders = load(spark, sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
     cust = load(spark, sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
@@ -1611,7 +1611,7 @@ def q_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir, "lineitem",
             columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
         ),
-        max_bytes=SCATTER_CAP,
+        max_bytes=scatter_cap(),
     )
     part = load(spark, sf_dir, "part", columns=["p_partkey", "p_brand", "p_retailprice"])
     dec = "decimal(18,2)"

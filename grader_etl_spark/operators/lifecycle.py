@@ -28,7 +28,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from grader_etl_spark.io import SCATTER_CAP, fan_out, load
+from grader_etl_spark.io import fan_out, load, scatter_cap
 from grader_etl_spark.registry import query
 from grader_etl_spark.functions.quantize import floor_quantize
 
@@ -287,7 +287,7 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # many-split table at scale. Sums are exact decimal, so the result
     # is partition-count-invariant.
     li = fan_out(
-        load(spark, sf_dir, "lineitem", columns=list(_CORR_COLS)), max_bytes=SCATTER_CAP
+        load(spark, sf_dir, "lineitem", columns=list(_CORR_COLS)), max_bytes=scatter_cap()
     ).select(
         *[F.col(c).cast("decimal(19,4)").alias(c) for c in _CORR_SORTED]
     )

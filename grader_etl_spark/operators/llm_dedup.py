@@ -25,7 +25,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from grader_etl_spark.functions.hashing import MD5_32_SQL, md5_32
-from grader_etl_spark.io import fan_out, load, valid_vectors, VALID_EMBEDDINGS_SQL
+from grader_etl_spark.io import (
+    VALID_EMBEDDINGS_SQL,
+    fan_out,
+    kernel_scatter_cap,
+    load,
+    valid_vectors,
+)
 from grader_etl_spark.registry import memo_checkpoint, query
 from grader_etl_spark.functions.quantize import floor_quantize
 from grader_etl_spark.functions.textnorm import WS_RE, norm_lower
@@ -401,7 +407,17 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition, single-tasking the per-pair array_intersect verify
     # (q_containment_dup measurement); scattering the 16-byte pairs is
     # near-free. Guarded no-op at volume.
-    cand = fan_out(prefix_filtered_candidates(sh, *_JACCARD_TAU))
+    # Kernel-class byte gate (round-9): gate on the CORPUS scan's
+    # file-backed stats (via the shingle memo's source), not the pair
+    # join's multiplicative estimate (~1000× inflated at sf0.1) —
+    # candidate mass is near-linear in corpus bytes, so past the cap
+    # the pair exchange has real volume and AQE no longer coalesces
+    # it to ~1 task (the only failure the scatter exists to fix).
+    cand = fan_out(
+        prefix_filtered_candidates(sh, *_JACCARD_TAU),
+        max_bytes=kernel_scatter_cap(),
+        stats_of=sh,
+    )
     # Verify on the index's INT64 id arrays (injective dictionary, so
     # |ids_1 ∩ ids_2| IS |A∩B| exactly); both sides are |docs|-row
     # frames (MiB-scale) broadcast so the candidate frame never
@@ -986,7 +1002,15 @@ def q_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the query's 3.6 s at sf0.1). Scattering the 16-byte pairs is
     # near-free and parallelizes the per-pair kernel; guarded no-op
     # once the pair table has real volume.
-    cand = fan_out(containment_prefix_candidates(sh, 3, 5))  # 0.6 = 3/5 exact
+    # 0.6 = 3/5 exact; kernel-class byte gate (round-9): gated on the
+    # corpus scan's file-backed stats (stats_of=sh) — the pair join's
+    # own estimate is multiplicative and ~1000× inflated — so the
+    # added exchange stays absolute-bounded at 100 TB pair volumes.
+    cand = fan_out(
+        containment_prefix_candidates(sh, 3, 5),
+        max_bytes=kernel_scatter_cap(),
+        stats_of=sh,
+    )
     # Verify on the index's int64 id arrays (injective dictionary —
     # counts are exact); broadcast the |docs|-row sides.
     s1 = idx.select(F.col("doc_id").alias("doc_id_1"), F.col("sz").alias("sz_a"), F.col("ids").alias("ids_1"))

@@ -669,6 +669,38 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
     )
 
 
+# Session memo of the per-document bigram count table (doc_id, w1,
+# w2, n), keyed by (session, corpus dir): the three bigram LM scorers
+# (q_bigram_logprob, q_interp_logprob, q_kneser_ney) each derive
+# their model tables (bigram counts, context totals, continuation
+# counts) from this SAME aggregate, and each previously re-ran the
+# full corpus tokenize + zip_with pair explode + (doc,w1,w2) group —
+# the dominant fact-sized pass in all three plans (~6.1 s combined at
+# sf0.1, round-8 verdict item 2). Same discipline as the jaccard pair
+# memo in llm_dedup.py: localCheckpointed once per (session, corpus),
+# build billed to the first consumer, cleared by clear_session_memos
+# on bench stall-retry / corpus rollover. Values are exact integers,
+# so every downstream aggregate is bit-identical to the un-memoized
+# plan.
+_DOC_BIGRAM_CACHE: dict[tuple, DataFrame] = {}
+
+
+def doc_bigram_counts_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2, n) per-document bigram counts, computed once
+    per (session, corpus dir) and shared by the bigram LM scorers."""
+    key = (spark, sf_dir)
+    if key not in _DOC_BIGRAM_CACHE:
+        from grader_etl_spark.registry import memo_checkpoint
+
+        docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
+        _DOC_BIGRAM_CACHE[key] = memo_checkpoint(
+            _doc_bigrams(docs)
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    return _DOC_BIGRAM_CACHE[key]
+
+
 @query(
     "q_bigram_logprob",
     oracle="""
@@ -713,18 +745,16 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the training corpus itself, so no unseen-bigram smoothing is
     needed).
 
-    Shape: adjacent pairs come from the shared zip_with pair builder
-    (`_doc_bigrams` — a projection, no token-level shuffle or sort);
-    the bigram model and its start totals are vocab²-bounded
-    aggregates that broadcast back onto the per-doc pair counts.
-    Count-weighted surprisal keeps the statistic a single grouped
-    sum, rounded 4 dp against summation-order ulps (the
-    q_unigram_logprob precedent). Docs with < 2 tokens drop out (no
-    bigrams), matching the oracle's WHERE w2 IS NOT NULL."""
-    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    doc_big = _doc_bigrams(docs).groupBy("doc_id", "w1", "w2").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+    Shape: the per-doc bigram count table is the session memo shared
+    by all three LM scorers (`doc_bigram_counts_memo` — built from the
+    zip_with pair builder `_doc_bigrams`, a projection with no
+    token-level shuffle or sort); the bigram model and its start
+    totals are vocab²-bounded aggregates that broadcast back onto the
+    per-doc pair counts. Count-weighted surprisal keeps the statistic
+    a single grouped sum, rounded 4 dp against summation-order ulps
+    (the q_unigram_logprob precedent). Docs with < 2 tokens drop out
+    (no bigrams), matching the oracle's WHERE w2 IS NOT NULL."""
+    doc_big = doc_bigram_counts_memo(spark, sf_dir)
     model = doc_big.groupBy("w1", "w2").agg(F.sum("n").cast("double").alias("c12"))
     starts = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
     return (
@@ -1284,10 +1314,11 @@ def q_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines and only the final ln rounds (4 dp, the established
     log-sum discipline).
 
-    Plan: one token-array projection feeds both the unigram table
-    (plain explode) and, via the shared zip_with pair builder
-    (`_doc_bigrams`, no token-level shuffle or sort), the bigram
-    counts — the bigram model and its start totals are vocab²-bounded
+    Plan: the unigram table comes from one plain explode pass; the
+    per-doc bigram counts are the session memo shared by all three LM
+    scorers (`doc_bigram_counts_memo`, built once from the zip_with
+    pair builder — no token-level shuffle or sort) — the bigram model
+    and its start totals are vocab²-bounded
     aggregates broadcast back onto per-doc pair counts together with
     the vocab-sized unigram table; the corpus total rides a 1-row
     broadcast. Per-doc score is one grouped sum; docs with < 2 tokens
@@ -1301,9 +1332,7 @@ def q_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cu"))
     tot = uni.agg(F.sum("cu").alias("n"))
-    doc_bi = _doc_bigrams(docs).groupBy("doc_id", "w1", "w2").agg(
-        F.count(F.lit(1)).alias("k")
-    )
+    doc_bi = doc_bigram_counts_memo(spark, sf_dir).withColumnRenamed("n", "k")
     model = doc_bi.groupBy("w1", "w2").agg(F.sum("k").cast("double").alias("c12"))
     starts = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
     p = F.lit(0.75) * (F.col("c12") / F.col("c1")) + F.lit(0.25) * (F.col("cu") / F.col("n"))
@@ -1385,8 +1414,9 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides). d = 3/4 is dyadic: c12 − d is exact in both engines; only
     the final ln rounds (4 dp, the established log-sum discipline).
 
-    Plan: the same zip_with pair builder as the LM siblings
-    (`_doc_bigrams`, a projection — no token-level shuffle or sort);
+    Plan: the per-doc bigram counts are the session memo shared with
+    the LM siblings (`doc_bigram_counts_memo`, built once from the
+    zip_with pair builder — no token-level shuffle or sort);
     the bigram model is a vocab²-bounded aggregate from
     which BOTH context statistics (c(w₁·) and the distinct-successor
     count N₁₊(w₁·)) come out of ONE groupBy(w1), the predecessor-type
@@ -1394,10 +1424,7 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     out of a 1-row aggregate — all broadcast back onto the per-doc
     pair counts, so the only fact-sized shuffle is the
     (doc, w1, w2) group."""
-    docs = load(spark, sf_dir, "documents", columns=["doc_id", "text"])
-    doc_bi = _doc_bigrams(docs).groupBy("doc_id", "w1", "w2").agg(
-        F.count(F.lit(1)).alias("k")
-    )
+    doc_bi = doc_bigram_counts_memo(spark, sf_dir).withColumnRenamed("n", "k")
     model = doc_bi.groupBy("w1", "w2").agg(F.sum("k").cast("double").alias("c12"))
     ctx = model.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).cast("double").alias("n1p_fwd")

@@ -80,6 +80,19 @@ def stream_start_conf(spark: SparkSession):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _advisory_default(master: str) -> str:
+    """Default AQE advisory post-shuffle partition size, derived from
+    the execution profile instead of a flat constant (round-8 advice:
+    a production deploy that forgets SPARK_GRAFT_ADVISORY must not
+    inherit the bench-host tune). local[*] masters get 4m — this
+    host's bench shuffles are MB-scale, where 64m coalesces CPU-heavy
+    stages (per-pair verify kernels, decimal moment partials) to a
+    SINGLE task. Any non-local master gets Spark's own 64m default,
+    the volume-respecting production setting (guide §2.2/§9);
+    SPARK_GRAFT_ADVISORY overrides either way."""
+    return "4m" if master.startswith("local") else "64m"
+
+
 def get_spark(app_name: str = "grader-etl-spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) the session with the engine's standard config."""
     cpus = _cpus()
@@ -88,9 +101,10 @@ def get_spark(app_name: str = "grader-etl-spark", master: str | None = None) -> 
     # be identical with and without runtime re-planning) and as an
     # operational escape hatch.
     aqe = os.environ.get("SPARK_GRAFT_AQE", "1") not in ("0", "false")
+    master_url = master or f"local[{cpus}]"
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        .master(master_url)
         # --- planner / runtime -------------------------------------------
         .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -108,11 +122,12 @@ def get_spark(app_name: str = "grader-etl-spark", master: str | None = None) -> 
         # host's bench shuffles are MB-scale, where 64m would coalesce
         # CPU-heavy stages (per-pair verify kernels, decimal moment
         # partials, window sorts) to a SINGLE task — a bytes-based
-        # heuristic blind to per-row cost. 4m keeps those stages on
-        # ~cores tasks locally and is still volume-respecting.
+        # heuristic blind to per-row cost. The default is derived from
+        # the master (_advisory_default: 4m local, 64m otherwise) so an
+        # unconfigured cluster deploy never inherits the bench tune.
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY", "4m"),
+            os.environ.get("SPARK_GRAFT_ADVISORY") or _advisory_default(master_url),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(_shuffle_partitions(cpus)))

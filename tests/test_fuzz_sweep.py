@@ -27,6 +27,12 @@ import os
 import duckdb
 import pytest
 
+# Multi-minute random-corpus campaign: soak/scale-audit tier, excluded
+# from the default driver run (pytest.ini); the builder's round gate
+# runs it with `-m scale_audit`.
+pytestmark = pytest.mark.scale_audit
+
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _TABLES = (

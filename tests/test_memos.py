@@ -198,3 +198,40 @@ def test_non_memo_session_checkpoints_evicted_on_rollover(spark, tmp_path, monke
     )
     assert not _SESSION_CKPT_FILES
     monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR")
+
+
+def test_doc_bigram_memo_shared_across_lm_trio_and_equivalent(spark):
+    """The three bigram LM scorers read ONE session memo of the
+    per-doc bigram counts (round-9: the fact-sized tokenize + pair
+    explode + group ran three times before), and a rebuilt-from-
+    scratch run after memo eviction produces identical rows — the
+    memo is a pure cache, not a semantic change."""
+    from grader_etl_spark.operators.text_analysis import (
+        _DOC_BIGRAM_CACHE,
+        q_bigram_logprob,
+        q_interp_logprob,
+        q_kneser_ney,
+    )
+    from grader_etl_spark.registry import clear_session_memos
+
+    clear_session_memos(spark)  # isolate from earlier tests
+    r_big = {tuple(r) for r in q_bigram_logprob(spark, SF).collect()}
+    assert (spark, SF) in _DOC_BIGRAM_CACHE
+    memo_obj = _DOC_BIGRAM_CACHE[(spark, SF)]
+    r_kn = {tuple(r) for r in q_kneser_ney(spark, SF).collect()}
+    r_jm = {tuple(r) for r in q_interp_logprob(spark, SF).collect()}
+    assert _DOC_BIGRAM_CACHE[(spark, SF)] is memo_obj, (
+        "one build must serve all three scorers"
+    )
+    # the memoized (checkpointed) table appears in each plan as an
+    # RDD scan instead of a re-run corpus tokenize/explode subtree
+    for fn in (q_bigram_logprob, q_interp_logprob, q_kneser_ney):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+    clear_session_memos(spark)
+    assert (spark, SF) not in _DOC_BIGRAM_CACHE
+    assert {tuple(r) for r in q_bigram_logprob(spark, SF).collect()} == r_big
+    assert {tuple(r) for r in q_kneser_ney(spark, SF).collect()} == r_kn
+    assert {tuple(r) for r in q_interp_logprob(spark, SF).collect()} == r_jm
+    clear_session_memos(spark)

@@ -235,6 +235,8 @@ _CHILD = textwrap.dedent("""
 """)
 
 
+# two-process race soak: multi-minute, scale-audit tier (pytest.ini)
+@pytest.mark.scale_audit
 def test_two_process_disjoint_and_overlapping_race(spark, tmp_path):
     """The real thing: two separate Spark processes run optimistic
     merge laps concurrently — first into DISJOINT partitions (both

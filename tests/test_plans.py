@@ -138,6 +138,11 @@ _LITERAL_TABLE_OK = {
     "q_triangle_count_ordered",  # rides q_neardup_jaccard's pair machinery
     "q_embedding_covariance",  # serves the session covariance memo (checkpointed d² frame)
     "q_pca_project",  # covariance-memo consumer
+    # round-9: the bigram LM trio shares the doc-bigram-count session
+    # memo (text_analysis.doc_bigram_counts_memo, checkpointed)
+    "q_bigram_logprob",
+    "q_interp_logprob",
+    "q_kneser_ney",
 }
 
 

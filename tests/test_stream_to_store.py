@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql.types import (
     BooleanType,
     StringType,
@@ -46,6 +48,8 @@ def _ingest(spark, landing, store):
     q.awaitTermination()
 
 
+# crash-recovery soak: multi-minute, scale-audit tier (pytest.ini)
+@pytest.mark.scale_audit
 def test_stream_restart_recovers_exactly_once_from_checkpoint(spark, tmp_path):
     """Kill the watermarked dedup stream MID-REPLAY — after micro-batch
     k's store write but before its checkpoint commit, the worst crash
